@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine operation: the Spark query plus (optionally) the
+  * DuckDB oracle SQL the driver uses for the hash-match. Oracle SQL reads
+  * parquet via '{sfDir}/<table>.parquet' path placeholders (FIXTURES.md §2);
+  * queries without an oracle get the driver's weaker rows-only check.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(fn, Some(oracle))
+  def noOracle(fn: (SparkSession, String) => DataFrame): Q = Q(fn, None)
+
+  /** Money columns are physically double (FIXTURES.md ⚠) — cast to exact
+    * DECIMAL(18,2) *before* aggregating so summation order can't change the
+    * result across partitionings/engines (SURVEY §2.11).
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+}
