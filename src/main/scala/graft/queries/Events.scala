@@ -1,5 +1,112 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables => T}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time operators (SURVEY §2.9), declared in batch over
+  * `events.parquet`. The identical plans run under `readStream` — see
+  * graft.streaming.* and its specs for the watermark/stateful variants.
+  *
+  * Time discipline (SURVEY §2.11): parquet `ts` is ns; Spark reads it as
+  * BIGINT ns (Tables.events adds µs-timestamp `ts_us`); DuckDB reads
+  * TIMESTAMP_NS. Oracles therefore only ever emit integer epoch seconds
+  * (floored), never raw timestamps, and DuckDB-side session logic first
+  * truncates to µs (CAST(ts AS TIMESTAMP)) to match Spark's domain.
+  */
 object Events {
-  val defs: Map[String, Q] = Map()
+
+  val defs: Map[String, Q] = Map(
+
+    "stream_tumbling" -> Q(
+      """SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_s,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sumv
+        |FROM read_parquet('{sfDir}/events.parquet')
+        |GROUP BY day_s, event_type
+        |ORDER BY day_s, event_type""".stripMargin) {
+      // Tumbling 1-day window × type: in streaming this is the canonical
+      // watermarked windowed agg; partial aggregation makes the shuffle
+      // carry only (window, type) groups at scale.
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts_us"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dec2(sum(dec2(col("value")))).as("sumv"))
+        .select(unix_timestamp(col("window.start")).as("day_s"),
+          col("event_type"), col("n"), col("sumv"))
+        .orderBy("day_s", "event_type")
+    },
+
+    "stream_sliding" -> Q(
+      """SELECT ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600) - j) * 21600 AS win_s,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sumv
+        |FROM read_parquet('{sfDir}/events.parquet')
+        |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+        |GROUP BY win_s, event_type
+        |ORDER BY win_s, event_type""".stripMargin) {
+      // 1-day windows sliding 6h: each event belongs to 4 windows. The
+      // oracle derives the same 4 window-starts arithmetically.
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts_us"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dec2(sum(dec2(col("value")))).as("sumv"))
+        .select(unix_timestamp(col("window.start")).as("win_s"),
+          col("event_type"), col("n"), col("sumv"))
+        .orderBy("win_s", "event_type")
+    },
+
+    "stream_session" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id
+        |  FROM read_parquet('{sfDir}/events.parquet')
+        |), flagged AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN LAG(t) OVER w IS NULL
+        |           OR t - LAG(t) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), sess AS (
+        |  SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(FLOOR(epoch(MIN(t))) AS BIGINT) AS start_s,
+        |       CAST(FLOOR(epoch(MAX(t))) AS BIGINT) AS end_s, COUNT(*) AS n
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_s""".stripMargin) {
+      // Spark-native session windows (30-min gap); the oracle is the
+      // classic gaps-and-islands formulation over µs-truncated time.
+      (s, d) => T.events(s, d)
+        .groupBy(session_window(col("ts_us"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("ts_us")).as("last_ts"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_s"),
+          unix_timestamp(col("last_ts")).as("end_s"),
+          col("n"))
+        .orderBy("user_id", "start_s")
+    },
+
+    "stream_dedup" -> Q(
+      """SELECT user_id, event_type, value, event_id AS keep_id FROM (
+        |  SELECT user_id, event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, value
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM read_parquet('{sfDir}/events.parquet')) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type, value""".stripMargin) {
+      // Keep-first-by-time dedup: the batch shape of streaming
+      // dropDuplicates (see graft.streaming specs for that variant).
+      (s, d) =>
+        val w = Window.partitionBy("user_id", "event_type", "value")
+          .orderBy(col("ts"), col("event_id"))
+        T.events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("event_id"), row_number().over(w).as("rn"))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("event_id").as("keep_id"))
+          .orderBy("user_id", "event_type", "value")
+    }
+  )
 }
