@@ -1,5 +1,223 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables => T}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** LLM-data-pipeline text & similarity operators (SURVEY §2.10 [N]):
+  * tokenization, corpus stats, exact dedup, n-gram Jaccard near-dup,
+  * language-ID heuristic, quality scoring, token counting, brute-force
+  * cosine top-k and label-centroid distances.
+  *
+  * Hash/minhash/simhash/LSH variants that DuckDB can't reproduce live in
+  * graft.ops (declared rows-only + unit-tested).
+  */
 object TextOps {
-  val defs: Map[String, Q] = Map()
+
+  private val stopWords = Seq("the", "a", "dup", "value", "table")
+
+  val defs: Map[String, Q] = Map(
+
+    "text_wordcount" -> Q(
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM read_parquet('{sfDir}/documents.parquet')) t
+        |GROUP BY word ORDER BY word""".stripMargin) {
+      // explode(split) is Spark's Generator/UDTF path; the groupBy then
+      // runs partial+final so the shuffle carries (word, partial count).
+      (s, d) => T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    },
+
+    "text_stats" -> Q(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |       CAST(ROUND(AVG(CAST(n_chars AS DECIMAL(18,2))), 6) AS DECIMAL(18,6)) AS avg_chars,
+        |       COUNT(DISTINCT source) AS n_src
+        |FROM read_parquet('{sfDir}/documents.parquet')
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) => T.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("chars"),
+          dec6(avg(dec2(col("n_chars")))).as("avg_chars"),
+          countDistinct(col("source")).as("n_src"))
+        .orderBy("lang")
+    },
+
+    "dedup_exact" -> Q(
+      """SELECT sha256(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM read_parquet('{sfDir}/documents.parquet')
+        |GROUP BY h ORDER BY h""".stripMargin) {
+      // Exact dedup = hash-groupBy keep-first. Emitting every group (not
+      // just n>1) keeps the oracle non-trivial at every scale factor.
+      (s, d) => T.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy("h")
+    },
+
+    "text_token_count" -> Q(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+[0-9]*')) AS re_tokens,
+        |  length(text) AS n_char
+        |FROM read_parquet('{sfDir}/documents.parquet')
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+[0-9]*"), lit(0))).as("re_tokens"),
+          length(col("text")).as("n_char"))
+        .orderBy("doc_id")
+    },
+
+    "text_quality" -> Q(
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_words,
+         |  len(list_filter(string_split(text, ' '),
+         |      w -> w IN (${stopWords.map("'" + _ + "'").mkString(",")}))) AS stop_n,
+         |  CAST(ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DECIMAL(18,2))
+         |       / len(string_split(text, ' ')), 4) AS DECIMAL(18,4)) AS avg_wlen,
+         |  CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+         |       WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
+         |       ELSE 'long' END AS band
+         |FROM read_parquet('{sfDir}/documents.parquet')
+         |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val words = split(col("text"), " ")
+        val inList = stopWords.map(w => s"'$w'").mkString(",")
+        T.documents(s, d)
+          .select(col("doc_id"),
+            size(words).as("n_words"),
+            expr(s"size(filter(split(text, ' '), w -> w IN ($inList)))").as("stop_n"),
+            round(dec2(length(col("text")) - size(words) + 1) / size(words), 4)
+              .cast(DecimalType(18, 4)).as("avg_wlen"),
+            when(size(words) < 50, "short")
+              .when(size(words) < 200, "medium")
+              .otherwise("long").as("band"))
+          .orderBy("doc_id")
+    },
+
+    "text_langid" -> Q(
+      """SELECT doc_id,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['vector','value','fast'])) AS s_de,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['key','agg','row'])) AS s_en,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['merge','group','hash'])) AS s_es,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['scan','spark','join'])) AS s_fr,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['query','small','customer'])) AS s_zh,
+        |  lang
+        |FROM read_parquet('{sfDir}/documents.parquet')
+        |ORDER BY doc_id""".stripMargin) {
+      // n-gram-profile language ID, reduced to marker-vocabulary scores
+      // (the synthetic corpus shares one vocabulary, so scores — not a
+      // contrived argmax — are the honest declared output; the argmax
+      // variant is exercised in unit tests).
+      (s, d) =>
+        def score(markers: Seq[String]) = {
+          val arr = markers.map(m => s"'$m'").mkString(",")
+          expr(s"size(array_intersect(array_distinct(split(text,' ')), array($arr)))")
+        }
+        T.documents(s, d)
+          .select(col("doc_id"),
+            score(Seq("vector", "value", "fast")).as("s_de"),
+            score(Seq("key", "agg", "row")).as("s_en"),
+            score(Seq("merge", "group", "hash")).as("s_es"),
+            score(Seq("scan", "spark", "join")).as("s_fr"),
+            score(Seq("query", "small", "customer")).as("s_zh"),
+            col("lang"))
+          .orderBy("doc_id")
+    },
+
+    "dedup_ngram_jaccard" -> Q(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS g
+        |  FROM read_parquet('{sfDir}/documents.parquet') WHERE doc_id < 60)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       len(list_intersect(a.g, b.g)) AS inter_n,
+        |       len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS union_n
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) >= 3
+        |ORDER BY id1, id2""".stripMargin) {
+      // Word-3-gram shingle Jaccard near-dup. Counts (not the ratio) are
+      // emitted — integers hash-match trivially. The MinHash/LSH scale
+      // path that avoids the quadratic pair join lives in graft.ops.
+      (s, d) =>
+        val sh = T.documents(s, d)
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id"), expr(
+            """array_distinct(transform(
+              |  sequence(1, greatest(size(split(text,' ')) - 2, 0)),
+              |  i -> concat_ws(' ', element_at(split(text,' '), i),
+              |                 element_at(split(text,' '), i+1),
+              |                 element_at(split(text,' '), i+2))))""".stripMargin).as("g"))
+        val a = sh.select(col("doc_id").as("id1"), col("g").as("g1"))
+        val b = sh.select(col("doc_id").as("id2"), col("g").as("g2"))
+        a.join(b, col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            size(array_intersect(col("g1"), col("g2"))).as("inter_n"),
+            (size(col("g1")) + size(col("g2"))
+              - size(array_intersect(col("g1"), col("g2")))).as("union_n"))
+          .filter(col("inter_n") >= 3)
+          .orderBy("id1", "id2")
+    },
+
+    "sim_cosine_topk" -> Q(
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS DECIMAL(18,4)) AS sim
+        |FROM read_parquet('{sfDir}/embeddings.parquet') a
+        |JOIN read_parquet('{sfDir}/embeddings.parquet') b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, id1, id2 LIMIT 5""".stripMargin) {
+      // Brute-force cosine top-k — the correctness baseline for ANN.
+      // At 100 TB this pair join is replaced by the LSH-bucketed variant
+      // in graft.ops (sim_ann_lsh); this declared form stays bounded
+      // (FIXTURES: embeddings ≤ 2k rows at bench sf).
+      (s, d) =>
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+        val dot = "aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        val n1 = "sqrt(aggregate(e1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        val n2 = "sqrt(aggregate(e2, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        a.join(b, col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            expr(s"CAST(ROUND(($dot) / (($n1) * ($n2)), 4) AS DECIMAL(18,4))").as("sim"))
+          .orderBy(col("sim").desc, col("id1"), col("id2"))
+          .limit(5)
+    },
+
+    "sim_knn_label" -> Q(
+      """WITH cent AS (
+        |  SELECT label, p AS pos,
+        |         CAST(ROUND(AVG(CAST(embedding[p] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS c
+        |  FROM read_parquet('{sfDir}/embeddings.parquet')
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS p) ps
+        |  GROUP BY label, p)
+        |SELECT a.label,
+        |       CAST(ROUND(sqrt(CAST(SUM((a.c - b.c) * (a.c - b.c)) AS DOUBLE)), 4) AS DECIMAL(18,4)) AS dist0
+        |FROM cent a JOIN cent b ON a.pos = b.pos AND b.label = 0
+        |GROUP BY a.label ORDER BY a.label""".stripMargin) {
+      // Per-label centroids (rounded to exact DECIMAL so the cross-engine
+      // distance arithmetic is float-drift-free), then L2 distance of each
+      // centroid to label 0's.
+      (s, d) =>
+        val cent = T.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(dec6(round(avg(col("v").cast("double")), 6)).as("c"))
+        val c0 = cent.filter(col("label") === 0)
+          .select(col("pos").as("pos0"), col("c").as("c0"))
+        cent.join(c0, col("pos") === col("pos0"))
+          .groupBy("label")
+          .agg(sum((col("c") - col("c0")) * (col("c") - col("c0"))).as("ss"))
+          .select(col("label"),
+            round(sqrt(col("ss").cast("double")), 4).cast(DecimalType(18, 4)).as("dist0"))
+          .orderBy("label")
+    }
+  )
 }
