@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based dedup / similarity primitives for the LLM-data pipeline
+  * (SURVEY §2.10 [N]): MinHash+LSH, SimHash, sign-LSH ANN, winnowing
+  * fingerprints. Everything is pure Catalyst expressions (codegen'd,
+  * no UDFs) and deterministic — hashes are xxhash64 with fixed mixing
+  * constants, so results are stable across runs and partitionings.
+  *
+  * Expression builders take column *names* (they splice into expr SQL).
+  *
+  * Scale design: every op avoids the quadratic all-pairs join — candidates
+  * come from an equi-join on band/bucket keys (shuffle on the band key,
+  * skew-safe because band values are hashes), and only candidates get the
+  * exact verification.
+  */
+object Sketches {
+
+  /** Large prime < 2^31 for permutation arithmetic (fits 64-bit products). */
+  private val P = 2147483647L
+
+  /** Deterministic permutation constants a_i (odd), b_i for MinHash. */
+  private def perm(i: Int): (Long, Long) =
+    ((2L * i + 1L) * 2654435761L % P, (i * 40503L + 2699L) % P)
+
+  /** Word-`n`-gram shingles of a space-separated text column. */
+  def shingles(textCol: String, n: Int = 3): Column = {
+    val parts = (0 until n)
+      .map(j => s"element_at(split($textCol, ' '), i + $j)").mkString(", ")
+    expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)),
+         |  i -> concat_ws(' ', $parts)))""".stripMargin)
+  }
+
+  /** MinHash signature (k permutations) over a shingle-array column. */
+  def minhashSig(shCol: String, k: Int = 64): Column = {
+    val sigs = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      s"aggregate($shCol, ${P}L, (m, s) -> least(m, pmod($a * pmod(xxhash64(s), $P) + $b, $P)))"
+    }
+    expr(s"array(${sigs.mkString(", ")})")
+  }
+
+  /** docs(doc_id, text) → (doc_id, sig array<long>) */
+  def signatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
+    docs.select(col("doc_id"), shingles("text", shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSig("sh", k).as("sig"))
+
+  /** LSH banding: candidate pairs whose signatures collide in ≥1 band.
+    * bands*rows must equal the signature length.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
+      .as(Seq("band", "bsig")))
+    // Self-equi-join on (band, bsig): the shuffle key is a hash — uniform,
+    // no skew; quadratic blowup only inside a colliding band bucket.
+    val l = banded.select(col("doc_id").as("id1"), col("band"), col("bsig"))
+    val r = banded.select(col("doc_id").as("id2"), col("band").as("band2"),
+      col("bsig").as("bsig2"))
+    l.join(r, col("band") === col("band2") && col("bsig") <=> col("bsig2")
+        && col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** MinHash near-dup end-to-end: candidates, then exact Jaccard verify. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 64, bands: Int = 16, rows: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles("text", shingleN).as("g"))
+    val cands = lshCandidates(signatures(docs, k, shingleN), bands, rows)
+    val a = sh.select(col("doc_id").as("id1"), col("g").as("g1"))
+    val b = sh.select(col("doc_id").as("id2"), col("g").as("g2"))
+    cands.join(a, "id1").join(b, "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("g1"), col("g2"))).as("inter_n"),
+        (size(col("g1")) + size(col("g2"))
+          - size(array_intersect(col("g1"), col("g2")))).as("union_n"))
+      .filter(col("inter_n") >= col("union_n") * threshold)
+  }
+
+  /** 64-bit SimHash of the word multiset of a text column. */
+  def simhash(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), b ->
+       |    aggregate(split($textCol, ' '), 0L,
+       |      (acc, w) -> acc + IF(((xxhash64(w) >> b) & 1) = 1, 1, -1))),
+       |  0L, (acc, cnt) -> shiftleft(acc, 1) | IF(cnt >= 0, 1L, 0L))""".stripMargin)
+
+  /** docs(doc_id, text) → simhash candidate pairs within `maxHamming`,
+    * found by 16-bit band collision (any identical quarter → candidate).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"), simhash("text").as("sh"))
+    val banded = hashed.select(col("doc_id"), col("sh"), posexplode(expr(
+      "transform(sequence(0, 3), q -> (sh >> (q * 16)) & 65535)")).as(Seq("q", "qv")))
+    val l = banded.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("q"), col("qv"))
+    val r = banded.select(col("doc_id").as("id2"), col("sh").as("sh2"),
+      col("q").as("q2"), col("qv").as("qv2"))
+    l.join(r, col("q") === col("q2") && col("qv") === col("qv2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), expr("bit_count(sh1 ^ sh2)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def cosineExprs(e1: String, e2: String): String = {
+    val dot = s"aggregate(zip_with($e1, $e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    def nrm(e: String) =
+      s"sqrt(aggregate($e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    s"CAST(ROUND(($dot) / ((${nrm(e1)}) * (${nrm(e2)})), 4) AS DECIMAL(18,4))"
+  }
+
+  /** Sign-LSH bucket id (nbits hyperplanes) for an embedding column.
+    * Hyperplane components are deterministic pseudo-randoms derived from
+    * xxhash64 of (plane, dim) — no RNG state, reproducible anywhere.
+    */
+  def lshBucket(embCol: String, nbits: Int = 8, dim: Int = 64): Column = {
+    val bits = (0 until nbits).map { j =>
+      val dot = s"""aggregate(zip_with($embCol, transform(sequence(1, $dim),
+        i -> CAST(pmod(xxhash64(concat('hp_${j}_', i)), 2001) - 1000 AS DOUBLE) / 1000.0D),
+        (x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+      s"IF(($dot) >= 0, ${1L << j}L, 0L)"
+    }
+    expr(bits.mkString(" + "))
+  }
+
+  /** ANN via LSH buckets: brute-force cosine only within each bucket.
+    * Recall is tunable with nbits (fewer bits → bigger buckets → higher
+    * recall, more compute). Returns (id1, id2, sim) candidate pairs.
+    */
+  def annPairs(embs: DataFrame, nbits: Int = 8): DataFrame = {
+    val b = embs.select(col("vec_id"), col("embedding"),
+      lshBucket("embedding", nbits).as("bucket"))
+    val l = b.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("bucket"))
+    val r = b.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("bucket").as("bucket2"))
+    l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), expr(cosineExprs("e1", "e2")).as("sim"))
+  }
+
+  /** Winnowing document fingerprints: char-k-gram rolling hashes, minimum
+    * per sliding window of `w` — the classic MOSS scheme.
+    */
+  def fingerprints(textCol: String, k: Int = 8, w: Int = 4): Column = expr(
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(length($textCol) - ${k + w - 2}, 1)),
+       |  i -> array_min(transform(sequence(i, i + ${w - 1}),
+       |         j -> xxhash64(substring($textCol, j, $k))))))""".stripMargin)
+}
