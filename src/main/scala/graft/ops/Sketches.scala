@@ -113,31 +113,39 @@ object Sketches {
     s"CAST(ROUND(($dot) / ((${nrm(e1)}) * (${nrm(e2)})), 4) AS DECIMAL(18,4))"
   }
 
-  /** Sign-LSH bucket id (nbits hyperplanes) for an embedding column.
-    * Hyperplane components are deterministic pseudo-randoms derived from
-    * xxhash64 of (plane, dim) — no RNG state, reproducible anywhere.
+  /** Sign-LSH bucket id (nbits hyperplanes) for an embedding column, for
+    * hash table `table`. Hyperplane components are deterministic
+    * pseudo-randoms derived from xxhash64 of (table, plane, dim) — no RNG
+    * state, reproducible anywhere.
     */
-  def lshBucket(embCol: String, nbits: Int = 8, dim: Int = 64): Column = {
+  def lshBucket(embCol: String, nbits: Int = 8, dim: Int = 64, table: Int = 0): Column = {
     val bits = (0 until nbits).map { j =>
       val dot = s"""aggregate(zip_with($embCol, transform(sequence(1, $dim),
-        i -> CAST(pmod(xxhash64(concat('hp_${j}_', i)), 2001) - 1000 AS DOUBLE) / 1000.0D),
+        i -> CAST(pmod(xxhash64(concat('hp_${table}_${j}_', i)), 2001) - 1000 AS DOUBLE) / 1000.0D),
         (x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
       s"IF(($dot) >= 0, ${1L << j}L, 0L)"
     }
     expr(bits.mkString(" + "))
   }
 
-  /** ANN via LSH buckets: brute-force cosine only within each bucket.
-    * Recall is tunable with nbits (fewer bits → bigger buckets → higher
-    * recall, more compute). Returns (id1, id2, sim) candidate pairs.
+  /** ANN via multi-table sign-LSH (OR-amplification): a pair is a
+    * candidate if it collides in ANY of `tables` independent nbits-bit
+    * buckets; cosine is computed only for candidates. Recall ≈
+    * 1-(1-p^nbits)^tables with p = 1-θ/π. Returns (id1, id2, sim)
+    * distinct candidate pairs.
     */
-  def annPairs(embs: DataFrame, nbits: Int = 8): DataFrame = {
+  def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16): DataFrame = {
+    val bucketArr = (0 until tables)
+      .map(t => lshBucket("embedding", nbits, table = t))
     val b = embs.select(col("vec_id"), col("embedding"),
-      lshBucket("embedding", nbits).as("bucket"))
-    val l = b.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("bucket"))
+      posexplode(array(bucketArr: _*)).as(Seq("tbl", "bucket")))
+    val l = b.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("tbl"), col("bucket"))
     val r = b.select(col("vec_id").as("id2"), col("embedding").as("e2"),
-      col("bucket").as("bucket2"))
-    l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+      col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+    l.join(r, col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
+        && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("e1"), col("e2")).distinct()
       .select(col("id1"), col("id2"), expr(cosineExprs("e1", "e2")).as("sim"))
   }
 

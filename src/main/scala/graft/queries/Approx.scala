@@ -28,7 +28,7 @@ object Approx {
     "sim_ann_lsh" -> Q.noOracle { (s, d) =>
       // ANN top-20 most-similar pairs via sign-LSH buckets — the scale
       // path replacing sim_cosine_topk's exact pair join.
-      Sketches.annPairs(T.embeddings(s, d), nbits = 8)
+      Sketches.annPairs(T.embeddings(s, d), nbits = 4, tables = 16)
         .orderBy(col("sim").desc, col("id1"), col("id2"))
         .limit(20)
     },

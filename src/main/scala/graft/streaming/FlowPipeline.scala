@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The nf2pq-shaped pipeline (SURVEY §3.1/§3.4), Spark-native:
+  *
+  *   UDP source → decode (template state inside the decode stage) →
+  *   normalize to FlowSchema → time-rotated Parquet sink and/or
+  *   ClickHouse-shaped JDBC sink, with an optional stateful flow-expiry
+  *   operator reproducing a collector's flow-cache semantics.
+  */
+object FlowPipeline {
+
+  /** Decode raw packet rows (recv_ts, peer, payload) into flow records.
+    *
+    * Template state lives per executor-partition (the decoder threads an
+    * immutable map through the packets of one partition, in arrival
+    * order). Exporters are sticky to a listener/partition in deployment,
+    * so templates and their data records co-locate — same assumption the
+    * reference's per-listener threads make. mapPartitions is justified
+    * here (SURVEY §2.10: imperative per-partition logic with local state).
+    */
+  def decode(packets: DataFrame): Dataset[FlowRecord] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packets.select(col("recv_ts"), col("peer"), col("payload"))
+      .as[(Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        var templates = Map.empty[NetFlowCodec.TemplateKey, NetFlowCodec.Template]
+        it.flatMap { case (recvTs, peer, payload) =>
+          val us = recvTs.getTime * 1000L + (recvTs.getNanos / 1000L) % 1000L
+          val res = NetFlowCodec.decode(peer, us, payload, templates)
+          templates = res.templates
+          res.records
+        }
+      }
+  }
+
+  /** Time-rotated Parquet sink: the reference rotates output files on a
+    * wall-clock interval; the Spark-native equivalent is date/hour
+    * partition directories + a processing-time trigger + checkpointed
+    * exactly-once file commits.
+    */
+  def startParquetSink(flows: Dataset[FlowRecord], outDir: String,
+      checkpointDir: String, interval: String = "60 seconds"): StreamingQuery =
+    flows.toDF()
+      .withColumn("date", date_format(col("start_ts"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("start_ts"), "HH"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date", "hour")
+      .trigger(Trigger.ProcessingTime(interval))
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Batch-sink abstraction used from foreachBatch — the reference's
+    * optional ClickHouse insert is one implementation.
+    */
+  trait FlowSink extends Serializable {
+    def write(batch: DataFrame, batchId: Long): Unit
+  }
+
+  /** ClickHouse-shaped JDBC sink (`jdbc:clickhouse://host:8123/db`).
+    * Compile-only in this sandbox — no CH driver jar offline (SURVEY §7.3
+    * risk 5); the JDBC path itself is exercised against any JDBC URL.
+    */
+  final class JdbcFlowSink(url: String, table: String,
+      user: String = "default", password: String = "") extends FlowSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val props = new Properties()
+      props.setProperty("user", user)
+      if (password.nonEmpty) props.setProperty("password", password)
+      batch.write.mode("append").jdbc(url, table, props)
+    }
+  }
+
+  /** Collect each micro-batch into `sink` (ClickHouse, test buffers, …). */
+  def startForeachBatchSink(flows: Dataset[FlowRecord], sink: FlowSink,
+      checkpointDir: String, interval: String = "60 seconds"): StreamingQuery =
+    flows.toDF().writeStream
+      .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(interval))
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** One packet-level observation feeding the flow cache. */
+  final case class PacketObs(flow_key: String, ts: Timestamp, packets: Long, bytes: Long)
+
+  /** Flow-cache state: aggregate of a live flow. */
+  final case class FlowAgg(first_ms: Long, last_ms: Long, packets: Long, bytes: Long)
+
+  /** Expired flow emitted once its key has been idle > `idleMs`. */
+  final case class ExpiredFlow(flow_key: String, start_ms: Long, end_ms: Long,
+      packets: Long, bytes: Long)
+
+  /** Stateful flow expiry — the collector's flow-cache semantics
+    * (SURVEY §2.9): per-key aggregation state, a record emitted when the
+    * key has been idle past the timeout. Event-time timeout keyed off the
+    * watermark, so state is bounded and replayable.
+    */
+  def expireFlows(packets: Dataset[PacketObs], idleMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[ExpiredFlow] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packets
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.flow_key)
+      .flatMapGroupsWithState[FlowAgg, ExpiredFlow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, obs: Iterator[PacketObs], state: GroupState[FlowAgg]) =>
+          if (state.hasTimedOut) {
+            val agg = state.get
+            state.remove()
+            Iterator.single(ExpiredFlow(key, agg.first_ms, agg.last_ms, agg.packets, agg.bytes))
+          } else {
+            val batch = obs.toSeq
+            val prev = state.getOption.getOrElse(FlowAgg(Long.MaxValue, 0L, 0L, 0L))
+            val agg = batch.foldLeft(prev) { (a, o) =>
+              val t = o.ts.getTime
+              FlowAgg(math.min(a.first_ms, t), math.max(a.last_ms, t),
+                a.packets + o.packets, a.bytes + o.bytes)
+            }
+            state.update(agg)
+            state.setTimeoutTimestamp(agg.last_ms + idleMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.sql.Timestamp
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch UDP source — the Spark-native analog of the
+  * reference's UDP collector loop (SURVEY §3.1): one listener per
+  * configured endpoint, each datagram surfaced as a row of
+  * `(recv_ts timestamp, peer string, payload binary)` for the decode
+  * stage (NetFlowCodec) downstream.
+  *
+  * Usage: `spark.readStream.format("udp-flows").option("port","2055").load()`
+  *
+  * Scale notes: one listener endpoint = one offset log. On a cluster you
+  * run N sources (one per receiver host) and `union` them; each
+  * micro-batch is split into `partitions` input splits so decode
+  * parallelizes. Local tests inject datagrams via [[UdpFlowSource.inject]]
+  * instead of opening a real socket (set option `socket=false`).
+  */
+class UdpFlowSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "udp-flows"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FlowSchema.packetSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new UdpFlowTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class UdpFlowTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"udp-flows:${UdpFlowSource.endpointKey(options)}"
+  override def schema(): StructType = FlowSchema.packetSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FlowSchema.packetSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new UdpMicroBatchStream(options)
+      }
+    }
+}
+
+final case class UdpOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+final case class PacketSlice(rows: Array[(Long, String, Array[Byte])])
+  extends InputPartition
+
+object UdpFlowSource {
+  /** Datagram buffers shared between stream instances, keyed by endpoint.
+    * (firstSeq, packets): `commit` trims the acknowledged prefix so memory
+    * is bounded by one trigger interval of traffic.
+    */
+  private val buffers =
+    scala.collection.mutable.Map[String, (Long, ArrayBuffer[(Long, String, Array[Byte])])]()
+
+  def endpointKey(options: CaseInsensitiveStringMap): String =
+    options.getOrDefault("host", "0.0.0.0") + ":" + options.getOrDefault("port", "2055")
+
+  /** Test/driver-side injection path (used instead of a live socket). */
+  def inject(key: String, recvTsMicros: Long, peer: String, payload: Array[Byte]): Unit =
+    buffers.synchronized {
+      val (first, buf) = buffers.getOrElseUpdate(key, (0L, ArrayBuffer.empty))
+      buf += ((recvTsMicros, peer, payload))
+      buffers(key) = (first, buf)
+    }
+
+  private[streaming] def latest(key: String): Long = buffers.synchronized {
+    buffers.get(key).map { case (first, buf) => first + buf.length }.getOrElse(0L)
+  }
+
+  private[streaming] def slice(key: String, from: Long, until: Long): Array[(Long, String, Array[Byte])] =
+    buffers.synchronized {
+      buffers.get(key).map { case (first, buf) =>
+        val lo = math.max(0L, from - first).toInt
+        val hi = math.max(0L, until - first).toInt
+        buf.slice(lo, hi).toArray
+      }.getOrElse(Array.empty)
+    }
+
+  private[streaming] def trim(key: String, upTo: Long): Unit = buffers.synchronized {
+    buffers.get(key).foreach { case (first, buf) =>
+      val n = math.max(0L, upTo - first).toInt
+      buffers(key) = (first + n, buf.drop(n))
+    }
+  }
+
+  def clear(key: String): Unit =
+    buffers.synchronized { buffers.remove(key) }
+}
+
+final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val key = UdpFlowSource.endpointKey(options)
+  private val numPartitions = options.getInt("partitions", 4)
+  private val useSocket = options.getBoolean("socket", true)
+
+  // Receiver thread: socket.recv → shared buffer (thread boundary #1 of
+  // the reference pipeline, SURVEY §3.1).
+  @volatile private var socket: DatagramSocket = _
+  private val receiver: Thread = if (!useSocket) null else {
+    val port = options.getInt("port", 2055)
+    val host = options.getOrDefault("host", "0.0.0.0")
+    socket = new DatagramSocket(port, InetAddress.getByName(host))
+    val t = new Thread(() => {
+      val buf = new Array[Byte](65535)
+      try while (!Thread.currentThread().isInterrupted) {
+        val dp = new DatagramPacket(buf, buf.length)
+        socket.receive(dp)
+        UdpFlowSource.inject(key, System.currentTimeMillis() * 1000L,
+          dp.getAddress.getHostAddress,
+          util.Arrays.copyOfRange(dp.getData, dp.getOffset, dp.getOffset + dp.getLength))
+      } catch { case _: java.net.SocketException => /* closed */ }
+    }, s"udp-flow-receiver-$key")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  override def initialOffset(): Offset = UdpOffset(0L)
+  override def latestOffset(): Offset = UdpOffset(UdpFlowSource.latest(key))
+  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+  override def commit(end: Offset): Unit =
+    UdpFlowSource.trim(key, end.asInstanceOf[UdpOffset].seq)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val rows = UdpFlowSource.slice(key,
+      start.asInstanceOf[UdpOffset].seq, end.asInstanceOf[UdpOffset].seq)
+    if (rows.isEmpty) Array.empty
+    else rows.grouped(math.max(1, rows.length / numPartitions))
+      .map(PacketSlice).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[PacketSlice].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val (us, peer, payload) = rows(i)
+        InternalRow(us, UTF8String.fromString(peer), payload)
+      }
+      override def close(): Unit = ()
+    }
+
+  override def stop(): Unit = {
+    if (socket != null) socket.close()
+    if (receiver != null) receiver.interrupt()
+  }
+}

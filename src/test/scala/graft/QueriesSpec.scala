@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + contract checks over the declared query inventory at sf0.001.
+  * (Full DuckDB hash-parity runs via `graft.Verify` + scripts/parity.py —
+  * see .claude/skills/verify; this suite guards the Scala-side contract.)
+  */
+class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query implementation") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("oracle SQL only references {sfDir} parquet paths") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.contains("{sfDir}"), s"$k oracle has no {sfDir} placeholder")
+      assert(!sql.contains("/root/testdata"), s"$k oracle hardcodes a path")
+    }
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // join_anti legitimately may be empty at tiny scale; everything else must emit.
+    assert(empties.isEmpty || empties == Seq("join_anti"), s"empty results: $empties")
+  }
+
+  test("declared queries are deterministic across runs (same plan, twice)") {
+    for (name <- Seq("agg_pricing", "sim_cosine_topk", "dedup_minhash", "stream_session")) {
+      val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      assert(a == b, s"$name not deterministic")
+    }
+  }
+}

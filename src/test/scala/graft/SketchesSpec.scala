@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+/** Properties of the sketch operators: exact duplicates are always
+  * caught, Jaccard estimates track truth, SimHash distance 0 for
+  * identical docs, ANN recall against the brute-force baseline.
+  */
+class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsWithDup = {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    // doc 0 == doc 1 (exact dup); doc 2 shares a 30-word prefix (near);
+    // doc 3 disjoint.
+    Seq(
+      (0L, words.mkString(" ")),
+      (1L, words.mkString(" ")),
+      (2L, (words.take(30) ++ (0 until 10).map(i => s"x$i")).mkString(" ")),
+      (3L, (0 until 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash: exact duplicates always collide; disjoint docs never pass verify") {
+    val dups = Sketches.minhashNearDups(docsWithDup, threshold = 0.5).collect()
+    val pairs = dups.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash signature estimates Jaccard within tolerance") {
+    val sigs = Sketches.signatures(docsWithDup, k = 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+    assert(est(0L, 1L) == 1.0)             // identical docs → identical sigs
+    val nearTrue = 28.0 / (38 + 38 - 28)   // |A∩B|/|A∪B| of 3-gram shingles
+    assert(math.abs(est(0L, 2L) - nearTrue) < 0.25)
+    assert(est(0L, 3L) < 0.2)              // disjoint → near-zero
+  }
+
+  test("simhash: identical docs at hamming 0, disjoint docs far apart") {
+    import spark.implicits._
+    val h = docsWithDup.select(col("doc_id"), Sketches.simhash("text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L))
+    assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) > 8)
+    val cands = Sketches.simhashNearDups(docsWithDup, maxHamming = 3).collect()
+    assert(cands.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
+  }
+
+  test("ann via LSH buckets recovers most of the brute-force top pairs") {
+    val embs = graft.Tables.embeddings(spark, sf)
+    val ann = Sketches.annPairs(embs, nbits = 4, tables = 16)
+      .orderBy(col("sim").desc, col("id1"), col("id2")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Top-5 exact pairs: LSH with 4 bits should find a majority.
+    assert(brute.intersect(ann).size >= 3,
+      s"brute=$brute ann(top10)=$ann")
+  }
+
+  test("fingerprints: identical texts identical, shifted text overlaps") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((0L, base), (1L, base), (2L, "prefix " + base))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Sketches.fingerprints("text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(0L) == fps(1L))
+    val overlap = fps(0L).intersect(fps(2L)).size.toDouble / fps(0L).size
+    assert(overlap > 0.5, s"winnowing overlap $overlap")
+  }
+}

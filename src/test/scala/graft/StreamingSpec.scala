@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{FlowPipeline, UdpFlowSource}
+
+/** End-to-end streaming tests: the UDP DSv2 source feeding the decode
+  * stage, watermark late-data eviction, stateful flow expiry, streaming
+  * dedup, and the time-rotated parquet sink.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Minimal v5 packet with one record (see NetFlowCodecSpec for layout). */
+  private def v5Packet(srcPort: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(24 + 48).order(ByteOrder.BIG_ENDIAN)
+    buf.putShort(5).putShort(1).putInt(1000).putInt(1700000000).putInt(0)
+      .putInt(1).put(0.toByte).put(0.toByte).putShort(0)
+    buf.putInt(0x0A000001).putInt(0x0A000002).putInt(0)
+      .putShort(1).putShort(2).putInt(1).putInt(100).putInt(500).putInt(600)
+      .putShort(srcPort.toShort).putShort(80.toShort)
+      .put(0.toByte).put(2.toByte).put(6.toByte).put(0.toByte)
+      .putShort(0).putShort(0).put(0.toByte).put(0.toByte).putShort(0)
+    buf.array()
+  }
+
+  test("udp source (injected) → decode stage → flow records") {
+    val key = "0.0.0.0:9995"
+    UdpFlowSource.clear(key)
+    (0 until 5).foreach { i =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, "10.9.9.9", v5Packet(1000 + i))
+    }
+    val packets = spark.readStream.format("udp-flows")
+      .option("port", "9995").option("socket", "false").load()
+    val flows = FlowPipeline.decode(packets)
+    val q = flows.writeStream.format("memory").queryName("udp_flows")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT src_port, src_addr, bytes FROM udp_flows ORDER BY src_port")
+      .collect()
+    assert(got.length == 5)
+    assert(got.head.getInt(0) == 1000 && got.head.getString(1) == "10.0.0.1")
+    assert(got.forall(_.getLong(2) == 100L))
+    UdpFlowSource.clear(key)
+  }
+
+  test("udp source over a real socket receives datagrams") {
+    val port = 19995
+    val key = s"0.0.0.0:$port"
+    UdpFlowSource.clear(key)
+    val packets = spark.readStream.format("udp-flows")
+      .option("port", port.toString).load()
+    val q = FlowPipeline.decode(packets)
+      .writeStream.format("memory").queryName("udp_live")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val sock = new java.net.DatagramSocket()
+      val addr = java.net.InetAddress.getByName("127.0.0.1")
+      (0 until 3).foreach { i =>
+        val p = v5Packet(2000 + i)
+        sock.send(new java.net.DatagramPacket(p, p.length, addr, port))
+      }
+      sock.close()
+      // Poll until the receiver thread + micro-batches drain the datagrams.
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM udp_live").head().getLong(0)
+      }
+      assert(n == 3)
+    } finally { q.stop(); UdpFlowSource.clear(key) }
+  }
+
+  test("watermark drops late rows from windowed aggregation state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(sum("v").as("total"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("wm_agg")
+      .outputMode(OutputMode.Append()).start()
+
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    input.addData((ts(0), 1L), (ts(1), 2L))   // both in window [22:10, 22:15)
+    q.processAllAvailable()
+    input.addData((ts(30), 5L))               // advances watermark to min 20
+    q.processAllAvailable()                   // [0,5) closes and emits
+    input.addData((ts(1), 100L))              // LATE: behind watermark → dropped
+    q.processAllAvailable()
+    input.addData((ts(60), 7L))               // closes [30,35)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT ws, total FROM wm_agg ORDER BY ws").collect()
+    val byWs = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // First window emitted once with the on-time sum only; late +100 never lands.
+    assert(byWs(1700000000L / 300 * 300) == 3L)
+    q.stop()
+  }
+
+  test("stateful flow expiry emits aggregate after idle timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FlowPipeline.PacketObs]
+    def obs(key: String, min: Int, pkts: Long, bytes: Long) =
+      FlowPipeline.PacketObs(key, new Timestamp(1700000000000L + min * 60000L), pkts, bytes)
+
+    val expired = FlowPipeline.expireFlows(input.toDS(), idleMs = 5 * 60000L,
+      watermarkDelay = "0 seconds")
+    val q = expired.writeStream.format("memory").queryName("expired")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(obs("f1", 0, 2, 200), obs("f1", 2, 3, 300))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM expired").head().getLong(0) == 0L)
+    input.addData(obs("f2", 30, 1, 50)) // watermark jumps past f1's idle deadline
+    q.processAllAvailable()
+    input.addData(obs("f2", 31, 1, 50)) // one more batch so the timeout fires
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT flow_key, packets, bytes FROM expired").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      .contains(("f1", 5L, 500L)))
+    q.stop()
+  }
+
+  test("streaming dropDuplicates matches the declared batch dedup shape") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val dedup = input.toDF().toDF("user_id", "event_type", "value")
+      .dropDuplicates("user_id", "event_type", "value")
+    val q = dedup.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, "click", 1.0), (1L, "click", 1.0), (2L, "view", 2.0))
+    q.processAllAvailable()
+    input.addData((1L, "click", 1.0), (2L, "view", 3.0)) // dup across batches
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM dd").head().getLong(0) == 3L)
+    q.stop()
+  }
+
+  test("time-rotated parquet sink writes date/hour partition directories") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "0.0.0.0:9996"
+    UdpFlowSource.clear(key)
+    UdpFlowSource.inject(key, 1700000000000000L, "10.9.9.8", v5Packet(1))
+    val packets = spark.readStream.format("udp-flows")
+      .option("port", "9996").option("socket", "false").load()
+    val out = tmp("flow-sink")
+    val q = FlowPipeline.startParquetSink(FlowPipeline.decode(packets),
+      out, tmp("flow-ckpt"), interval = "1 seconds")
+    q.processAllAvailable()
+    q.stop()
+    val files = Files.walk(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+    // v5Packet: boot = 1700000000000 - 1000, start = boot + 500 → 2023-11-14 22:xx UTC
+    assert(files.exists(_.contains("date=2023-11-14")), files.mkString("\n"))
+    assert(files.exists(f => f.contains("hour=") && f.endsWith(".parquet")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1 && back.select("src_port").head().getInt(0) == 1)
+    UdpFlowSource.clear(key)
+  }
+
+  test("foreachBatch FlowSink collects micro-batches (ClickHouse-shaped path)") {
+    val key = "0.0.0.0:9997"
+    UdpFlowSource.clear(key)
+    (0 until 3).foreach(i =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, "10.9.9.7", v5Packet(3000 + i)))
+    val packets = spark.readStream.format("udp-flows")
+      .option("port", "9997").option("socket", "false").load()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val sink = new FlowPipeline.FlowSink {
+      override def write(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        got.add(batch.count())
+    }
+    val q = FlowPipeline.startForeachBatchSink(FlowPipeline.decode(packets),
+      sink, tmp("fb-ckpt"), interval = "1 seconds")
+    q.processAllAvailable()
+    q.stop()
+    assert(got.stream().mapToLong(identity(_)).sum() == 3L)
+    UdpFlowSource.clear(key)
+  }
+}
