@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSimilarity
+
+/** Public extension wiring (SURVEY §4): inject the engine's native
+  * functions at session build time via
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY §2.3 [N]): for each left row, attach the latest
+  * right row with `rightTs <= leftTs` within the same key — the standard
+  * time-series enrichment operator Spark lacks natively.
+  *
+  * Implementation is the union+window (sort-merge-shaped) form:
+  * union both sides tagged, sort per key by (ts, side), carry the most
+  * recent right value forward with `last(ignoreNulls)` over an unbounded
+  * preceding frame, keep left rows.
+  *
+  * Scale: one shuffle on the key + one per-partition sort — the same
+  * cost envelope as a sort-merge join, no range explosion, spillable.
+  * (A tolerance variant filters `leftTs - matchedTs <= tolerance`
+  * afterwards.)
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich
+    * @param right      timeline to look up into
+    * @param key        equi-key column name present on both sides
+    * @param leftTs     event-time column on `left`
+    * @param rightTs    event-time column on `right`
+    * @param rightVals  right columns to attach (prefixed as-is)
+    * @param toleranceMs optional max staleness in ms (ts columns must be
+    *                    castable to long ms via unix_millis)
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_ts", col(leftTs))
+      .withColumns(rightVals.map(v => v -> lit(null)).toMap)
+    val r = right.select(
+      (col(key) +: rightVals.map(col) :+
+        col(rightTs).as("_ts") :+ lit(0).as("_side")): _*)
+    val unioned = l.select((col(key) +: leftCols.filterNot(_ == key).map(col)
+      :+ col("_ts") :+ col("_side")) ++ rightVals.map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    // Right rows sort before left rows at equal timestamps (_side 0 < 1),
+    // so an exact-timestamp right row IS visible to the left row.
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }.withColumn("_matched_ts",
+      last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
+
+    val kept = carried.filter(col("_side") === 1)
+    val bounded = toleranceMs match {
+      case Some(t) =>
+        val stale = unix_millis(col("_ts")) - unix_millis(col("_matched_ts")) > t
+        rightVals.foldLeft(kept) { (df, v) =>
+          df.withColumn(v, when(stale, lit(null)).otherwise(col(v)))
+        }
+      case None => kept
+    }
+    bounded.select((leftCols.map(col) ++ rightVals.map(col) :+
+      col("_matched_ts").as("asof_ts")): _*)
+  }
+}

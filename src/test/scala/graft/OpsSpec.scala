@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.WeightedAvg
+import org.apache.spark.sql.graft.{native => gnative}
+import graft.ops.{AsOfJoin, Multimodal}
+
+/** Custom Expression / Aggregator / as-of join / multimodal pipeline. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("cosine_similarity expression: identity=1, orthogonal=0, matches lambda form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, -1.5f, 2.0f), Array(-1.0f, 0.25f, 0.75f))
+    ).toDF("id", "a", "b")
+    val lambda =
+      """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |  * sqrt(aggregate(b, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+    val rows = df.select(col("id"),
+      gnative.cosine_similarity(col("a"), col("b")).as("native"),
+      expr(lambda).as("lam")).orderBy("id").collect()
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1)) < 1e-12)
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9))
+  }
+
+  test("cosine_similarity works on real embeddings via SQL registration and codegen") {
+    gnative.register(spark)
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("emb_cs")
+    val r = spark.sql(
+      """SELECT a.vec_id, cosine_similarity(a.embedding, b.embedding) AS sim
+        |FROM emb_cs a JOIN emb_cs b ON b.vec_id = a.vec_id
+        |ORDER BY a.vec_id LIMIT 3""".stripMargin).collect()
+    r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0) < 1e-9))
+  }
+
+  test("weighted_avg aggregator: exact result, partial+final merge") {
+    import spark.implicits._
+    spark.udf.register("weighted_avg", udaf(WeightedAvg))
+    val df = Seq(("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 10.0, 2.0), ("b", 20.0, 0.0))
+      .toDF("k", "v", "w").repartition(4) // force merge across partitions
+    df.createOrReplaceTempView("wa")
+    val got = spark.sql(
+      "SELECT k, weighted_avg(v, w) AS wa FROM wa GROUP BY k ORDER BY k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 2.5) < 1e-12) // (1*1+3*3)/(1+3)
+    assert(math.abs(got("b") - 10.0) < 1e-12)
+  }
+
+  test("as-of join attaches latest earlier right row per key; tolerance nulls stale") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val quotes = Seq( // key, ts, px
+      ("A", ts(100), 10.0), ("A", ts(200), 11.0), ("A", ts(300), 12.0),
+      ("B", ts(150), 99.0)).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts(250), 5L),  // latest quote at 200 → 11.0
+      ("A", ts(300), 6L),  // exact-ts quote 300 → 12.0
+      ("A", ts(50), 7L),   // nothing earlier → null
+      ("B", ts(1000), 8L), // quote at 150 → 99.0 (stale by 850s)
+      ("C", ts(500), 9L)   // no key match → null
+    ).toDF("sym", "tts", "qty")
+
+    val joined = AsOfJoin.joinAsOf(trades, quotes, key = "sym",
+      leftTs = "tts", rightTs = "qts", rightVals = Seq("px"))
+      .orderBy("sym", "tts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(joined.toSeq == Seq(
+      ("A", 50L, None), ("A", 250L, Some(11.0)), ("A", 300L, Some(12.0)),
+      ("B", 1000L, Some(99.0)), ("C", 500L, None)))
+
+    val bounded = AsOfJoin.joinAsOf(trades, quotes, "sym", "tts", "qts",
+      Seq("px"), toleranceMs = Some(100000L))
+      .filter(col("sym") === "B").collect()
+    assert(bounded.length == 1 && bounded.head.isNullAt(3)) // 850s > 100s tolerance
+  }
+
+  test("multimodal: meta extraction, resize, frame sampling, stub featurize") {
+    val media = Multimodal.synthesize(spark, 30)
+    val withMeta = Multimodal.extractMeta(media)
+    val m = withMeta.filter(col("media_id") === 1)
+      .select("meta.width", "meta.height", "meta.duration_ms", "meta.payload_bytes")
+      .head()
+    assert(m.getInt(0) == 64 + 37 && m.getInt(1) == 64 + 53)
+    assert(m.getInt(2) == 1000 + 997 && m.getInt(3) == 32)
+
+    val resized = Multimodal.resize(withMeta, maxEdge = 100)
+    val dims = resized.select(col("meta.width"), col("meta.height")).collect()
+    assert(dims.forall(r => r.getInt(0) <= 100 && r.getInt(1) <= 100))
+    // aspect preserved for the clamped row: 101x117 → (86, 100)
+    val r1 = resized.filter(col("media_id") === 1)
+      .select("meta.width", "meta.height").head()
+    assert(r1.getInt(1) == 100 && r1.getInt(0) == 101 * 100 / 117)
+
+    val frames = Multimodal.sampleFrames(withMeta, everyMs = 500)
+    val f1 = frames.filter(col("media_id") === 1).select("frame_ms")
+      .collect().map(_.getInt(0)).sorted
+    assert(f1.head == 0 && f1.forall(_ % 500 == 0))
+    assert(f1.length == (1997 + 499) / 500) // ceil(duration/step)
+
+    val feats = Multimodal.StubCodec.decodeAndFeaturize(media).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.feature.length == Multimodal.StubCodec.featureDim))
+    // unit-normalized and deterministic
+    feats.foreach { f =>
+      val n = math.sqrt(f.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4)
+    }
+    val again = Multimodal.StubCodec.decodeAndFeaturize(media).collect()
+    assert(feats.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+  }
+}
