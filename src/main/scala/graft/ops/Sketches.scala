@@ -25,30 +25,43 @@ object Sketches {
   private def perm(i: Int): (Long, Long) =
     ((2L * i + 1L) * 2654435761L % P, (i * 40503L + 2699L) % P)
 
-  /** Word-`n`-gram shingles of a space-separated text column. */
-  def shingles(textCol: String, n: Int = 3): Column = {
+  /** Word-`n`-gram shingles over a *pre-split* words column (array of
+    * strings). Splitting must happen outside: a `split()` referenced
+    * inside the lambda body re-executes per element → O(words²).
+    */
+  def shinglesOfWords(wordsCol: String, n: Int = 3): Column = {
     val parts = (0 until n)
-      .map(j => s"element_at(split($textCol, ' '), i + $j)").mkString(", ")
+      .map(j => s"element_at($wordsCol, i + $j)").mkString(", ")
     expr(
       s"""array_distinct(transform(
-         |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)),
+         |  sequence(1, greatest(size($wordsCol) - ${n - 1}, 0)),
          |  i -> concat_ws(' ', $parts)))""".stripMargin)
   }
 
-  /** MinHash signature (k permutations) over a shingle-array column. */
-  def minhashSig(shCol: String, k: Int = 64): Column = {
-    val sigs = (0 until k).map { i =>
-      val (a, b) = perm(i)
-      s"aggregate($shCol, ${P}L, (m, s) -> least(m, pmod($a * pmod(xxhash64(s), $P) + $b, $P)))"
-    }
-    expr(s"array(${sigs.mkString(", ")})")
+  /** Word-`n`-gram shingles of a space-separated text column. */
+  def shingles(textCol: String, n: Int = 3): Column = {
+    // Bind the split once via a lambda argument (transform over a
+    // 1-element wrapper), then build shingles from the bound words.
+    val parts = (0 until n)
+      .map(j => s"element_at(w, i + $j)").mkString(", ")
+    expr(
+      s"""element_at(transform(array(split($textCol, ' ')), w ->
+         |  array_distinct(transform(
+         |    sequence(1, greatest(size(w) - ${n - 1}, 0)),
+         |    i -> concat_ws(' ', $parts)))), 1)""".stripMargin)
   }
 
-  /** docs(doc_id, text) → (doc_id, sig array<long>) */
+  /** docs(doc_id, text) → (doc_id, sig array<long>).
+    * Shingle strings are hashed once (xxhash64 mod P); the k-permutation
+    * min-fold runs in the native MinHashSignature kernel.
+    */
   def signatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
     docs.select(col("doc_id"), shingles("text", shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSig("sh", k).as("sig"))
+      .select(col("doc_id"),
+        expr(s"transform(sh, s -> pmod(xxhash64(s), $P))").as("hs"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.native.minhash_signature(col("hs"), k).as("sig"))
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 band.
     * bands*rows must equal the signature length.
@@ -82,13 +95,13 @@ object Sketches {
       .filter(col("inter_n") >= col("union_n") * threshold)
   }
 
-  /** 64-bit SimHash of the word multiset of a text column. */
-  def simhash(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), b ->
-       |    aggregate(split($textCol, ' '), 0L,
-       |      (acc, w) -> acc + IF(((xxhash64(w) >> b) & 1) = 1, 1, -1))),
-       |  0L, (acc, cnt) -> shiftleft(acc, 1) | IF(cnt >= 0, 1L, 0L))""".stripMargin)
+  /** 64-bit SimHash of the word multiset of a text column: words hashed
+    * once into array<long>, bit-counter fold in the native SimHash64
+    * kernel.
+    */
+  def simhash(textCol: String): Column =
+    org.apache.spark.sql.graft.native.simhash64(
+      expr(s"transform(split($textCol, ' '), w -> xxhash64(w))"))
 
   /** docs(doc_id, text) → simhash candidate pairs within `maxHamming`,
     * found by 16-bit band collision (any identical quarter → candidate).
@@ -113,40 +126,34 @@ object Sketches {
     s"CAST(ROUND(($dot) / ((${nrm(e1)}) * (${nrm(e2)})), 4) AS DECIMAL(18,4))"
   }
 
-  /** Sign-LSH bucket id (nbits hyperplanes) for an embedding column, for
-    * hash table `table`. Hyperplane components are deterministic
-    * pseudo-randoms derived from xxhash64 of (table, plane, dim) — no RNG
-    * state, reproducible anywhere.
-    */
-  def lshBucket(embCol: String, nbits: Int = 8, dim: Int = 64, table: Int = 0): Column = {
-    val bits = (0 until nbits).map { j =>
-      val dot = s"""aggregate(zip_with($embCol, transform(sequence(1, $dim),
-        i -> CAST(pmod(xxhash64(concat('hp_${table}_${j}_', i)), 2001) - 1000 AS DOUBLE) / 1000.0D),
-        (x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
-      s"IF(($dot) >= 0, ${1L << j}L, 0L)"
-    }
-    expr(bits.mkString(" + "))
-  }
-
   /** ANN via multi-table sign-LSH (OR-amplification): a pair is a
     * candidate if it collides in ANY of `tables` independent nbits-bit
     * buckets; cosine is computed only for candidates. Recall ≈
-    * 1-(1-p^nbits)^tables with p = 1-θ/π. Returns (id1, id2, sim)
-    * distinct candidate pairs.
+    * 1-(1-p^nbits)^tables with p = 1-θ/π. Bucketing and cosine both run
+    * in native kernels. Returns (id1, id2, sim) distinct candidate pairs.
     */
   def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16): DataFrame = {
-    val bucketArr = (0 until tables)
-      .map(t => lshBucket("embedding", nbits, table = t))
+    import org.apache.spark.sql.graft.{native => gn}
     val b = embs.select(col("vec_id"), col("embedding"),
-      posexplode(array(bucketArr: _*)).as(Seq("tbl", "bucket")))
+      posexplode(gn.sign_lsh_buckets(col("embedding"), nbits, tables))
+        .as(Seq("tbl", "bucket")))
     val l = b.select(col("vec_id").as("id1"), col("embedding").as("e1"),
       col("tbl"), col("bucket"))
     val r = b.select(col("vec_id").as("id2"), col("embedding").as("e2"),
       col("tbl").as("tbl2"), col("bucket").as("bucket2"))
-    l.join(r, col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
-        && col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("e1"), col("e2")).distinct()
-      .select(col("id1"), col("id2"), expr(cosineExprs("e1", "e2")).as("sim"))
+    // Dedup candidates on the skinny (id1, id2) pair first, then re-attach
+    // embeddings via two broadcast joins — shuffling/deduping the float
+    // arrays themselves is the expensive wrong plan.
+    val cands = l.drop("e1").join(r.drop("e2"),
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
+          && col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val e1 = broadcast(embs.select(col("vec_id").as("id1"), col("embedding").as("e1")))
+    val e2 = broadcast(embs.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+    cands.join(e1, "id1").join(e2, "id2")
+      .select(col("id1"), col("id2"),
+        round(gn.cosine_similarity(col("e1"), col("e2")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sim"))
   }
 
   /** Winnowing document fingerprints: char-k-gram rolling hashes, minimum

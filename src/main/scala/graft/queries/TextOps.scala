@@ -148,14 +148,16 @@ object TextOps {
       // emitted — integers hash-match trivially. The MinHash/LSH scale
       // path that avoids the quadratic pair join lives in graft.ops.
       (s, d) =>
+        // split() once per row, outside the lambda (inside = O(words²)).
         val sh = T.documents(s, d)
           .filter(col("doc_id") < 60)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"), expr(
             """array_distinct(transform(
-              |  sequence(1, greatest(size(split(text,' ')) - 2, 0)),
-              |  i -> concat_ws(' ', element_at(split(text,' '), i),
-              |                 element_at(split(text,' '), i+1),
-              |                 element_at(split(text,' '), i+2))))""".stripMargin).as("g"))
+              |  sequence(1, greatest(size(w) - 2, 0)),
+              |  i -> concat_ws(' ', element_at(w, i),
+              |                 element_at(w, i+1),
+              |                 element_at(w, i+2))))""".stripMargin).as("g"))
         val a = sh.select(col("doc_id").as("id1"), col("g").as("g1"))
         val b = sh.select(col("doc_id").as("id2"), col("g").as("g2"))
         a.join(b, col("id1") < col("id2"))
@@ -178,15 +180,16 @@ object TextOps {
       // in graft.ops (sim_ann_lsh); this declared form stays bounded
       // (FIXTURES: embeddings ≤ 2k rows at bench sf).
       (s, d) =>
+        // Native codegen'd CosineSimilarity kernel — identical arithmetic
+        // order to the aggregate()/zip_with lambda form (left-to-right
+        // double folds), so the DuckDB round(…,4) oracle still matches.
         val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
         val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
         val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
-        val dot = "aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        val n1 = "sqrt(aggregate(e1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        val n2 = "sqrt(aggregate(e2, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
         a.join(b, col("id1") < col("id2"))
           .select(col("id1"), col("id2"),
-            expr(s"CAST(ROUND(($dot) / (($n1) * ($n2)), 4) AS DECIMAL(18,4))").as("sim"))
+            round(org.apache.spark.sql.graft.native.cosine_similarity(col("e1"), col("e2")), 4)
+              .cast(DecimalType(18, 4)).as("sim"))
           .orderBy(col("sim").desc, col("id1"), col("id2"))
           .limit(5)
     },
