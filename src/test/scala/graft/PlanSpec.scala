@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards for the scale story (SURVEY §4): these fail if a
+  * future edit silently loses predicate pushdown, column pruning, the
+  * broadcast strategy, partial aggregation, or the top-k operator —
+  * regressions invisible to correctness tests but fatal at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE settles on the final plan
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString() + "\n" + qe.toString()
+  }
+
+  test("scan_prune reads only the two projected columns") {
+    val p = planOf("scan_prune")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("filter_cmp pushes predicates into the parquet scan") {
+    val p = planOf("filter_cmp")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_shipdate") || p.contains("Or(And("), p)
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin (no shuffle of the big side)") {
+    assert(planOf("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("agg_pricing runs two-phase hash aggregation (map-side combine)") {
+    val p = planOf("agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p) // partial aggregate functions present
+  }
+
+  test("limit_topk uses TakeOrderedAndProject, not a global sort") {
+    assert(planOf("limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_theta keeps the equi-key hash/sort-merge join (no nested loop)") {
+    val p = planOf("join_theta")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("relational queries stay inside whole-stage codegen") {
+    for (q <- Seq("agg_pricing", "project_expr", "filter_cmp")) {
+      val p = planOf(q)
+      // codegen'd stages print as "*(n) Operator" in the plan string
+      assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+        s"$q lost codegen:\n$p")
+    }
+  }
+
+  test("no declared query contains a Scala UDF node") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString()
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF("),
+        s"$name uses a UDF")
+    }
+  }
+}
