@@ -33,6 +33,13 @@ object Approx {
         .limit(20)
     },
 
+    "sim_ann_ivf" -> Q.noOracle { (s, d) =>
+      // IVF-cell ANN top-20 pairs — the coarse-quantizer scale path.
+      graft.ops.IvfIndex.annPairs(T.embeddings(s, d), k = 16, nProbe = 2)
+        .orderBy(col("sim").desc, col("id1"), col("id2"))
+        .limit(20)
+    },
+
     "text_fingerprint" -> Q.noOracle { (s, d) =>
       T.documents(s, d)
         .select(col("doc_id"), Sketches.fingerprints("text").as("fps"))

@@ -77,6 +77,16 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"brute=$brute ann(top10)=$ann")
   }
 
+  test("ivf ann recovers most of the brute-force top pairs") {
+    val embs = graft.Tables.embeddings(spark, sf)
+    val ann = graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = 3)
+      .orderBy(col("sim").desc, col("id1"), col("id2")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.intersect(ann).size >= 3, s"brute=$brute ivf(top10)=$ann")
+  }
+
   test("fingerprints: identical texts identical, shifted text overlaps") {
     import spark.implicits._
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
