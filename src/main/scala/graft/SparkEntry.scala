@@ -15,7 +15,8 @@ object SparkEntry {
     _root_.graft.queries.Scalars.defs,
     _root_.graft.queries.Events.defs,
     _root_.graft.queries.TextOps.defs,
-    _root_.graft.queries.Approx.defs
+    _root_.graft.queries.Approx.defs,
+    _root_.graft.queries.Extra.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

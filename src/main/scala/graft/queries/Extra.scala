@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Breadth beyond the core inventory: exact-arithmetic stddev, listagg,
+  * pivot/unpivot, scalar + correlated subqueries, first/last/nth window
+  * values, RANGE frames, higher-order array functions, bitwise ops.
+  */
+object Extra {
+
+  val defs: Map[String, Q] = Map(
+
+    "agg_stddev" -> Q(
+      // Variance from exact decimal power sums: numerator exact, single
+      // double division at the end — engine-independent.
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_x,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_x2,
+        |  CAST(ROUND(sqrt(CAST(COUNT(*) * SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))
+        |        - SUM(CAST(o_totalprice AS DECIMAL(18,2))) * SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / (COUNT(*) * (COUNT(*) - 1))), 2) AS DECIMAL(18,2)) AS stddev
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val x = dec2(col("o_totalprice"))
+        T.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            dec2(sum(x)).as("sum_x"),
+            sum(x * x).cast(DecimalType(28, 4)).as("sum_x2"),
+            round(sqrt((count(lit(1)) * sum(x * x) - sum(x) * sum(x)).cast("double")
+              / (count(lit(1)) * (count(lit(1)) - 1))), 2)
+              .cast(DecimalType(18, 2)).as("stddev"))
+          .orderBy("o_orderpriority")
+    },
+
+    "agg_listagg" -> Q(
+      """SELECT c_nationkey,
+        |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+        |FROM read_parquet('{sfDir}/customer.parquet')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
+      (s, d) => T.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"))
+        .orderBy("c_nationkey")
+    },
+
+    "agg_pivot" -> Q(
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pend
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_done"),
+          coalesce(col("P"), lit(0L)).as("n_pend"))
+        .orderBy("o_orderpriority")
+    },
+
+    "agg_unpivot" -> Q(
+      """SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'O' AS status, COUNT(*) FILTER (WHERE o_orderstatus='O') AS n
+        |  FROM read_parquet('{sfDir}/orders.parquet') GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'F', COUNT(*) FILTER (WHERE o_orderstatus='F')
+        |  FROM read_parquet('{sfDir}/orders.parquet') GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'P', COUNT(*) FILTER (WHERE o_orderstatus='P')
+        |  FROM read_parquet('{sfDir}/orders.parquet') GROUP BY o_orderpriority) t
+        |ORDER BY o_orderpriority, status""".stripMargin) {
+      // Spark side: pivot then stack() back — the unpivot/UDTF path.
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          expr("stack(3, 'O', coalesce(O, 0L), 'F', coalesce(F, 0L), 'P', coalesce(P, 0L)) AS (status, n)"))
+        .orderBy("o_orderpriority", "status")
+    },
+
+    "subq_scalar" -> Q(
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        |  (SELECT CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) * 1.8
+        |   FROM read_parquet('{sfDir}/orders.parquet'))
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        T.orders(s, d).createOrReplaceTempView("ord_sq")
+        s.sql(
+          """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            |FROM ord_sq
+            |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+            |  (SELECT CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) * 1.8
+            |   FROM ord_sq)
+            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "subq_correlated" -> Q(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM read_parquet('{sfDir}/orders.parquet') o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS n_big
+        |FROM read_parquet('{sfDir}/customer.parquet') c
+        |WHERE c_custkey < 300
+        |ORDER BY c_custkey""".stripMargin) {
+      // Catalyst decorrelates this into an aggregate + left join (SURVEY §4).
+      (s, d) =>
+        T.orders(s, d).createOrReplaceTempView("ord_corr")
+        T.customer(s, d).createOrReplaceTempView("cust_corr")
+        s.sql(
+          """SELECT c_custkey,
+            |  (SELECT COUNT(*) FROM ord_corr o
+            |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS n_big
+            |FROM cust_corr c
+            |WHERE c_custkey < 300
+            |ORDER BY c_custkey""".stripMargin)
+    },
+
+    "win_first_last" -> Q(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,2)) AS first_price,
+        |  CAST(LAST_VALUE(o_totalprice) OVER w AS DECIMAL(18,2)) AS last_price,
+        |  CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DECIMAL(18,2)) AS second_price
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            dec2(first(col("o_totalprice")).over(w)).as("first_price"),
+            dec2(last(col("o_totalprice")).over(w)).as("last_price"),
+            dec2(nth_value(col("o_totalprice"), 2).over(w)).as("second_price"))
+          .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "win_range_frame" -> Q(
+      """SELECT o_custkey, o_orderkey, d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY d
+        |     RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS sum_7d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d
+        |      FROM read_parquet('{sfDir}/orders.parquet')) t
+        |ORDER BY o_custkey, o_orderkey, d""".stripMargin) {
+      // RANGE frame over integer day offsets: peers (same day) always in
+      // frame together — deterministic regardless of tie order.
+      (s, d) =>
+        val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+          .rangeBetween(-7, Window.currentRow)
+        T.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("d"))
+          .select(col("o_custkey"), col("o_orderkey"), col("d"),
+            dec2(sum(dec2(col("o_totalprice"))).over(w)).as("sum_7d"))
+          .orderBy("o_custkey", "o_orderkey", "d")
+    },
+
+    "fn_lambda" -> Q(
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  (len(list_filter(embedding, x -> x > 0.5)) > 0) AS any_big,
+        |  CAST(ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 3) AS DECIMAL(18,3)) AS sum_sq
+        |FROM read_parquet('{sfDir}/embeddings.parquet')
+        |ORDER BY vec_id""".stripMargin) {
+      (s, d) => T.embeddings(s, d).select(
+        col("vec_id"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        expr("exists(embedding, x -> x > 0.5)").as("any_big"),
+        expr("CAST(ROUND(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 3) AS DECIMAL(18,3))")
+          .as("sum_sq"))
+        .orderBy("vec_id")
+    },
+
+    "fn_bitwise" -> Q(
+      """SELECT p_partkey,
+        |  p_size & 12 AS b_and, p_size | 5 AS b_or, xor(p_size, 255) AS b_xor,
+        |  p_size << 2 AS b_shl, p_size >> 1 AS b_shr,
+        |  bit_count(p_size) AS b_cnt
+        |FROM read_parquet('{sfDir}/part.parquet')
+        |ORDER BY p_partkey""".stripMargin) {
+      (s, d) => T.part(s, d).select(
+        col("p_partkey"),
+        expr("p_size & 12").as("b_and"),
+        expr("p_size | 5").as("b_or"),
+        expr("p_size ^ 255").as("b_xor"),
+        expr("shiftleft(p_size, 2)").as("b_shl"),
+        expr("shiftright(p_size, 1)").as("b_shr"),
+        expr("bit_count(p_size)").as("b_cnt"))
+        .orderBy("p_partkey")
+    }
+  )
+}
