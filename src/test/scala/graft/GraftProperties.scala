@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+import graft.streaming.NetFlowCodec
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+
+/** ScalaCheck properties (SURVEY §5): decode∘encode = id on generated v5
+  * flows; algebraic laws of the native sketch kernels (pure expression
+  * eval — no SparkSession needed).
+  */
+object GraftProperties extends Properties("graft") {
+
+  // ------------------------------------------------ v5 encode ∘ decode = id
+  final case class V5Flow(src: Int, dst: Int, srcPort: Int, dstPort: Int,
+      proto: Int, flags: Int, packets: Long, bytes: Long,
+      firstOff: Long, lastOff: Long)
+
+  private val genFlow: Gen[V5Flow] = for {
+    src <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    dst <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    sp <- Gen.chooseNum(0, 65535)
+    dp <- Gen.chooseNum(0, 65535)
+    proto <- Gen.chooseNum(0, 255)
+    flags <- Gen.chooseNum(0, 255)
+    pkts <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+    bytes <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+    first <- Gen.chooseNum(0L, 50000L)
+    dur <- Gen.chooseNum(0L, 9999L)
+  } yield V5Flow(src, dst, sp, dp, proto, flags, pkts, bytes, first, first + dur)
+
+  private val sysUptime = 60000L
+  private val unixSecs = 1700000000L
+
+  private def encodeV5(flows: List[V5Flow]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(24 + 48 * flows.size).order(ByteOrder.BIG_ENDIAN)
+    buf.putShort(5).putShort(flows.size.toShort)
+      .putInt(sysUptime.toInt).putInt(unixSecs.toInt).putInt(0)
+      .putInt(0).put(0.toByte).put(0.toByte).putShort(0)
+    flows.foreach { f =>
+      buf.putInt(f.src).putInt(f.dst).putInt(0)
+        .putShort(0).putShort(0)
+        .putInt(f.packets.toInt).putInt(f.bytes.toInt)
+        .putInt(f.firstOff.toInt).putInt(f.lastOff.toInt)
+        .putShort(f.srcPort.toShort).putShort(f.dstPort.toShort)
+        .put(0.toByte).put(f.flags.toByte).put(f.proto.toByte).put(0.toByte)
+        .putShort(0).putShort(0).put(0.toByte).put(0.toByte).putShort(0)
+    }
+    buf.array()
+  }
+
+  property("v5 decode ∘ encode = id") =
+    forAll(Gen.listOfN(5, genFlow).flatMap(l => Gen.choose(0, 5).map(n => l.take(n)))) { flows =>
+      val res = NetFlowCodec.decode("prop", 0L, encodeV5(flows), Map.empty)
+      val bootMs = unixSecs * 1000L - sysUptime
+      res.errors.isEmpty &&
+      res.records.size == flows.size &&
+      res.records.zip(flows).forall { case (r, f) =>
+        r.src_port == f.srcPort && r.dst_port == f.dstPort &&
+        r.protocol == f.proto && r.tcp_flags == f.flags &&
+        r.packets == f.packets && r.bytes == f.bytes &&
+        r.start_ts.getTime == bootMs + f.firstOff &&
+        r.end_ts.getTime == bootMs + f.lastOff &&
+        r.duration_ms == f.lastOff - f.firstOff
+      }
+    }
+
+  // ----------------------------------------------- native kernel algebra
+  private def cosEval(a: Array[Float], b: Array[Float]): Double =
+    CosineSimilarity(
+      Literal(new GenericArrayData(a), ArrayType(FloatType)),
+      Literal(new GenericArrayData(b), ArrayType(FloatType)))
+      .eval(null).asInstanceOf[Double]
+
+  private val genVec: Gen[Array[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+      .map(_.toArray).suchThat(v => v.exists(_ != 0.0f))
+
+  property("cosine(a, a) = 1") = forAll(genVec) { v =>
+    math.abs(cosEval(v, v) - 1.0) < 1e-9
+  }
+
+  property("cosine symmetric and bounded") = forAll(genVec, genVec) { (a, b) =>
+    val ab = cosEval(a, b)
+    val ba = cosEval(b, a)
+    ab == ba && ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9
+  }
+
+  property("cosine scale-invariant") = forAll(genVec, Gen.chooseNum(1, 50)) { (v, k) =>
+    val scaled = v.map(_ * k)
+    math.abs(cosEval(v, scaled) - 1.0) < 1e-9
+  }
+
+  private def sigEval(hs: Array[Long], k: Int): Seq[Long] =
+    MinHashSignature(Literal(new GenericArrayData(hs), ArrayType(LongType)), k)
+      .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+
+  private val genHashes: Gen[Array[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, 2147483646L)).map(_.toArray)
+
+  property("minhash signature is order- and duplicate-invariant (set semantics)") =
+    forAll(genHashes, Gen.chooseNum(0L, 1L)) { (hs, seed) =>
+      val shuffled = hs.reverse ++ hs.take((seed % hs.length).toInt)
+      sigEval(hs, 32) == sigEval(shuffled, 32)
+    }
+
+  property("minhash signature of a subset dominates (element-wise >=)") =
+    forAll(genHashes) { hs =>
+      val subset = hs.take(math.max(1, hs.length / 2))
+      sigEval(subset, 32).zip(sigEval(hs, 32)).forall { case (s, f) => s >= f }
+    }
+
+  private def simhashEval(hs: Array[Long]): Long =
+    SimHash64(Literal(new GenericArrayData(hs), ArrayType(LongType)))
+      .eval(null).asInstanceOf[Long]
+
+  property("simhash is order-invariant over the multiset") =
+    forAll(genHashes) { hs => simhashEval(hs) == simhashEval(hs.reverse) }
+
+  property("one extra element flips few simhash bits on large docs") =
+    forAll(Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (hs, extra) =>
+      val base = simhashEval(hs.toArray)
+      val plus = simhashEval((extra :: hs).toArray)
+      java.lang.Long.bitCount(base ^ plus) <= 16
+    }
+}

@@ -183,6 +183,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     UdpFlowSource.clear(key)
   }
 
+  test("checkpoint recovery: restart resumes offsets, file sink stays exactly-once") {
+    val key = "0.0.0.0:9998"
+    UdpFlowSource.clear(key)
+    val out = tmp("ck-out")
+    val ckpt = tmp("ck-ckpt")
+    def runOnce(): Unit = {
+      val packets = spark.readStream.format("udp-flows")
+        .option("port", "9998").option("socket", "false").load()
+      val q = graft.streaming.FlowPipeline.decode(packets).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    (0 until 3).foreach(i =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, "10.9.9.6", v5Packet(4000 + i)))
+    runOnce()
+    (3 until 5).foreach(i =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, "10.9.9.6", v5Packet(4000 + i)))
+    runOnce()
+    val ports = spark.read.parquet(out).select("src_port")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ports == Seq(4000, 4001, 4002, 4003, 4004)) // all five, no dups
+    UdpFlowSource.clear(key)
+  }
+
   test("foreachBatch FlowSink collects micro-batches (ClickHouse-shaped path)") {
     val key = "0.0.0.0:9997"
     UdpFlowSource.clear(key)
