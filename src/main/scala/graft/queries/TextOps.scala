@@ -194,6 +194,29 @@ object TextOps {
           .limit(5)
     },
 
+    "dedup_embedding" -> Q(
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS DECIMAL(18,4)) AS sim
+        |FROM read_parquet('{sfDir}/embeddings.parquet') a
+        |JOIN read_parquet('{sfDir}/embeddings.parquet') b ON a.vec_id < b.vec_id
+        |WHERE CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS DECIMAL(18,4)) >= 0.40
+        |ORDER BY id1, id2""".stripMargin) {
+      // Embedding-cosine near-duplicate detection (the 4th dedup family
+      // next to exact / Jaccard / MinHash): all pairs at rounded cosine
+      // ≥ 0.40. Filter is on the rounded value on both engines, so the
+      // emitted set is boundary-stable.
+      (s, d) =>
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+        a.join(b, col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            round(org.apache.spark.sql.graft.native.cosine_similarity(col("e1"), col("e2")), 4)
+              .cast(DecimalType(18, 4)).as("sim"))
+          .filter(col("sim") >= 0.40)
+          .orderBy("id1", "id2")
+    },
+
     "sim_knn_label" -> Q(
       """WITH cent AS (
         |  SELECT label, p AS pos,

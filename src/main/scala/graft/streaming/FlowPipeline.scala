@@ -72,10 +72,10 @@ object FlowPipeline {
     * risk 5); the JDBC path itself is exercised against any JDBC URL.
     */
   final class JdbcFlowSink(url: String, table: String,
-      user: String = "default", password: String = "") extends FlowSink {
+      user: String = "", password: String = "") extends FlowSink {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       val props = new Properties()
-      props.setProperty("user", user)
+      if (user.nonEmpty) props.setProperty("user", user)
       if (password.nonEmpty) props.setProperty("password", password)
       batch.write.mode("append").jdbc(url, table, props)
     }

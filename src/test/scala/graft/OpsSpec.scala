@@ -95,6 +95,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bounded.length == 1 && bounded.head.isNullAt(3)) // 850s > 100s tolerance
   }
 
+  test("text analysis: langid argmax deterministic, quality score bounded") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "key agg row row agg"),          // en markers dominate
+      (1L, "scan spark join join"),         // fr markers dominate
+      (2L, "nothing matching here at all")  // all-zero → alphabetical 'de'
+    ).toDF("doc_id", "text")
+    val guessed = graft.ops.TextAnalysis.withLangGuess(docs)
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(guessed == Map(0L -> "en", 1L -> "fr", 2L -> "de"))
+
+    val scored = graft.ops.TextAnalysis
+      .withQualityScore(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select("quality").collect().map(_.getInt(0))
+    assert(scored.forall(q => q >= 0 && q <= 100))
+    assert(scored.distinct.length > 1) // discriminates
+  }
+
+  test("JdbcFlowSink writes and reads back through embedded Derby") {
+    val media = graft.streaming.FlowPipeline // touch to keep import pattern
+    val url = "jdbc:derby:memory:flowsdb;create=true"
+    import spark.implicits._
+    val df = Seq((1L, "10.0.0.1", 100L), (2L, "10.0.0.2", 200L))
+      .toDF("flow_id", "src_addr", "bytes")
+    new graft.streaming.FlowPipeline.JdbcFlowSink(url, "FLOWS").write(df, 0L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "FLOWS").load()
+    assert(back.count() == 2)
+    assert(back.select("src_addr").collect().map(_.getString(0)).toSet ==
+      Set("10.0.0.1", "10.0.0.2"))
+  }
+
   test("multimodal: meta extraction, resize, frame sampling, stub featurize") {
     val media = Multimodal.synthesize(spark, 30)
     val withMeta = Multimodal.extractMeta(media)
