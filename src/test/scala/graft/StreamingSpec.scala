@@ -145,6 +145,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("transformWithState flow expiry matches flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FlowPipeline.PacketObs]
+    def obs(key: String, min: Int, pkts: Long, bytes: Long) =
+      FlowPipeline.PacketObs(key, new Timestamp(1700000000000L + min * 60000L), pkts, bytes)
+
+    // transformWithState needs a multi-column-family store (RocksDB)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val expired = FlowPipeline.expireFlowsTws(input.toDS(), idleMs = 5 * 60000L,
+      watermarkDelay = "0 seconds")
+    val q = expired.writeStream.format("memory").queryName("expired_tws")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(obs("g1", 0, 2, 200), obs("g1", 2, 3, 300))
+    q.processAllAvailable()
+    input.addData(obs("g2", 30, 1, 50))
+    q.processAllAvailable()
+    input.addData(obs("g2", 31, 1, 50))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT flow_key, packets, bytes FROM expired_tws").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      .contains(("g1", 5L, 500L)))
+    q.stop()
+  }
+
+  test("stream-stream interval join with watermarks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "10 minutes")
+    val b = buys.toDF().toDF("buser", "bts").withWatermark("bts", "10 minutes")
+    // purchase attributed to a click within the preceding 30 minutes
+    val joined = c.join(b,
+      col("user") === col("buser") &&
+        col("bts") >= col("cts") && col("bts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData((1L, ts(0)), (2L, ts(5)))
+    buys.addData((1L, ts(10)))          // within 30 min of user 1's click → match
+    q.processAllAvailable()
+    buys.addData((2L, ts(50)))          // 45 min after user 2's click → no match
+    clicks.addData((3L, ts(60)))        // advance watermark
+    buys.addData((3L, ts(61)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user FROM ssj").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+    q.stop()
+  }
+
   test("streaming dropDuplicates matches the declared batch dedup shape") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
