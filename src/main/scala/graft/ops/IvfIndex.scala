@@ -26,7 +26,7 @@ object IvfIndex {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
-    embs.crossJoin(broadcast(centroids))
+    embs.repartition().crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         gn.cosine_similarity(col("embedding"), col("cvec")).as("csim"))
       .withColumn("probe_rank", row_number().over(byDist))

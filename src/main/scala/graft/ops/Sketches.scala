@@ -56,7 +56,7 @@ object Sketches {
     * min-fold runs in the native MinHashSignature kernel.
     */
   def signatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
-    docs.select(col("doc_id"), shingles("text", shingleN).as("sh"))
+    docs.repartition().select(col("doc_id"), shingles("text", shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         expr(s"transform(sh, s -> pmod(xxhash64(s), $P))").as("hs"))
@@ -83,7 +83,7 @@ object Sketches {
   /** MinHash near-dup end-to-end: candidates, then exact Jaccard verify. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 64, bands: Int = 16, rows: Int = 4, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles("text", shingleN).as("g"))
+    val sh = docs.repartition().select(col("doc_id"), shingles("text", shingleN).as("g"))
     val cands = lshCandidates(signatures(docs, k, shingleN), bands, rows)
     val a = sh.select(col("doc_id").as("id1"), col("g").as("g1"))
     val b = sh.select(col("doc_id").as("id2"), col("g").as("g2"))
@@ -107,7 +107,7 @@ object Sketches {
     * found by 16-bit band collision (any identical quarter → candidate).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col("doc_id"), simhash("text").as("sh"))
+    val hashed = docs.repartition().select(col("doc_id"), simhash("text").as("sh"))
     val banded = hashed.select(col("doc_id"), col("sh"), posexplode(expr(
       "transform(sequence(0, 3), q -> (sh >> (q * 16)) & 65535)")).as(Seq("q", "qv")))
     val l = banded.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("q"), col("qv"))
@@ -134,7 +134,7 @@ object Sketches {
     */
   def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16): DataFrame = {
     import org.apache.spark.sql.graft.{native => gn}
-    val b = embs.select(col("vec_id"), col("embedding"),
+    val b = embs.repartition().select(col("vec_id"), col("embedding"),
       posexplode(gn.sign_lsh_buckets(col("embedding"), nbits, tables))
         .as(Seq("tbl", "bucket")))
     val l = b.select(col("vec_id").as("id1"), col("embedding").as("e1"),

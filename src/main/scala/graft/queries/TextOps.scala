@@ -184,9 +184,11 @@ object TextOps {
         // order to the aggregate()/zip_with lambda form (left-to-right
         // double folds), so the DuckDB round(…,4) oracle still matches.
         val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        // single small parquet file = one input split: spread the
+        // pair-loop side across the executor threads
+        val a = e.repartition().select(col("vec_id").as("id1"), col("embedding").as("e1"))
         val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
-        a.join(b, col("id1") < col("id2"))
+        a.join(broadcast(b), col("id1") < col("id2"))
           .select(col("id1"), col("id2"),
             round(org.apache.spark.sql.graft.native.cosine_similarity(col("e1"), col("e2")), 4)
               .cast(DecimalType(18, 4)).as("sim"))
@@ -207,12 +209,19 @@ object TextOps {
       // emitted set is boundary-stable.
       (s, d) =>
         val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        // single small parquet file = one input split: spread the
+        // pair-loop side across the executor threads
+        val a = e.repartition().select(col("vec_id").as("id1"), col("embedding").as("e1"))
         val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
-        a.join(b, col("id1") < col("id2"))
+        a.join(broadcast(b), col("id1") < col("id2"))
           .select(col("id1"), col("id2"),
-            round(org.apache.spark.sql.graft.native.cosine_similarity(col("e1"), col("e2")), 4)
-              .cast(DecimalType(18, 4)).as("sim"))
+            org.apache.spark.sql.graft.native.cosine_similarity(col("e1"), col("e2")).as("raw"))
+          // cheap double pre-filter (x ≥ 0.40 rounded ⟺ x ≥ 0.39995) keeps
+          // the per-row BigDecimal rounding off the 2M-pair hot path;
+          // the exact rounded filter below still decides membership.
+          .filter(col("raw") >= 0.39995)
+          .select(col("id1"), col("id2"),
+            round(col("raw"), 4).cast(DecimalType(18, 4)).as("sim"))
           .filter(col("sim") >= 0.40)
           .orderBy("id1", "id2")
     },
