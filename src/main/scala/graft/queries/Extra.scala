@@ -38,6 +38,82 @@ object Extra {
           .orderBy("o_orderpriority")
     },
 
+    "agg_median" -> Q(
+      // Discrete order statistics (lower median, ceil-rank p90): engines
+      // disagree on continuous-quantile interpolation arithmetic at the
+      // last ulp, so the declared form picks actual data values — exact
+      // decimals, no interpolation.
+      """WITH t AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM read_parquet('{sfDir}/orders.parquet'))
+        |SELECT o_orderpriority,
+        |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN x END) AS med_lo,
+        |  MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN x END) AS p90_disc
+        |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wc = Window.partitionBy("o_orderpriority")
+        T.orders(s, d)
+          .select(col("o_orderpriority"), dec2(col("o_totalprice")).as("x"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(wc).as("cnt"))
+          .groupBy("o_orderpriority")
+          .agg(
+            max(when(col("rn") === expr("(cnt + 1) div 2"), col("x"))).as("med_lo"),
+            max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("x"))).as("p90_disc"))
+          .orderBy("o_orderpriority")
+    },
+
+    "agg_corr" -> Q(
+      // Pearson r from exact decimal power sums (same discipline as
+      // agg_stddev): numerator/denominator exact until two trailing
+      // double ops.
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM read_parquet('{sfDir}/lineitem.parquet') GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS r
+        |FROM s ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val x = dec2(col("l_quantity"))
+        val y = dec2(col("l_extendedprice"))
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / sqrt(((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+              .cast(DecimalType(18, 6)).as("r"))
+          .orderBy("l_returnflag")
+    },
+
+    "fn_datefmt" -> Q(
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+        |  strftime(o_orderdate, '%j') AS doy
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, d) => T.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("ymd"),
+        date_format(col("o_orderdate"), "DDD").as("doy"))
+        .orderBy("o_orderkey")
+    },
+
     "agg_listagg" -> Q(
       """SELECT c_nationkey,
         |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs

@@ -46,11 +46,12 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empties.isEmpty || empties == Seq("join_anti"), s"empty results: $empties")
   }
 
-  test("declared queries are deterministic across runs (same plan, twice)") {
-    for (name <- Seq("agg_pricing", "sim_cosine_topk", "dedup_minhash", "stream_session")) {
-      val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
-      val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
-      assert(a == b, s"$name not deterministic")
+  test("every declared query is deterministic across runs (same plan, twice)") {
+    val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val a = fn(spark, sf).collect().toSeq
+      val b = fn(spark, sf).collect().toSeq
+      if (a != b) Some(name) else None
     }
+    assert(flaky.isEmpty, s"nondeterministic: $flaky")
   }
 }
