@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SaltedJoin
+
+/** The remaining 100 TB techniques as executable evidence: salted joins/
+  * aggregations equal their unsalted plans, and bucketed tables co-locate
+  * an equi-join with no shuffle on either side.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join equals plain join on a skewed key") {
+    val li = Tables.lineitem(spark, sf)   // l_returnflag: 3 hot keys
+    val dim = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct()
+      .withColumn("flag_name", concat(lit("flag_"), col("l_returnflag")))
+    val plain = li.join(dim, "l_returnflag")
+      .groupBy("flag_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SaltedJoin.join(li, dim, key = "l_returnflag",
+        saltCol = "l_orderkey", salts = 8)
+      .groupBy("flag_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(Q.dec2(col("l_quantity"))).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val salted = SaltedJoin.saltedCountSum(
+        li.select(col("l_returnflag"), Q.dec2(col("l_quantity")).as("q"),
+          col("l_orderkey")),
+        key = "l_returnflag", sumCol = "q", saltCol = "l_orderkey", salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == orders.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}
