@@ -261,6 +261,21 @@ object Extra {
         .orderBy("vec_id")
     },
 
+    "fn_hash" -> Q(
+      """SELECT c_custkey,
+        |  md5(c_name) AS h_md5,
+        |  sha256(c_name) AS h_sha256,
+        |  base64(CAST(c_name AS BLOB)) AS b64
+        |FROM read_parquet('{sfDir}/customer.parquet')
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, d) => T.customer(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        base64(col("c_name").cast("binary")).as("b64"))
+        .orderBy("c_custkey")
+    },
+
     "fn_bitwise" -> Q(
       """SELECT p_partkey,
         |  p_size & 12 AS b_and, p_size | 5 AS b_or, xor(p_size, 255) AS b_xor,
