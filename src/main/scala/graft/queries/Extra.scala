@@ -14,6 +14,68 @@ object Extra {
 
   val defs: Map[String, Q] = Map(
 
+    "set_intersect_all" -> Q(
+      """SELECT c_nationkey AS k FROM read_parquet('{sfDir}/customer.parquet')
+        |INTERSECT ALL
+        |SELECT s_nationkey AS k FROM read_parquet('{sfDir}/supplier.parquet')
+        |ORDER BY k""".stripMargin) {
+      // Bag semantics: multiplicity = min(left, right) per value.
+      (s, d) => T.customer(s, d).select(col("c_nationkey").as("k"))
+        .intersectAll(T.supplier(s, d).select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    "set_except_all" -> Q(
+      """SELECT s_nationkey AS k FROM read_parquet('{sfDir}/supplier.parquet')
+        |EXCEPT ALL
+        |SELECT n_nationkey AS k FROM read_parquet('{sfDir}/nation.parquet')
+        |ORDER BY k""".stripMargin) {
+      // Bag semantics: multiplicity = max(left - right, 0) per value.
+      (s, d) => T.supplier(s, d).select(col("s_nationkey").as("k"))
+        .exceptAll(T.nation(s, d).select(col("n_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    "win_pct" -> Q(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(18,6)) AS pr,
+        |  CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(18,6)) AS cd
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).cast(DecimalType(18, 6)).as("pr"),
+            round(cume_dist().over(w), 6).cast(DecimalType(18, 6)).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "join_lateral" -> Q(
+      """SELECT n.n_nationkey, n.n_name, top.c_custkey, top.bal
+        |FROM read_parquet('{sfDir}/nation.parquet') n,
+        |LATERAL (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |         FROM read_parquet('{sfDir}/customer.parquet') c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) top
+        |ORDER BY n_nationkey""".stripMargin) {
+      // Correlated LATERAL top-1 per key — Catalyst plans it via
+      // DomainJoin/decorrelation rules.
+      (s, d) =>
+        T.nation(s, d).createOrReplaceTempView("nat_lat")
+        T.customer(s, d).createOrReplaceTempView("cust_lat")
+        s.sql(
+          """SELECT n.n_nationkey, n.n_name, top.c_custkey, top.bal
+            |FROM nat_lat n,
+            |LATERAL (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+            |         FROM cust_lat c
+            |         WHERE c.c_nationkey = n.n_nationkey
+            |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) top
+            |ORDER BY n_nationkey""".stripMargin)
+    },
+
     "agg_stddev" -> Q(
       // Variance from exact decimal power sums: numerator exact, single
       // double division at the end — engine-independent.
@@ -82,7 +144,7 @@ object Extra {
         |  FROM read_parquet('{sfDir}/lineitem.parquet') GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS r
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS DECIMAL(18,6)) AS r
         |FROM s ORDER BY l_returnflag""".stripMargin) {
       (s, d) =>
         val x = dec2(col("l_quantity"))
@@ -92,9 +154,11 @@ object Extra {
           .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
             sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
           .select(col("l_returnflag"), col("n"),
+            // factors go to DOUBLE individually: their decimal product
+            // overflows DECIMAL(38) at larger scale factors
             round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-              / sqrt(((col("n") * col("sxx") - col("sx") * col("sx"))
-                * (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+                * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
               .cast(DecimalType(18, 6)).as("r"))
           .orderBy("l_returnflag")
     },
