@@ -4,9 +4,11 @@
 Usage: python3 scripts/parity.py <sfDir> <verifyOutDir> [query ...]
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
-oracle SQL in DuckDB with {sfDir} substituted, reads the Spark parquet dump
-for the same key, sorts columns by name (the driver's compare does this),
-and diffs row lists exactly.
+oracle SQL in DuckDB VERBATIM (Verify.scala substitutes {sfDir} when
+writing the file, exactly like the driver sees it — this mirror must never
+substitute anything itself, or it can pass while the driver fails), reads
+the Spark parquet dump for the same key, sorts columns by name (the
+driver's compare does this), and diffs row lists exactly.
 """
 import duckdb, json, sys, glob
 
@@ -33,7 +35,11 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
-        sql = oracle[name].replace("{sfDir}", sf_dir)
+        sql = oracle[name]
+        if "{sfDir}" in sql:
+            print(f"FAIL {name}: unsubstituted {{sfDir}} in oracle_sql.json")
+            n_fail += 1
+            continue
         try:
             want_cols, want = rows_of(con.execute(sql))
         except Exception as e:

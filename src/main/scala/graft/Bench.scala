@@ -24,10 +24,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact formatting (4 decimals, ~1.7 KB for 85 queries) and print
+    // AFTER spark.stop(): round-1's full-double-repr line was clipped by
+    // the driver's stdout tail window (BENCH_r01.json parsed: null).
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

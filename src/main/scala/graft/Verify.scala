@@ -34,8 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Substitute {sfDir} HERE: the driver's DuckDB runner executes the
+    // written SQL verbatim (round-1 lesson — unsubstituted placeholders
+    // zeroed all 79 oracle checks). parity.py consumes this file as-is.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{sfDir}", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

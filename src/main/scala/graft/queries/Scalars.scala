@@ -154,7 +154,9 @@ object Scalars {
         |  len(embedding) AS dim,
         |  embedding[1] AS first_f,
         |  embedding[64] AS last_f,
-        |  embedding[2:4] AS mid3,
+        |  embedding[2] AS mid_a,
+        |  embedding[3] AS mid_b,
+        |  embedding[4] AS mid_c,
         |  CAST(round(list_sum(embedding), 3) AS DECIMAL(18,3)) AS vsum
         |FROM read_parquet('{sfDir}/embeddings.parquet')
         |ORDER BY vec_id""".stripMargin) {
@@ -163,7 +165,11 @@ object Scalars {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_f"),
         element_at(col("embedding"), 64).as("last_f"),
-        slice(col("embedding"), 2, 3).as("mid3"),
+        // scalar columns, not a sliced array — the driver's pandas compare
+        // cannot hash array cells (round-1 fn_array failure).
+        element_at(col("embedding"), 2).as("mid_a"),
+        element_at(col("embedding"), 3).as("mid_b"),
+        element_at(col("embedding"), 4).as("mid_c"),
         expr("CAST(round(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x), 3) AS DECIMAL(18,3))")
           .as("vsum"))
         .orderBy("vec_id")

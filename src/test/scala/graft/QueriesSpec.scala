@@ -47,6 +47,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empties.forall(allowedEmpty), s"empty results: $empties")
   }
 
+  test("no declared query outputs array/map/struct/binary columns") {
+    // The driver's pandas-based comparator cannot hash complex-typed cells
+    // (round-1 fn_array died on TypeError: unhashable 'numpy.ndarray').
+    import org.apache.spark.sql.types._
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] ||
+                  f.dataType == BinaryType =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"complex-typed output columns: $offenders")
+  }
+
   test("every declared query is deterministic across runs (same plan, twice)") {
     val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val a = fn(spark, sf).collect().toSeq
