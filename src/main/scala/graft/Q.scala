@@ -24,4 +24,19 @@ object Q {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Hash-spread an input across the session's full shuffle parallelism,
+    * keyed (not round-robin) so downstream keyed ops can reuse the
+    * partitioning. The testdata parquet files are single-row-group, so
+    * byte-range splitting (`files.maxPartitionBytes`) cannot parallelize
+    * the scan — a shuffle is the only spread. The partition count is
+    * explicit because AQE coalesces keyed exchanges with unspecified
+    * counts back down to one partition at small data sizes, serializing
+    * whatever follows (at cluster scale inputs arrive multi-split and
+    * callers can drop spread() entirely).
+    */
+  def spreadBy(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, org.apache.spark.sql.functions.col(key))
+  }
 }

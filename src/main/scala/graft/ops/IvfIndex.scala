@@ -26,7 +26,9 @@ object IvfIndex {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
-    embs.repartition().crossJoin(broadcast(centroids))
+    // keyed repartition: spreads a single input file without the
+    // round-robin full shuffle of a bare repartition().
+    graft.Q.spreadBy(embs, "vec_id").crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         gn.cosine_similarity(col("embedding"), col("cvec")).as("csim"))
       .withColumn("probe_rank", row_number().over(byDist))
@@ -34,18 +36,22 @@ object IvfIndex {
       .select("vec_id", "cid", "probe_rank")
   }
 
-  /** Candidate pairs sharing at least one probed cell, with exact cosine. */
-  def annPairs(embs: DataFrame, k: Int = 16, nProbe: Int = 2): DataFrame = {
+  /** Candidate pairs sharing at least one probed cell, with exact cosine.
+    * `broadcastReattach = false` switches the embedding re-attach to
+    * shuffle-merge keyed joins (the 100 TB path — see
+    * [[Sketches.reattachCosine]]).
+    */
+  def annPairs(embs: DataFrame, k: Int = 16, nProbe: Int = 2,
+      broadcastReattach: Boolean = true): DataFrame = {
+    // Assignment (k cosine evals per vector + a window) feeds both sides
+    // of the cell self-join — persist the skinny (vec_id, cid, probe_rank)
+    // so it runs once.
     val a = assign(embs, k, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = a.select(col("vec_id").as("id1"), col("cid"))
     val r = a.select(col("vec_id").as("id2"), col("cid").as("cid2"))
     val cands = l.join(r, col("cid") === col("cid2") && col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val e1 = broadcast(embs.select(col("vec_id").as("id1"), col("embedding").as("e1")))
-    val e2 = broadcast(embs.select(col("vec_id").as("id2"), col("embedding").as("e2")))
-    cands.join(e1, "id1").join(e2, "id2")
-      .select(col("id1"), col("id2"),
-        round(gn.cosine_similarity(col("e1"), col("e2")), 4)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sim"))
+    Sketches.reattachCosine(cands, embs, broadcastReattach)
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Sketch-based dedup / similarity primitives for the LLM-data pipeline
   * (SURVEY §2.10 [N]): MinHash+LSH, SimHash, sign-LSH ANN, winnowing
@@ -51,17 +52,29 @@ object Sketches {
          |    i -> concat_ws(' ', $parts)))), 1)""".stripMargin)
   }
 
+  /** docs(doc_id, text) → (doc_id, hs array<long>): the distinct word-n-gram
+    * shingles of each document, hashed (xxhash64 mod P). Hash-partitioned
+    * on doc_id (spreads single-row-group inputs across cores without a
+    * round-robin full shuffle); consumers that branch off this relation
+    * more than once persist it — see [[minhashNearDups]].
+    */
+  def hashedShingles(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    docs.select(col("doc_id"), shingles("text", shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sh, s -> pmod(xxhash64(s), $P)))").as("hs"))
+      .transform(graft.Q.spreadBy(_, "doc_id"))
+
   /** docs(doc_id, text) → (doc_id, sig array<long>).
     * Shingle strings are hashed once (xxhash64 mod P); the k-permutation
     * min-fold runs in the native MinHashSignature kernel.
     */
   def signatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
-    docs.repartition().select(col("doc_id"), shingles("text", shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        expr(s"transform(sh, s -> pmod(xxhash64(s), $P))").as("hs"))
-      .select(col("doc_id"),
-        org.apache.spark.sql.graft.native.minhash_signature(col("hs"), k).as("sig"))
+    signaturesOf(hashedShingles(docs, shingleN), k)
+
+  private def signaturesOf(hs: DataFrame, k: Int): DataFrame =
+    hs.select(col("doc_id"),
+      org.apache.spark.sql.graft.native.minhash_signature(col("hs"), k).as("sig"))
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 band.
     * bands*rows must equal the signature length.
@@ -80,13 +93,24 @@ object Sketches {
       .select("id1", "id2").distinct()
   }
 
-  /** MinHash near-dup end-to-end: candidates, then exact Jaccard verify. */
+  /** MinHash near-dup end-to-end: candidates, then exact Jaccard verify.
+    * Single-scan design: one [[hashedShingles]] relation feeds BOTH the
+    * signature/LSH path and the exact-verify join (Jaccard over hashed
+    * shingles ≡ Jaccard over shingles modulo 64-bit hash collisions);
+    * the shared keyed exchange means the documents are scanned and
+    * shingled exactly once per run.
+    */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 64, bands: Int = 16, rows: Int = 4, shingleN: Int = 3): DataFrame = {
-    val sh = docs.repartition().select(col("doc_id"), shingles("text", shingleN).as("g"))
-    val cands = lshCandidates(signatures(docs, k, shingleN), bands, rows)
-    val a = sh.select(col("doc_id").as("id1"), col("g").as("g1"))
-    val b = sh.select(col("doc_id").as("id2"), col("g").as("g2"))
+    // The shingle relation feeds four plan branches (sig→band l/r, verify
+    // a/b). Lambda-heavy subtrees defeat exchange-reuse canonicalization
+    // across the self-join dedup, so materialize explicitly — the same
+    // move a production pipeline makes by writing the signature table out
+    // once. Skinny (doc_id, array<long>) rows: spill-safe MEMORY_AND_DISK.
+    val hs = hashedShingles(docs, shingleN).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(signaturesOf(hs, k), bands, rows)
+    val a = hs.select(col("doc_id").as("id1"), col("hs").as("g1"))
+    val b = hs.select(col("doc_id").as("id2"), col("hs").as("g2"))
     cands.join(a, "id1").join(b, "id2")
       .select(col("id1"), col("id2"),
         size(array_intersect(col("g1"), col("g2"))).as("inter_n"),
@@ -107,9 +131,15 @@ object Sketches {
     * found by 16-bit band collision (any identical quarter → candidate).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.repartition().select(col("doc_id"), simhash("text").as("sh"))
+    // keyed repartition: spreads a single input file without the
+    // round-robin full shuffle of a bare repartition(). The banded
+    // relation feeds both sides of the self-join — persist so the text
+    // scan + simhash kernel run once (skinny: doc_id + 3 longs).
+    val hashed = graft.Q.spreadBy(docs, "doc_id")
+      .select(col("doc_id"), simhash("text").as("sh"))
     val banded = hashed.select(col("doc_id"), col("sh"), posexplode(expr(
       "transform(sequence(0, 3), q -> (sh >> (q * 16)) & 65535)")).as(Seq("q", "qv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("q"), col("qv"))
     val r = banded.select(col("doc_id").as("id2"), col("sh").as("sh2"),
       col("q").as("q2"), col("qv").as("qv2"))
@@ -132,25 +162,45 @@ object Sketches {
     * 1-(1-p^nbits)^tables with p = 1-θ/π. Bucketing and cosine both run
     * in native kernels. Returns (id1, id2, sim) distinct candidate pairs.
     */
-  def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16): DataFrame = {
+  def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16,
+      broadcastReattach: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.{native => gn}
-    val b = embs.repartition().select(col("vec_id"), col("embedding"),
-      posexplode(gn.sign_lsh_buckets(col("embedding"), nbits, tables))
+    // Skinny bucket relation (vec_id, tbl, bucket) feeds both sides of
+    // the self-join — persist so the embedding scan + 16-table LSH kernel
+    // run once instead of twice.
+    val b = graft.Q.spreadBy(embs, "vec_id")
+      .select(col("vec_id"), posexplode(
+        gn.sign_lsh_buckets(col("embedding"), nbits, tables))
         .as(Seq("tbl", "bucket")))
-    val l = b.select(col("vec_id").as("id1"), col("embedding").as("e1"),
-      col("tbl"), col("bucket"))
-    val r = b.select(col("vec_id").as("id2"), col("embedding").as("e2"),
-      col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = b.select(col("vec_id").as("id1"), col("tbl"), col("bucket"))
+    val r = b.select(col("vec_id").as("id2"), col("tbl").as("tbl2"),
+      col("bucket").as("bucket2"))
     // Dedup candidates on the skinny (id1, id2) pair first, then re-attach
-    // embeddings via two broadcast joins — shuffling/deduping the float
-    // arrays themselves is the expensive wrong plan.
-    val cands = l.drop("e1").join(r.drop("e2"),
+    // embeddings — shuffling/deduping the float arrays themselves through
+    // the bucket join is the expensive wrong plan.
+    val cands = l.join(r,
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
           && col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val e1 = broadcast(embs.select(col("vec_id").as("id1"), col("embedding").as("e1")))
-    val e2 = broadcast(embs.select(col("vec_id").as("id2"), col("embedding").as("e2")))
-    cands.join(e1, "id1").join(e2, "id2")
+    reattachCosine(cands, embs, broadcastReattach)
+  }
+
+  /** Re-attach embeddings to skinny candidate pairs and score cosine.
+    * `bcast = true`: two broadcast joins — right when the embedding table
+    * fits an executor (local/bench case). `bcast = false`: shuffle-merge
+    * keyed joins — the 100 TB path, where broadcasting the full embedding
+    * table would OOM every executor; hint pins the plan so AQE can't
+    * flip a huge build side back to broadcast.
+    */
+  private[graft] def reattachCosine(cands: DataFrame, embs: DataFrame,
+      bcast: Boolean): DataFrame = {
+    import org.apache.spark.sql.graft.{native => gn}
+    def side(idCol: String, eCol: String): DataFrame = {
+      val p = embs.select(col("vec_id").as(idCol), col("embedding").as(eCol))
+      if (bcast) broadcast(p) else p.hint("shuffle_merge")
+    }
+    cands.join(side("id1", "e1"), "id1").join(side("id2", "e2"), "id2")
       .select(col("id1"), col("id2"),
         round(gn.cosine_similarity(col("e1"), col("e2")), 4)
           .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sim"))

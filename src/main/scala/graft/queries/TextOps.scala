@@ -185,8 +185,10 @@ object TextOps {
         // double folds), so the DuckDB round(…,4) oracle still matches.
         val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
         // single small parquet file = one input split: spread the
-        // pair-loop side across the executor threads
-        val a = e.repartition().select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        // pair-loop side across the executor threads (keyed, not
+        // round-robin — no full-shuffle reflex at scale)
+        val a = Q.spreadBy(e, "vec_id")
+          .select(col("vec_id").as("id1"), col("embedding").as("e1"))
         val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
         a.join(broadcast(b), col("id1") < col("id2"))
           .select(col("id1"), col("id2"),
@@ -210,8 +212,10 @@ object TextOps {
       (s, d) =>
         val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
         // single small parquet file = one input split: spread the
-        // pair-loop side across the executor threads
-        val a = e.repartition().select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        // pair-loop side across the executor threads (keyed, not
+        // round-robin — no full-shuffle reflex at scale)
+        val a = Q.spreadBy(e, "vec_id")
+          .select(col("vec_id").as("id1"), col("embedding").as("e1"))
         val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
         a.join(broadcast(b), col("id1") < col("id2"))
           .select(col("id1"), col("id2"),

@@ -57,6 +57,36 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted == plain)
   }
 
+  test("ANN re-attach without broadcast: no BroadcastExchange, same results") {
+    val embs = Tables.embeddings(spark, sf)
+    for ((name, run) <- Seq[(String, Boolean => org.apache.spark.sql.DataFrame)](
+        "lsh" -> (b => graft.ops.Sketches.annPairs(embs, nbits = 4, tables = 16,
+          broadcastReattach = b)),
+        "ivf" -> (b => graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = 2,
+          broadcastReattach = b)))) {
+      val shuffled = run(false)
+      val rows = shuffled.collect().map(_.toSeq).toSet
+      // Only the embedding re-attach joins (keyed on id1/id2) must avoid
+      // broadcast — candidate-generation joins and the tiny IVF centroid
+      // table may broadcast at any scale.
+      val planStr = shuffled.queryExecution.executedPlan.toString()
+      val reattachBcast = planStr.linesIterator.filter { l =>
+        val i = l.indexOf("BroadcastHashJoin")
+        // left-keys bracket group only — the candidate join's extra
+        // condition (id1 < id2) must not trip this.
+        i >= 0 && {
+          val keys = l.substring(i).takeWhile(_ != ']')
+          keys.contains("id1#") || keys.contains("id2#")
+        }
+      }.toList
+      assert(reattachBcast.isEmpty,
+        s"$name non-broadcast re-attach still broadcasts: $reattachBcast")
+      assert(rows == run(true).collect().map(_.toSeq).toSet,
+        s"$name broadcast/shuffle paths disagree")
+      assert(rows.nonEmpty)
+    }
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
