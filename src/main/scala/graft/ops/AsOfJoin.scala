@@ -35,33 +35,32 @@ object AsOfJoin {
     val leftCols = left.columns
     val l = left.withColumn("_side", lit(1))
       .withColumn("_ts", col(leftTs))
-      .withColumns(rightVals.map(v => v -> lit(null)).toMap)
-    val r = right.select(
-      (col(key) +: rightVals.map(col) :+
-        col(rightTs).as("_ts") :+ lit(0).as("_side")): _*)
-    val unioned = l.select((col(key) +: leftCols.filterNot(_ == key).map(col)
-      :+ col("_ts") :+ col("_side")) ++ rightVals.map(col): _*)
-      .unionByName(r, allowMissingColumns = true)
+      .select((col(key) +: leftCols.filterNot(_ == key).map(col)
+        :+ col("_ts") :+ col("_side")): _*)
+    // The whole right row rides as ONE struct (values + its own ts), so a
+    // single last(ignoreNulls) attaches the latest right row wholesale —
+    // per-column carries would silently backfill a NULL value column from
+    // an older row and let asof_ts disagree with the row the values came
+    // from (not as-of semantics).
+    val r = right.select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+      struct((rightVals.map(col) :+ col(rightTs).as("_asof_ts")): _*).as("_rrow"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
 
     // Right rows sort before left rows at equal timestamps (_side 0 < 1),
     // so an exact-timestamp right row IS visible to the left row.
     val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }.withColumn("_matched_ts",
-      last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
-
-    val kept = carried.filter(col("_side") === 1)
+    val kept = unioned
+      .withColumn("_rrow", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
     val bounded = toleranceMs match {
       case Some(t) =>
-        val stale = unix_millis(col("_ts")) - unix_millis(col("_matched_ts")) > t
-        rightVals.foldLeft(kept) { (df, v) =>
-          df.withColumn(v, when(stale, lit(null)).otherwise(col(v)))
-        }
+        // Too stale → no match at all: the entire attached row nulls out.
+        val stale = unix_millis(col("_ts")) - unix_millis(col("_rrow")("_asof_ts")) > t
+        kept.withColumn("_rrow", when(stale, lit(null)).otherwise(col("_rrow")))
       case None => kept
     }
-    bounded.select((leftCols.map(col) ++ rightVals.map(col) :+
-      col("_matched_ts").as("asof_ts")): _*)
+    bounded.select((leftCols.map(col) ++ rightVals.map(v => col("_rrow")(v).as(v)) :+
+      col("_rrow")("_asof_ts").as("asof_ts")): _*)
   }
 }

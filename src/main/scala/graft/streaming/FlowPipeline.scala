@@ -41,6 +41,50 @@ object FlowPipeline {
       }
   }
 
+  /** Options metadata stream (sampling config, exporter stats) decoded
+    * from the same raw packets — template state threaded per partition
+    * exactly like [[decode]].
+    */
+  def decodeOptions(packets: DataFrame): Dataset[NetFlowCodec.OptionsRecord] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packets.select(col("recv_ts"), col("peer"), col("payload"))
+      .as[(Timestamp, String, Array[Byte])]
+      .mapPartitions { it =>
+        var templates = Map.empty[NetFlowCodec.TemplateKey, NetFlowCodec.Template]
+        it.flatMap { case (recvTs, peer, payload) =>
+          val us = recvTs.getTime * 1000L + (recvTs.getNanos / 1000L) % 1000L
+          val res = NetFlowCodec.decode(peer, us, payload, templates)
+          templates = res.templates
+          res.options
+        }
+      }
+  }
+
+  /** De-sample flow counters with each exporter's advertised packet-
+    * sampling interval (options IE 34 / IPFIX 305): bytes/packets × N for
+    * "1 in N" sampling. Exporters without options records pass through
+    * at ×1. Broadcast-sized right side: one row per (exporter, domain).
+    */
+  def desample(flows: Dataset[FlowRecord],
+      options: Dataset[NetFlowCodec.OptionsRecord]): DataFrame = {
+    val rates = options.toDF()
+      .select(col("exporter"), col("domain"),
+        coalesce(element_at(col("values"), lit(34)),
+          element_at(col("values"), lit(305))).as("sampling_interval"))
+      .filter(col("sampling_interval").isNotNull)
+      // A reconfiguring exporter emits several options records; keep the
+      // highest advertised interval (deterministic; a ts-ordered last()
+      // would need recv_ts carried onto OptionsRecord).
+      .groupBy("exporter", "domain")
+      .agg(max("sampling_interval").as("sampling_interval"))
+    flows.toDF()
+      .join(broadcast(rates), Seq("exporter", "domain"), "left")
+      .withColumn("sampling_interval", coalesce(col("sampling_interval"), lit(1L)))
+      .withColumn("bytes", col("bytes") * col("sampling_interval"))
+      .withColumn("packets", col("packets") * col("sampling_interval"))
+  }
+
   /** Time-rotated Parquet sink: the reference rotates output files on a
     * wall-clock interval; the Spark-native equivalent is date/hour
     * partition directories + a processing-time trigger + checkpointed

@@ -17,21 +17,53 @@ import java.sql.Timestamp
   * seen *before* its template is dropped with an error record (policy:
   * drop-not-buffer, matching common collector practice); a later template
   * unlocks subsequent data sets.
+  *
+  * Variable-length IEs (RFC 7011 §7 — string/URL/name elements) decode
+  * via per-record field walks; options templates (scope + option fields)
+  * decode into [[OptionsRecord]]s, surfacing per-exporter sampling
+  * config for de-sampling counters.
   */
 object NetFlowCodec {
 
   final case class TemplateKey(exporter: String, domain: Long, templateId: Int)
   final case class TemplateField(ieId: Int, length: Int, enterprise: Option[Long] = None)
-  final case class Template(fields: Seq[TemplateField]) {
-    /** Fixed record length; variable-length fields (len 65535) unsupported → -1. */
-    val recordLength: Int =
-      if (fields.exists(_.length == 0xFFFF)) -1 else fields.map(_.length).sum
+
+  /** `scopeCount` > 0 marks an options template (RFC 3954 §6.2 /
+    * RFC 7011 §3.4.2.2): the first `scopeCount` fields are scope.
+    */
+  final case class Template(fields: Seq[TemplateField], scopeCount: Int = 0) {
+    val isOptions: Boolean = scopeCount > 0
+    /** True if any field is RFC 7011 §7 variable-length (len 0xFFFF). */
+    val hasVarLen: Boolean = fields.exists(_.length == 0xFFFF)
+    /** Fixed record length, or -1 when records must be walked (var-len). */
+    val recordLength: Int = if (hasVarLen) -1 else fields.map(_.length).sum
+    /** Smallest possible wire size of one record (var-len fields ≥ 1B
+      * prefix) — anything shorter at a set tail is padding.
+      */
+    val minRecordLength: Int =
+      fields.map(f => if (f.length == 0xFFFF) 1 else f.length).sum
+  }
+
+  /** One decoded options-data record: metadata an exporter publishes about
+    * its own process (RFC 3954 §6.2) — sampling config, exporter stats.
+    * Field values are big-endian uints (≤8 B kept; longer values and
+    * var-len strings are dropped from the maps — sampling IEs are all
+    * fixed ints).
+    */
+  final case class OptionsRecord(exporter: String, domain: Long, templateId: Int,
+      scope: Map[Int, Long], values: Map[Int, Long]) {
+    /** Packet-sampling interval ("1 in N"): v9 IE 34 (samplingInterval) or
+      * IPFIX IE 305 (samplingPacketInterval). The de-sampling multiplier
+      * for byte/packet counters.
+      */
+    def samplingInterval: Option[Long] = values.get(34).orElse(values.get(305))
   }
 
   final case class DecodeResult(
       templates: Map[TemplateKey, Template],
       records: Seq[FlowRecord],
-      errors: Seq[String])
+      errors: Seq[String],
+      options: Seq[OptionsRecord] = Nil)
 
   // IANA IPFIX information elements we normalize (others land in `raw`).
   private val IE_OCTETS = 1
@@ -57,17 +89,25 @@ object NetFlowCodec {
   private val IE_START_MS = 152
   private val IE_END_MS = 153
 
-  /** Decode one datagram. Dispatches on the 2-byte version field. */
+  /** Decode one datagram. Dispatches on the 2-byte version field.
+    * Total: a malformed (or hostile) datagram can never throw out of this
+    * network-facing entry point and kill the streaming task — any decode
+    * exception becomes an error record with the prior template state kept.
+    */
   def decode(exporter: String, recvTsMicros: Long, payload: Array[Byte],
       templates: Map[TemplateKey, Template]): DecodeResult = {
     if (payload.length < 2)
       return DecodeResult(templates, Nil, Seq(s"$exporter: short packet (${payload.length}B)"))
     val version = ((payload(0) & 0xFF) << 8) | (payload(1) & 0xFF)
-    version match {
+    try version match {
       case 5  => decodeV5(exporter, recvTsMicros, payload, templates)
       case 9  => decodeTemplated(exporter, recvTsMicros, payload, templates, v9 = true)
       case 10 => decodeTemplated(exporter, recvTsMicros, payload, templates, v9 = false)
       case v  => DecodeResult(templates, Nil, Seq(s"$exporter: unsupported version $v"))
+    } catch {
+      case e: Exception =>
+        DecodeResult(templates, Nil,
+          Seq(s"$exporter: malformed v$version packet: ${e.getClass.getSimpleName}"))
     }
   }
 
@@ -138,6 +178,29 @@ object NetFlowCodec {
     var templates = tmpl0
     val records = Seq.newBuilder[FlowRecord]
     val errors = Seq.newBuilder[String]
+    val opts = Seq.newBuilder[OptionsRecord]
+
+    // Field-spec list shared by data and options templates; returns
+    // (fields, nextPos) or null on truncation.
+    def readFieldSpecs(tp0: Int, setEnd: Int, n: Int): (Seq[TemplateField], Int) = {
+      var tp = tp0
+      val fields = Seq.newBuilder[TemplateField]
+      var i = 0
+      while (i < n) {
+        if (tp + 4 > setEnd) return null
+        val rawIe = buf.getShort(tp) & 0xFFFF
+        val len = buf.getShort(tp + 2) & 0xFFFF
+        tp += 4
+        if (!v9 && (rawIe & 0x8000) != 0) { // enterprise IE (IPFIX only)
+          if (tp + 4 > setEnd) return null
+          val pen = buf.getInt(tp) & 0xFFFFFFFFL
+          tp += 4
+          fields += TemplateField(rawIe & 0x7FFF, len, Some(pen))
+        } else fields += TemplateField(rawIe, len)
+        i += 1
+      }
+      (fields.result(), tp)
+    }
 
     while (pos + 4 <= end) {
       val setId = buf.getShort(pos) & 0xFFFF
@@ -150,61 +213,114 @@ object NetFlowCodec {
         if (setId == templateSetId) {
           var tp = pos + 4
           // A template set may hold several templates; trailing padding < 4B.
-          while (tp + 4 <= setEnd) {
+          var cont = true
+          while (cont && tp + 4 <= setEnd) {
             val templateId = buf.getShort(tp) & 0xFFFF
             val fieldCount = buf.getShort(tp + 2) & 0xFFFF
-            tp += 4
-            val fields = Seq.newBuilder[TemplateField]
-            var ok = true
-            var i = 0
-            while (i < fieldCount && ok) {
-              if (tp + 4 > setEnd) { ok = false }
-              else {
-                val rawIe = buf.getShort(tp) & 0xFFFF
-                val len = buf.getShort(tp + 2) & 0xFFFF
-                tp += 4
-                if (!v9 && (rawIe & 0x8000) != 0) { // enterprise IE (IPFIX only)
-                  if (tp + 4 > setEnd) ok = false
-                  else {
-                    val pen = buf.getInt(tp) & 0xFFFFFFFFL
-                    tp += 4
-                    fields += TemplateField(rawIe & 0x7FFF, len, Some(pen))
-                  }
-                } else fields += TemplateField(rawIe, len)
-                i += 1
-              }
+            readFieldSpecs(tp + 4, setEnd, fieldCount) match {
+              case null =>
+                errors += s"$exporter: truncated template $templateId"
+                cont = false
+              case (fields, next) =>
+                if (fieldCount > 0)
+                  templates = templates.updated(
+                    TemplateKey(exporter, domain, templateId), Template(fields))
+                tp = next
             }
-            if (ok && fieldCount > 0)
-              templates = templates.updated(
-                TemplateKey(exporter, domain, templateId), Template(fields.result()))
-            else if (!ok) errors += s"$exporter: truncated template $templateId"
           }
         } else if (setId == optionsSetId) {
-          // Options templates describe metadata streams — skipped (raw).
+          // Options templates (RFC 3954 §6.2 v9 / RFC 7011 §3.4.2.2 IPFIX):
+          // scope fields first, then option fields; data records decoded
+          // into OptionsRecord (sampling config etc.).
+          var tp = pos + 4
+          var cont = true
+          while (cont && tp + 6 <= setEnd) {
+            val templateId = buf.getShort(tp) & 0xFFFF
+            // v9 carries byte lengths of the two spec regions; IPFIX
+            // carries field counts (total + scope).
+            val (scopeN, totalN) =
+              if (v9) ((buf.getShort(tp + 2) & 0xFFFF) / 4,
+                ((buf.getShort(tp + 2) & 0xFFFF) + (buf.getShort(tp + 4) & 0xFFFF)) / 4)
+              else (buf.getShort(tp + 4) & 0xFFFF, buf.getShort(tp + 2) & 0xFFFF)
+            readFieldSpecs(tp + 6, setEnd, totalN) match {
+              case null =>
+                errors += s"$exporter: truncated options template $templateId"
+                cont = false
+              case (fields, next) =>
+                if (totalN > 0 && scopeN <= totalN)
+                  templates = templates.updated(
+                    TemplateKey(exporter, domain, templateId),
+                    Template(fields, scopeCount = math.max(scopeN, 1)))
+                tp = next
+            }
+          }
         } else if (setId >= 256) {
           templates.get(TemplateKey(exporter, domain, setId)) match {
             case None =>
               errors += s"$exporter: data set $setId before template (dropped)"
-            case Some(t) if t.recordLength <= 0 =>
-              errors += s"$exporter: template $setId has variable-length fields (unsupported)"
+            case Some(t) if t.minRecordLength <= 0 =>
+              errors += s"$exporter: template $setId has zero-size records (dropped)"
             case Some(t) =>
+              // Fixed-size records stride by recordLength; var-len records
+              // (RFC 7011 §7) are walked field-by-field. Trailing padding
+              // (< one minimal record) ignored per spec.
               var rp = pos + 4
-              while (rp + t.recordLength <= setEnd) { // trailing padding ignored
-                records += decodeDataRecord(exporter, recvTsMicros, domain, buf, rp, t,
-                  bootMs, exportSecs, v9)
-                rp += t.recordLength
+              var cont = true
+              while (cont && rp + t.minRecordLength <= setEnd) {
+                val lens = resolveFieldLengths(buf, rp, setEnd, t)
+                if (lens == null) {
+                  errors += s"$exporter: truncated data record in set $setId"
+                  cont = false
+                } else {
+                  if (t.isOptions)
+                    opts += decodeOptionsRecord(exporter, domain, setId, buf, t, lens)
+                  else
+                    records += decodeDataRecord(exporter, recvTsMicros, domain, buf, t,
+                      lens, bootMs, exportSecs, v9)
+                  rp = lens.last._1 + lens.last._2 // end of last field
+                }
               }
           }
         }
         pos = setEnd
       }
     }
-    DecodeResult(templates, records.result(), errors.result())
+    DecodeResult(templates, records.result(), errors.result(), opts.result())
+  }
+
+  /** Per-record (offset, actualLength) for every template field, resolving
+    * RFC 7011 §7 var-len prefixes (1 byte, or 0xFF + 2 bytes). Returns
+    * null if the record would cross `limit`.
+    */
+  private def resolveFieldLengths(buf: ByteBuffer, start: Int, limit: Int,
+      t: Template): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](t.fields.length)
+    var off = start
+    var i = 0
+    while (i < t.fields.length) {
+      val f = t.fields(i)
+      var len = f.length
+      if (len == 0xFFFF) {
+        if (off + 1 > limit) return null
+        val b0 = buf.get(off) & 0xFF
+        if (b0 < 255) { len = b0; off += 1 }
+        else {
+          if (off + 3 > limit) return null
+          len = buf.getShort(off + 1) & 0xFFFF
+          off += 3
+        }
+      }
+      if (off + len > limit) return null
+      out(i) = (off, len)
+      off += len
+      i += 1
+    }
+    out
   }
 
   private def decodeDataRecord(exporter: String, recvTsMicros: Long, domain: Long,
-      buf: ByteBuffer, start: Int, t: Template, bootMs: Long, exportSecs: Long,
-      v9: Boolean): FlowRecord = {
+      buf: ByteBuffer, t: Template, lens: Array[(Int, Int)], bootMs: Long,
+      exportSecs: Long, v9: Boolean): FlowRecord = {
     var srcAddr: String = null
     var dstAddr: String = null
     var nextHop: String = null
@@ -213,30 +329,38 @@ object NetFlowCodec {
     var startMs, endMs = 0L
     val rawOut = Array.newBuilder[Byte]
 
-    var off = start
-    t.fields.foreach { f =>
-      def uint(): Long = { // big-endian unsigned of f.length bytes (≤8)
+    var fi = 0
+    while (fi < t.fields.length) {
+      val f = t.fields(fi)
+      val (off, flen) = lens(fi)
+      def uint(): Long = { // big-endian unsigned of flen bytes (≤8)
         var v = 0L
         var i = 0
-        while (i < f.length && i < 8) { v = (v << 8) | (buf.get(off + i) & 0xFF); i += 1 }
+        while (i < flen && i < 8) { v = (v << 8) | (buf.get(off + i) & 0xFF); i += 1 }
         v
       }
-      if (f.enterprise.isDefined) {
+      def keepRaw(): Unit = {
         var i = 0
-        while (i < f.length) { rawOut += buf.get(off + i); i += 1 } // keep, don't mis-parse
-      } else f.ieId match {
+        while (i < flen) { rawOut += buf.get(off + i); i += 1 }
+      }
+      // Typed parses only at the IE's expected wire size — a template
+      // declaring e.g. IE 8 with length 2 must fall through to the
+      // length-bounded raw branch, not read 4 bytes past the field (an
+      // exporter- or attacker-controlled overread).
+      if (f.enterprise.isDefined) keepRaw() // keep, don't mis-parse
+      else f.ieId match {
         case IE_OCTETS     => bytes = uint()
         case IE_PACKETS    => packets = uint()
         case IE_PROTOCOL   => protocol = uint().toInt
         case IE_TOS        => tos = uint().toInt
         case IE_TCP_FLAGS  => tcpFlags = uint().toInt
         case IE_SRC_PORT   => srcPort = uint().toInt
-        case IE_SRC_V4     => srcAddr = ipv4(buf.getInt(off))
+        case IE_SRC_V4 if flen == 4 => srcAddr = ipv4(buf.getInt(off))
         case IE_IN_IF      => inIf = uint().toInt
         case IE_DST_PORT   => dstPort = uint().toInt
-        case IE_DST_V4     => dstAddr = ipv4(buf.getInt(off))
+        case IE_DST_V4 if flen == 4 => dstAddr = ipv4(buf.getInt(off))
         case IE_OUT_IF     => outIf = uint().toInt
-        case IE_NEXT_HOP_V4 => nextHop = ipv4(buf.getInt(off))
+        case IE_NEXT_HOP_V4 if flen == 4 => nextHop = ipv4(buf.getInt(off))
         case IE_SRC_AS     => srcAs = uint()
         case IE_DST_AS     => dstAs = uint()
         case IE_START_MS   => startMs = uint()
@@ -245,13 +369,11 @@ object NetFlowCodec {
         case IE_END_SEC    => endMs = uint() * 1000L
         case IE_START_UPTIME => startMs = bootMs + uint() // v9 uptime-relative
         case IE_END_UPTIME => endMs = bootMs + uint()
-        case IE_SRC_V6     => srcAddr = ipv6(buf, off)
-        case IE_DST_V6     => dstAddr = ipv6(buf, off)
-        case _ =>
-          var i = 0
-          while (i < f.length) { rawOut += buf.get(off + i); i += 1 }
+        case IE_SRC_V6 if flen == 16 => srcAddr = ipv6(buf, off)
+        case IE_DST_V6 if flen == 16 => dstAddr = ipv6(buf, off)
+        case _ => keepRaw()
       }
-      off += f.length
+      fi += 1
     }
     if (startMs == 0L) startMs = exportSecs * 1000L
     if (endMs == 0L) endMs = startMs
@@ -264,6 +386,27 @@ object NetFlowCodec {
       tcp_flags = tcpFlags, packets = packets, bytes = bytes,
       in_if = inIf, out_if = outIf, src_as = srcAs, dst_as = dstAs,
       next_hop = nextHop, tos = tos, raw = rawOut.result())
+  }
+
+  /** Options-data record → scope/value uint maps (≤8 B values kept). */
+  private def decodeOptionsRecord(exporter: String, domain: Long, templateId: Int,
+      buf: ByteBuffer, t: Template, lens: Array[(Int, Int)]): OptionsRecord = {
+    var scope = Map.empty[Int, Long]
+    var values = Map.empty[Int, Long]
+    var fi = 0
+    while (fi < t.fields.length) {
+      val f = t.fields(fi)
+      val (off, flen) = lens(fi)
+      if (f.enterprise.isEmpty && flen <= 8) {
+        var v = 0L
+        var i = 0
+        while (i < flen) { v = (v << 8) | (buf.get(off + i) & 0xFF); i += 1 }
+        if (fi < t.scopeCount) scope += (f.ieId -> v)
+        else values += (f.ieId -> v)
+      }
+      fi += 1
+    }
+    OptionsRecord(exporter, domain, templateId, scope, values)
   }
 
   private def microsTs(us: Long): Timestamp = {

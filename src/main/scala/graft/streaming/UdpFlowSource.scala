@@ -65,9 +65,42 @@ object UdpFlowSource {
   /** Datagram buffers shared between stream instances, keyed by endpoint.
     * (firstSeq, packets): `commit` trims the acknowledged prefix so memory
     * is bounded by one trigger interval of traffic.
+    *
+    * Fault tolerance: like Spark's socket source, this source is NOT
+    * fault-tolerant across JVM restarts — datagrams buffered in a dead
+    * JVM are gone (at-most-once). What IS guaranteed is that recovery
+    * never wedges or replays wrong rows: [[reseed]] aligns a fresh
+    * buffer's sequence numbering with the restored checkpoint offset.
     */
   private val buffers =
     scala.collection.mutable.Map[String, (Long, ArrayBuffer[(Long, String, Array[Byte])])]()
+
+  /** Endpoints with a live MicroBatchStream. One stream per endpoint:
+    * commit() trims the shared buffer, so a second concurrent reader
+    * would silently lose whatever the first acknowledged.
+    */
+  private val active = scala.collection.mutable.Set[String]()
+
+  private[streaming] def register(key: String): Unit = buffers.synchronized {
+    if (!active.add(key))
+      throw new IllegalStateException(
+        s"udp-flows endpoint $key already has an active stream; " +
+          "concurrent streams on one endpoint would race on commit-trim")
+  }
+
+  private[streaming] def deregister(key: String): Unit =
+    buffers.synchronized { active -= key }
+
+  /** Cross-JVM restart: the checkpoint holds seq N but a fresh process
+    * numbers from 0. Renumber the buffer so already-received packets get
+    * seqs ≥ the restored offset — recovery proceeds, nothing is replayed
+    * under a wrong number (see fault-tolerance note above).
+    */
+  private[streaming] def reseed(key: String, atLeast: Long): Unit =
+    buffers.synchronized {
+      val (first, buf) = buffers.getOrElseUpdate(key, (0L, ArrayBuffer.empty))
+      if (first + buf.length < atLeast) buffers(key) = (atLeast, buf)
+    }
 
   def endpointKey(options: CaseInsensitiveStringMap): String =
     options.getOrDefault("host", "0.0.0.0") + ":" + options.getOrDefault("port", "2055")
@@ -101,13 +134,14 @@ object UdpFlowSource {
   }
 
   def clear(key: String): Unit =
-    buffers.synchronized { buffers.remove(key) }
+    buffers.synchronized { buffers.remove(key); active -= key }
 }
 
 final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream {
 
   private val key = UdpFlowSource.endpointKey(options)
+  UdpFlowSource.register(key) // one live stream per endpoint (commit trims)
   private val numPartitions = options.getInt("partitions", 4)
   private val useSocket = options.getBoolean("socket", true)
 
@@ -135,7 +169,13 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset = UdpOffset(UdpFlowSource.latest(key))
-  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val o = UdpOffset(json.toLong)
+    // Restored from a checkpoint: make sure this (possibly fresh) JVM's
+    // buffer numbering is not behind the committed offset.
+    UdpFlowSource.reseed(key, o.seq)
+    o
+  }
   override def commit(end: Offset): Unit =
     UdpFlowSource.trim(key, end.asInstanceOf[UdpOffset].seq)
 
@@ -162,5 +202,6 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = {
     if (socket != null) socket.close()
     if (receiver != null) receiver.interrupt()
+    UdpFlowSource.deregister(key)
   }
 }

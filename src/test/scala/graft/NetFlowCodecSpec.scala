@@ -199,6 +199,90 @@ class NetFlowCodecSpec extends AnyFunSuite {
     assert(r.bytes == 1500L && r.packets == 3L)
   }
 
+  test("ipfix: variable-length IE (RFC 7011 §7) decodes, short and long form") {
+    // template 310: src port (2B) + interfaceName (IE 82, var-len) + dst port (2B)
+    val tmpl = ipfixTemplate(310, Seq((7, 2), (82, 0xFFFF), (11, 2)))
+    // record 1: short form — 1-byte length prefix (4) + "eth0"
+    val r1 = ByteBuffer.allocate(2 + 1 + 4 + 2).order(ByteOrder.BIG_ENDIAN)
+      .putShort(1234.toShort).put(4.toByte).put("eth0".getBytes("UTF-8"))
+      .putShort(80.toShort).array()
+    // record 2: long form — 0xFF then 2-byte length (5) + "wlan1"
+    val r2 = ByteBuffer.allocate(2 + 3 + 5 + 2).order(ByteOrder.BIG_ENDIAN)
+      .putShort(4321.toShort).put(0xFF.toByte).putShort(5.toShort)
+      .put("wlan1".getBytes("UTF-8")).putShort(443.toShort).array()
+    val pkt = ipfixPacket(7L, tmpl, dataSet(310, r1 ++ r2))
+    val res = NetFlowCodec.decode(exporter, recvUs, pkt, noTemplates)
+    assert(res.errors.isEmpty, res.errors)
+    assert(res.records.size == 2)
+    assert(res.records(0).src_port == 1234 && res.records(0).dst_port == 80)
+    assert(new String(res.records(0).raw, "UTF-8") == "eth0")
+    assert(res.records(1).src_port == 4321 && res.records(1).dst_port == 443)
+    assert(new String(res.records(1).raw, "UTF-8") == "wlan1")
+  }
+
+  test("v9: options template surfaces sampling interval") {
+    // Options template set (id 1): template 500, scope System(1)/4B,
+    // options samplingInterval(34)/4B + samplingAlgorithm(35)/1B.
+    val ot = ByteBuffer.allocate(4 + 6 + 4 + 8).order(ByteOrder.BIG_ENDIAN)
+    ot.putShort(1).putShort((4 + 6 + 4 + 8).toShort)
+    ot.putShort(500.toShort).putShort(4.toShort).putShort(8.toShort) // scopeLen, optLen (bytes)
+    ot.putShort(1.toShort).putShort(4.toShort)   // scope: System, 4B
+    ot.putShort(34.toShort).putShort(4.toShort)  // samplingInterval
+    ot.putShort(35.toShort).putShort(1.toShort)  // samplingAlgorithm
+    val odata = ByteBuffer.allocate(9).order(ByteOrder.BIG_ENDIAN)
+      .putInt(0).putInt(1000).put(2.toByte).array()
+    val ds = dataSet(500, odata)
+    val total = 20 + ot.array().length + ds.length
+    val pkt = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+    pkt.putShort(9).putShort(2).putInt(50000).putInt(1700000000).putInt(1).putInt(99)
+    pkt.put(ot.array()).put(ds)
+    val res = NetFlowCodec.decode(exporter, recvUs, pkt.array(), noTemplates)
+    assert(res.errors.isEmpty, res.errors)
+    assert(res.records.isEmpty)
+    assert(res.options.size == 1)
+    val o = res.options.head
+    assert(o.domain == 99L && o.templateId == 500)
+    assert(o.samplingInterval.contains(1000L))
+    assert(o.values.get(35).contains(2L))
+  }
+
+  test("ipfix: options template (scope count form) surfaces sampling interval") {
+    // IPFIX options template set (id 3): template 510, total 2 fields,
+    // 1 scope — scope exportingProcessId(144)/4B, option
+    // samplingPacketInterval(305)/4B.
+    val ot = ByteBuffer.allocate(4 + 6 + 8).order(ByteOrder.BIG_ENDIAN)
+    ot.putShort(3).putShort((4 + 6 + 8).toShort)
+    ot.putShort(510.toShort).putShort(2.toShort).putShort(1.toShort)
+    ot.putShort(144.toShort).putShort(4.toShort)
+    ot.putShort(305.toShort).putShort(4.toShort)
+    val odata = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      .putInt(77).putInt(4096).array()
+    val pkt = ipfixPacket(7L, ot.array(), dataSet(510, odata))
+    val res = NetFlowCodec.decode(exporter, recvUs, pkt, noTemplates)
+    assert(res.errors.isEmpty, res.errors)
+    assert(res.options.size == 1)
+    val o = res.options.head
+    assert(o.scope.get(144).contains(77L))
+    assert(o.samplingInterval.contains(4096L))
+  }
+
+  test("ipfix: undersized address IE lands in raw, never overreads") {
+    // Hostile template: IE 8 (src v4) declared 2 bytes, as the LAST field
+    // of the last record in the packet — a fixed-width getInt would read
+    // past the packet end.
+    val tmpl = ipfixTemplate(320, Seq((7, 2), (8, 2)))
+    val rec = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      .putShort(9999.toShort).putShort(0x0A0B.toShort).array()
+    val pkt = ipfixPacket(7L, tmpl, dataSet(320, rec))
+    val res = NetFlowCodec.decode(exporter, recvUs, pkt, noTemplates)
+    assert(res.errors.isEmpty, res.errors)
+    assert(res.records.size == 1)
+    val r = res.records.head
+    assert(r.src_port == 9999)
+    assert(r.src_addr == null) // typed parse refused at wrong width
+    assert(r.raw.toSeq == Seq(0x0A.toByte, 0x0B.toByte))
+  }
+
   test("garbage and short packets produce errors, never throw") {
     assert(NetFlowCodec.decode(exporter, recvUs, Array[Byte](1), noTemplates)
       .errors.nonEmpty)

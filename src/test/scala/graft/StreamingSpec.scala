@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{FlowPipeline, UdpFlowSource}
+import graft.streaming.{FlowPipeline, FlowRecord, NetFlowCodec, UdpFlowSource}
 
 /** End-to-end streaming tests: the UDP DSv2 source feeding the decode
   * stage, watermark late-data eviction, stateful flow expiry, streaming
@@ -260,6 +260,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(ports == Seq(4000, 4001, 4002, 4003, 4004)) // all five, no dups
     UdpFlowSource.clear(key)
+  }
+
+  test("options records de-sample flow counters per exporter") {
+    import spark.implicits._
+    val ts = new Timestamp(1700000000000L)
+    def flow(exp: String, bytes: Long, pkts: Long) = FlowRecord(
+      recv_ts = ts, exporter = exp, domain = 9L, start_ts = ts, end_ts = ts,
+      duration_ms = 0L, src_addr = "10.0.0.1", dst_addr = "10.0.0.2",
+      src_port = 1, dst_port = 2, protocol = 6, tcp_flags = 0,
+      packets = pkts, bytes = bytes, in_if = 0, out_if = 0,
+      src_as = 0L, dst_as = 0L, next_hop = null, tos = 0,
+      raw = Array.emptyByteArray)
+    val flows = Seq(flow("10.0.0.1", 500L, 5L), flow("10.0.0.9", 70L, 7L)).toDS()
+    // Only exporter 10.0.0.1 advertises sampling (1 in 100, v9 IE 34).
+    val opts = Seq(NetFlowCodec.OptionsRecord("10.0.0.1", 9L, 500,
+      Map(1 -> 0L), Map(34 -> 100L, 35 -> 2L))).toDS()
+    val out = FlowPipeline.desample(flows, opts)
+      .select("exporter", "bytes", "packets", "sampling_interval")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("10.0.0.1", 50000L, 500L, 100L), // de-sampled ×100
+      ("10.0.0.9", 70L, 7L, 1L)))       // no options → ×1 passthrough
   }
 
   test("foreachBatch FlowSink collects micro-batches (ClickHouse-shaped path)") {
