@@ -128,6 +128,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("10.0.0.1", "10.0.0.2"))
   }
 
+  test("ClickHouse dialect: MergeTree DDL goldens; batched insert path via Derby") {
+    import graft.streaming.{ClickHouseDialect, ClickHouseFlowSink, FlowSchema}
+    // DDL golden on the canonical flow schema.
+    val ddl = ClickHouseDialect.ddl("flows", FlowSchema.schema)
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS `flows`"))
+    assert(ddl.contains("`recv_ts` Nullable(DateTime64(6))"))
+    assert(ddl.contains("`exporter` Nullable(String)"))
+    assert(ddl.contains("`bytes` Nullable(Int64)"))
+    assert(ddl.contains("`src_port` Nullable(Int32)"))
+    assert(ddl.contains("`raw` String")) // binary → non-null CH String
+    assert(ddl.contains("ENGINE = MergeTree"))
+    assert(ddl.contains("PARTITION BY toDate(`start_ts`)"))
+    assert(ddl.contains("ORDER BY (`exporter`, `start_ts`)"))
+    assert(ClickHouseDialect.insertSql("flows",
+      org.apache.spark.sql.types.StructType(FlowSchema.schema.take(2)))
+      == "INSERT INTO flows (recv_ts, exporter) VALUES (?, ?)")
+
+    // Batched-insert execution path against embedded Derby (no CH driver
+    // offline): pre-create the table with Derby DDL, createTable = false.
+    val url = "jdbc:derby:memory:chdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE CHFLOWS (flow_id BIGINT, src_addr VARCHAR(64), bytes BIGINT)")
+    conn.close()
+    import spark.implicits._
+    val df = (1 to 25).map(i => (i.toLong, s"10.0.0.$i", i * 100L))
+      .toDF("flow_id", "src_addr", "bytes")
+    new ClickHouseFlowSink(url, "CHFLOWS", batchSize = 10, createTable = false)
+      .write(df, 0L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "CHFLOWS").load()
+    assert(back.count() == 25)
+    assert(back.agg(sum("bytes")).head().getLong(0) == (1 to 25).map(_ * 100L).sum)
+  }
+
   test("multimodal: meta extraction, resize, frame sampling, stub featurize") {
     val media = Multimodal.synthesize(spark, 30)
     val withMeta = Multimodal.extractMeta(media)
