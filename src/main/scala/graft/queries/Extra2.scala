@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Round-2 depth: operators the engine's two problem domains actually
+  * run — flow analytics (sessionization, IP/CIDR arithmetic, histogram
+  * buckets) and the LLM-data pipeline (edit-distance near-dup, TF-IDF
+  * term scoring). All oracle-backed, all following the SURVEY §2.11
+  * determinism rules (total ordering with unique tie-breaks, DECIMAL
+  * casts before aggregation, integer-epoch timestamps).
+  */
+object Extra2 {
+
+  val defs: Map[String, Q] = Map(
+
+    "win_sessionize" -> Q(
+      """WITH e AS (SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |g AS (SELECT user_id, event_id, s,
+        |        CASE WHEN s - LAG(s) OVER w > 600 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |x AS (SELECT user_id, s,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM g)
+        |SELECT user_id, sess, MIN(s) AS start_s, MAX(s) AS end_s,
+        |       COUNT(*) AS n_events
+        |FROM x GROUP BY user_id, sess
+        |ORDER BY user_id, sess""".stripMargin) {
+      // Gaps-and-islands sessionization (10-min idle gap): the batch
+      // equivalent of stream_session's session_window, via lag + running
+      // sum of gap breaks. One shuffle on user_id serves both windows
+      // and the final aggregation.
+      (s, d) =>
+        val byTs = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000000000").as("s"))
+          .withColumn("brk",
+            when(col("s") - lag(col("s"), 1).over(byTs) > 600, 1).otherwise(0))
+          .withColumn("sess", sum(col("brk")).over(
+            byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess")
+          .agg(min(col("s")).as("start_s"), max(col("s")).as("end_s"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "sess")
+    },
+
+    "fn_ip" -> Q(
+      """WITH ips AS (
+        |  SELECT o_orderkey,
+        |    concat('10.', CAST((o_orderkey // 65536) % 256 AS VARCHAR), '.',
+        |           CAST((o_orderkey // 256) % 256 AS VARCHAR), '.',
+        |           CAST(o_orderkey % 256 AS VARCHAR)) AS ip
+        |  FROM read_parquet('{sfDir}/orders.parquet')),
+        |p AS (SELECT o_orderkey, ip,
+        |        CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+        |        CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+        |        CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+        |        CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+        |      FROM ips)
+        |SELECT o_orderkey, ip,
+        |       o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+        |       CASE WHEN o2 < 128 THEN 1 ELSE 0 END AS in_cidr9,
+        |       concat(CAST(o1 AS VARCHAR), '.', CAST(o2 AS VARCHAR), '.',
+        |              CAST(o3 AS VARCHAR), '.0/24') AS net24
+        |FROM p ORDER BY o_orderkey""".stripMargin) {
+      // IP/CIDR arithmetic (the flow-enrichment primitives): derive a
+      // deterministic dotted quad per order key, then genuinely parse it
+      // back — split, octet casts, numeric form, 10.0.0.0/9 membership,
+      // /24 network string. Pure codegen'd expressions.
+      (s, d) =>
+        val ips = T.orders(s, d).select(col("o_orderkey"),
+          concat(lit("10."), ((col("o_orderkey") / 65536).cast(LongType) % 256).cast("string"),
+            lit("."), ((col("o_orderkey") / 256).cast(LongType) % 256).cast("string"),
+            lit("."), (col("o_orderkey") % 256).cast("string")).as("ip"))
+        val oct = (i: Int) => element_at(split(col("ip"), "\\."), i).cast(LongType)
+        ips.select(col("o_orderkey"), col("ip"),
+            oct(1).as("o1"), oct(2).as("o2"), oct(3).as("o3"), oct(4).as("o4"))
+          .select(col("o_orderkey"), col("ip"),
+            (col("o1") * 16777216L + col("o2") * 65536L + col("o3") * 256L
+              + col("o4")).as("ip_num"),
+            when(col("o2") < 128, 1).otherwise(0).as("in_cidr9"),
+            concat(col("o1").cast("string"), lit("."), col("o2").cast("string"),
+              lit("."), col("o3").cast("string"), lit(".0/24")).as("net24"))
+          .orderBy("o_orderkey")
+    },
+
+    "agg_histogram" -> Q(
+      """SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |GROUP BY bucket ORDER BY bucket""".stripMargin) {
+      // Fixed-width histogram (10 buckets of 60k, top bucket open-ended):
+      // arithmetic bucketing instead of width_bucket so both engines
+      // compute the identical integer. Two-phase aggregation; the shuffle
+      // carries ≤ 10 groups.
+      (s, d) => T.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 60000).cast(LongType), lit(9L))
+          .as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          dec2(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        .orderBy("bucket")
+    },
+
+    "dedup_levenshtein" -> Q(
+      """WITH d AS (SELECT doc_id, substr(text, 1, 30) AS p
+        |           FROM read_parquet('{sfDir}/documents.parquet')
+        |           WHERE doc_id < 40)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       levenshtein(a.p, b.p) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 16
+        |ORDER BY id1, id2""".stripMargin) {
+      // Edit-distance near-dup — the 5th dedup family (exact / Jaccard /
+      // MinHash / embedding / edit-distance). Deliberately bounded
+      // (doc_id < 40, 30-char prefixes) as the correctness baseline; the
+      // scale path for fuzzy matching is banded candidates first
+      // (Sketches) with the distance only on candidate pairs.
+      (s, d) =>
+        val docs = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("p"))
+        val a = docs.select(col("doc_id").as("id1"), col("p").as("p1"))
+        val b = docs.select(col("doc_id").as("id2"), col("p").as("p2"))
+        a.join(b, col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            levenshtein(col("p1"), col("p2")).as("dist"))
+          .filter(col("dist") <= 16)
+          .orderBy("id1", "id2")
+    },
+
+    "text_tfidf" -> Q(
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+        |sc AS (SELECT tf.doc_id, tf.word,
+        |         CAST(ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6)
+        |              AS DECIMAL(18,6)) AS score
+        |       FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+        |SELECT doc_id, word, score FROM (
+        |  SELECT doc_id, word, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, word) AS rn
+        |  FROM sc) t
+        |WHERE rn <= 3
+        |ORDER BY doc_id, word""".stripMargin) {
+      // TF-IDF top-3 terms per document — the quality-scoring/feature
+      // primitive of a text pipeline. Shapes that scale: tf and df are
+      // two-phase aggs on (doc, word)/(word); the doc count broadcasts
+      // (1 row); ranking shuffles once on doc_id.
+      (s, d) =>
+        val words = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
+        val n = words.agg(countDistinct("doc_id").as("n"))
+        val byScore = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))
+        tf.join(df, "word").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("word"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+              .cast(DecimalType(18, 6)).as("score"))
+          .withColumn("rn", row_number().over(byScore))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "word", "score")
+          .orderBy("doc_id", "word")
+    }
+  )
+}
