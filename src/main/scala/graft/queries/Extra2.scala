@@ -135,6 +135,29 @@ object Extra2 {
           .orderBy("id1", "id2")
     },
 
+    "topk_group_exec" -> Q(
+      """SELECT c_nationkey, c_custkey,
+        |       CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM read_parquet('{sfDir}/customer.parquet')) t
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, c_custkey""".stripMargin) {
+      // Top-3 customers by balance per nation on the CUSTOM physical
+      // operator (graft.plans.TopKPerGroupExec: bounded heap per group,
+      // O(n log k), no full partition sort) — oracle-checked against the
+      // window form it replaces. Total ordering via (bal desc, custkey).
+      (s, d) =>
+        org.apache.spark.sql.graft.native.top_k_per_group(
+            T.customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal"),
+            Seq("c_nationkey"),
+            Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+          .select(col("c_nationkey"), col("c_custkey"),
+            dec2(col("c_acctbal")).as("bal"))
+          .orderBy("c_nationkey", "c_custkey")
+    },
+
     "text_tfidf" -> Q(
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |           FROM read_parquet('{sfDir}/documents.parquet')),

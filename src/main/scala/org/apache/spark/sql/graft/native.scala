@@ -1,9 +1,11 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.classic.ExpressionUtils
 
 import graft.functions.{CosineSimilarity, MinHashSignature, SignLshBuckets, SimHash64}
+import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
 
 /** Bridge into Spark's `private[sql]` Expression↔Column surface for the
   * engine's native expressions. Lives under `org.apache.spark.sql` on
@@ -29,6 +31,32 @@ object native {
   /** Sign-LSH bucket per hash table (array of length `tables`). */
   def sign_lsh_buckets(emb: Column, nbits: Int, tables: Int): Column =
     ExpressionUtils.column(SignLshBuckets(ExpressionUtils.expression(emb), nbits, tables))
+
+  /** Top-k rows per group as the custom whole-operator plan
+    * ([[graft.plans.TopKPerGroupPlan]]): bounded-heap per group instead
+    * of the window form's full partition sort. `orderBy` must be a total
+    * ordering (unique tie-break) for deterministic output; accepts
+    * `col(...).desc/.asc` columns (bare columns default to ascending).
+    * Lazily attaches the planner strategy to the session.
+    */
+  def top_k_per_group(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    // Route the sort columns through the Dataset API's own analysis so
+    // we receive fully-resolved catalyst SortOrders (a hand-built
+    // SortOrder around a Column captures unconverted, non-serializable
+    // ColumnNode internals).
+    val sortNode = df.sort(orderBy: _*).queryExecution.analyzed.asInstanceOf[Sort]
+    val child = sortNode.child
+    val group = groupCols.map(c => child.output.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"unknown group column $c")))
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerGroupPlan(group, sortNode.order, k, child))
+  }
 
   /** Register `cosine_similarity` for SQL text in an existing session.
     * (New sessions can instead use `spark.sql.extensions=graft.GraftExtensions`.)

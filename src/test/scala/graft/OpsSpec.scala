@@ -128,6 +128,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("10.0.0.1", "10.0.0.2"))
   }
 
+  test("top_k_per_group: custom exec node in the plan, equals the window form") {
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+    val topk = gnative.top_k_per_group(customer, Seq("c_nationkey"),
+      Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+    val rows = topk.collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    // The custom operator actually planned (not a window fallback).
+    assert(topk.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // Equivalence against the window form it replaces.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val expect = customer.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    assert(rows == expect)
+    assert(rows.nonEmpty)
+  }
+
   test("ClickHouse dialect: MergeTree DDL goldens; batched insert path via Derby") {
     import graft.streaming.{ClickHouseDialect, ClickHouseFlowSink, FlowSchema}
     // DDL golden on the canonical flow schema.
