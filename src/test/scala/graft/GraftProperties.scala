@@ -82,6 +82,29 @@ object GraftProperties extends Properties("graft") {
     Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 10.0f))
       .map(_.toArray).suchThat(v => v.exists(_ != 0.0f))
 
+  // ----------------------------------------- decode is total (fuzz)
+  // The network-facing entry point must never throw, whatever bytes
+  // arrive — including bytes that START like v5/v9/IPFIX and corrupt
+  // from there (hostile templates, truncated sets, var-len prefixes
+  // running past the end).
+  private val genGarbage: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)),
+    for { // plausible header, random body
+      ver <- Gen.oneOf(5, 9, 10)
+      body <- Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield {
+      val b = ByteBuffer.allocate(2 + body.length).order(ByteOrder.BIG_ENDIAN)
+      b.putShort(ver.toShort).put(body)
+      b.array()
+    })
+
+  property("decode is total on arbitrary and half-plausible bytes") =
+    forAll(genGarbage) { bytes =>
+      val res = NetFlowCodec.decode("fuzz", 0L, bytes, Map.empty)
+      // Never throws; whatever it returns is structurally sane.
+      res.records.forall(_ != null) && res.templates != null && res.options != null
+    }
+
   property("cosine(a, a) = 1") = forAll(genVec) { v =>
     math.abs(cosEval(v, v) - 1.0) < 1e-9
   }
