@@ -63,6 +63,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"complex-typed output columns: $offenders")
   }
 
+  test("representative queries are invariant to shuffle width (4 vs 7 partitions)") {
+    // Partitioning-invariance is the property that survives a 100× scale-up:
+    // if results depend on split count or shuffle width, they are wrong on
+    // any real cluster. Sample covers aggs, joins, windows, set ops, the
+    // custom exec, sketches and text ops.
+    val sample = Seq("agg_pricing", "agg_corr", "agg_median", "join_inner",
+      "win_rank", "win_sessionize", "set_except_all", "dedup_exact",
+      "text_tfidf", "fn_ip", "stream_tumbling", "topk_group_exec")
+    val s7 = spark.newSession()
+    s7.conf.set("spark.sql.shuffle.partitions", "7")
+    val diverged = sample.flatMap { name =>
+      val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      val b = SparkEntry.queries(name)(s7, sf).collect().toSeq
+      if (a != b) Some(name) else None
+    }
+    assert(diverged.isEmpty, s"partitioning-dependent results: $diverged")
+  }
+
   test("every declared query is deterministic across runs (same plan, twice)") {
     val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val a = fn(spark, sf).collect().toSeq
