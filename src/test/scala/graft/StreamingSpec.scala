@@ -262,6 +262,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     UdpFlowSource.clear(key)
   }
 
+  test("FlowApp: conf parses, assembles listeners→decode→parquet, rows land") {
+    import graft.streaming.FlowApp
+    val conf = FlowApp.parseConfig(
+      """# nf2pq-shaped config
+        |[listener.primary]
+        |port = 9971           # injected, no socket in tests
+        |socket = false
+        |
+        |[listener.backup]
+        |port = 9972
+        |socket = false
+        |
+        |[parquet]
+        |dir = "__DIR__"
+        |checkpoint = __CKPT__
+        |interval = 1 seconds
+        |""".stripMargin
+        .replace("__DIR__", tmp("app-out"))
+        .replace("__CKPT__", tmp("app-ckpt")))
+    assert(conf("listener.primary")("port") == "9971")
+    assert(conf("listener.backup")("socket") == "false")
+    val outDir = conf("parquet")("dir")
+
+    val k1 = "0.0.0.0:9971"
+    val k2 = "0.0.0.0:9972"
+    UdpFlowSource.clear(k1); UdpFlowSource.clear(k2)
+    UdpFlowSource.inject(k1, 1700000000000000L, "10.1.1.1", v5Packet(7001))
+    UdpFlowSource.inject(k2, 1700000000000001L, "10.1.1.2", v5Packet(7002))
+    val qs = FlowApp.start(spark, conf)
+    assert(qs.size == 1) // parquet sink only
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    // Both listeners' packets decoded into the one sink.
+    val ports = spark.read.parquet(outDir).select("src_port")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ports == Seq(7001, 7002))
+    UdpFlowSource.clear(k1); UdpFlowSource.clear(k2)
+  }
+
   test("options records de-sample flow counters per exporter") {
     import spark.implicits._
     val ts = new Timestamp(1700000000000L)
