@@ -7,9 +7,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.CosineSimilarity
 
 /** Public extension wiring (SURVEY §4): inject the engine's native
-  * functions at session build time via
+  * functions and planner strategies at session build time via
   * `spark.sql.extensions=graft.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * (`native.top_k_per_group` also attaches the strategy lazily for
+  * sessions built without extensions.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -18,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

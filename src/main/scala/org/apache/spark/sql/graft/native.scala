@@ -58,6 +58,14 @@ object native {
       TopKPerGroupPlan(group, sortNode.order, k, child))
   }
 
+  /** Test-visible view of what a `SparkSessionExtensions` instance would
+    * inject (the builder hooks are `private[sql]`; this bridge lives in
+    * the sql package on purpose).
+    */
+  def plannerStrategiesOf(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
   /** Register `cosine_similarity` for SQL text in an existing session.
     * (New sessions can instead use `spark.sql.extensions=graft.GraftExtensions`.)
     */

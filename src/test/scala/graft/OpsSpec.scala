@@ -146,6 +146,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
   }
 
+  test("GraftExtensions injects the cosine function and TopKPerGroup strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = gnative.plannerStrategiesOf(ext, spark)
+    assert(strategies.contains(graft.plans.TopKPerGroupStrategy))
+  }
+
   test("ClickHouse dialect: MergeTree DDL goldens; batched insert path via Derby") {
     import graft.streaming.{ClickHouseDialect, ClickHouseFlowSink, FlowSchema}
     // DDL golden on the canonical flow schema.
