@@ -135,6 +135,45 @@ object Extra2 {
           .orderBy("id1", "id2")
     },
 
+    "agg_filter" -> Q(
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DECIMAL(18,2)) AS sum_urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS n_noprio
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      // FILTER-clause aggregates: one pass, several conditional
+      // aggregations — the idiom that replaces N self-joins. Spark
+      // codegen folds each into count(when)/sum(when).
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_all"),
+          count(when(col("o_totalprice") > 100000, 1)).as("n_big"),
+          dec2(sum(when(col("o_orderpriority") === "1-URGENT",
+            dec2(col("o_totalprice"))))).as("sum_urgent"),
+          count(when(col("o_orderpriority").isNull, 1)).as("n_noprio"))
+        .orderBy("o_orderstatus")
+    },
+
+    "agg_bool" -> Q(
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_bigdisc,
+        |  CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_notax
+        |FROM read_parquet('{sfDir}/lineitem.parquet')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      // Boolean aggregates (every/any) — quality-gate idiom for pipeline
+      // assertions ("all rows in this partition satisfy X").
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_bigdisc"),
+          count(when(col("l_tax") === 0, 1)).as("n_notax"))
+        .orderBy("l_returnflag")
+    },
+
     "topk_group_exec" -> Q(
       """SELECT c_nationkey, c_custkey,
         |       CAST(c_acctbal AS DECIMAL(18,2)) AS bal
