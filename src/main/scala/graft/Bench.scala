@@ -19,7 +19,12 @@ object Bench {
     // footer caches — so no measured query absorbs one-time JVM costs.
     // Without this the first few queries in iteration order read 1-2 s
     // heavier than steady state.
-    val warmDir = "/root/testdata/sf0.001"
+    // Tiny fixed-SF warm dir when present; fall back to the bench dir so
+    // warm-up still happens (slower, but never silently skipped).
+    val warmDir =
+      if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/root/testdata/sf0.001"))) "/root/testdata/sf0.001"
+      else sfDir
     Seq("agg_pricing", "win_rank", "stream_tumbling", "sim_cosine_topk",
         "dedup_minhash", "text_tfidf").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>

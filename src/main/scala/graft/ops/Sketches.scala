@@ -16,6 +16,13 @@ import org.apache.spark.storage.StorageLevel
   * come from an equi-join on band/bucket keys (shuffle on the band key,
   * skew-safe because band values are hashes), and only candidates get the
   * exact verification.
+  *
+  * Cache lifecycle: the multi-branch pipelines persist their skinny
+  * intermediates (MEMORY_AND_DISK) and cannot unpersist them — the
+  * returned DataFrame is lazy. Entries age out via Spark's LRU block
+  * eviction; a long-lived service that builds these repeatedly should
+  * call `spark.catalog.clearCache()` between jobs (or persist the
+  * signature relation to a table, the production shape).
   */
 object Sketches {
 
@@ -59,11 +66,14 @@ object Sketches {
     * more than once persist it — see [[minhashNearDups]].
     */
   def hashedShingles(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    docs.select(col("doc_id"), shingles("text", shingleN).as("sh"))
+    // Spread BEFORE shingling: the input is typically one split
+    // (single-row-group file), and the point is to parallelize the
+    // split+shingle+hash work itself, not just downstream ops.
+    graft.Q.spreadBy(docs, "doc_id")
+      .select(col("doc_id"), shingles("text", shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         expr(s"array_distinct(transform(sh, s -> pmod(xxhash64(s), $P)))").as("hs"))
-      .transform(graft.Q.spreadBy(_, "doc_id"))
 
   /** docs(doc_id, text) → (doc_id, sig array<long>).
     * Shingle strings are hashed once (xxhash64 mod P); the k-permutation

@@ -42,9 +42,17 @@ object ClickHouseDialect {
     * ordered by (exporter, start_ts) — the scan pattern of a flow store
     * (per-exporter time ranges). Partition pruning + primary-key skip
     * indexing line up with the Parquet sink's date/hour layout.
+    *
+    * Sorting/partition key columns are forced non-Nullable: ClickHouse
+    * rejects Nullable sorting keys by default, and the decoder always
+    * emits exporter/start_ts.
     */
   def ddl(table: String, schema: StructType): String = {
-    val cols = schema.fields.map(f => s"  `${f.name}` ${chType(f)}").mkString(",\n")
+    val keyCols = Set("exporter", "start_ts")
+    val cols = schema.fields.map { f0 =>
+      val f = if (keyCols(f0.name)) f0.copy(nullable = false) else f0
+      s"  `${f.name}` ${chType(f)}"
+    }.mkString(",\n")
     s"""CREATE TABLE IF NOT EXISTS `$table` (
        |$cols
        |) ENGINE = MergeTree

@@ -43,8 +43,21 @@ object FlowApp {
     val out = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
     var section = ""
+    // Comment strip is quote-aware: '#' inside "..." is value content
+    // (passwords, URLs), not a comment.
+    def stripComment(raw: String): String = {
+      val sb = new StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < raw.length && (raw(i) != '#' || inQ)) {
+        if (raw(i) == '"') inQ = !inQ
+        sb += raw(i)
+        i += 1
+      }
+      sb.toString
+    }
     text.linesIterator.foreach { raw =>
-      val line = raw.takeWhile(_ != '#').trim
+      val line = stripComment(raw).trim
       if (line.nonEmpty) {
         if (line.startsWith("[") && line.endsWith("]")) {
           section = line.substring(1, line.length - 1).trim
@@ -78,36 +91,63 @@ object FlowApp {
     }.reduce(_ unionByName _)
   }
 
+  private def req(kv: Map[String, String], section: String, key: String): String =
+    kv.getOrElse(key,
+      throw new IllegalArgumentException(s"[$section] needs $key"))
+
+  private def chSink(c: Map[String, String]): ClickHouseFlowSink =
+    new ClickHouseFlowSink(req(c, "clickhouse", "url"),
+      c.getOrElse("table", "flows"),
+      c.getOrElse("user", ""), c.getOrElse("password", ""),
+      c.getOrElse("batch_size", "10000").toInt,
+      c.getOrElse("create_table", "true").toBoolean)
+
   /** Assemble and start the configured topology; returns the running
-    * queries (one per sink). Caller owns awaitTermination/stop.
+    * queries. Caller owns awaitTermination/stop.
+    *
+    * With BOTH sinks configured, ONE streaming query fans each
+    * micro-batch out to parquet and ClickHouse via foreachBatch — a
+    * second streaming query would need its own udp-flows stream on the
+    * same endpoint, which the source forbids (commit-trim races). The
+    * trade-off vs the native parquet sink: foreachBatch parquet appends
+    * are at-least-once on retry rather than exactly-once file commits.
     */
   def start(spark: SparkSession,
       config: Map[String, Map[String, String]]): Seq[StreamingQuery] = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val flows = FlowPipeline.decode(packetStream(spark, config))
-    val parquetQ = config.get("parquet").map { p =>
-      FlowPipeline.startParquetSink(flows,
-        p.getOrElse("dir",
-          throw new IllegalArgumentException("[parquet] needs dir")),
-        p.getOrElse("checkpoint",
-          throw new IllegalArgumentException("[parquet] needs checkpoint")),
-        p.getOrElse("interval", "60 seconds"))
+    (config.get("parquet"), config.get("clickhouse")) match {
+      case (Some(p), Some(c)) =>
+        val dir = req(p, "parquet", "dir")
+        val sink = chSink(c)
+        val q = flows.toDF()
+          .withColumn("date", date_format(col("start_ts"), "yyyy-MM-dd"))
+          .withColumn("hour", date_format(col("start_ts"), "HH"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            val batch = df.persist()
+            try {
+              batch.write.mode("append").partitionBy("date", "hour").parquet(dir)
+              sink.write(batch.drop("date", "hour"), id)
+            } finally { batch.unpersist(); () }
+          }
+          .option("checkpointLocation", req(p, "parquet", "checkpoint"))
+          .trigger(Trigger.ProcessingTime(p.getOrElse("interval", "60 seconds")))
+          .outputMode(OutputMode.Append())
+          .start()
+        Seq(q)
+      case (Some(p), None) =>
+        Seq(FlowPipeline.startParquetSink(flows, req(p, "parquet", "dir"),
+          req(p, "parquet", "checkpoint"), p.getOrElse("interval", "60 seconds")))
+      case (None, Some(c)) =>
+        Seq(FlowPipeline.startForeachBatchSink(flows, chSink(c),
+          req(c, "clickhouse", "checkpoint"),
+          c.getOrElse("interval", "60 seconds")))
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          "config has no sink section ([parquet]/[clickhouse])")
     }
-    val chQ = config.get("clickhouse").map { c =>
-      val sink = new ClickHouseFlowSink(
-        c.getOrElse("url",
-          throw new IllegalArgumentException("[clickhouse] needs url")),
-        c.getOrElse("table", "flows"),
-        c.getOrElse("user", ""), c.getOrElse("password", ""),
-        c.getOrElse("batch_size", "10000").toInt,
-        c.getOrElse("create_table", "true").toBoolean)
-      FlowPipeline.startForeachBatchSink(flows, sink,
-        c.getOrElse("checkpoint",
-          throw new IllegalArgumentException("[clickhouse] needs checkpoint")),
-        c.getOrElse("interval", "60 seconds"))
-    }
-    val qs = parquetQ.toSeq ++ chQ.toSeq
-    require(qs.nonEmpty, "config has no sink section ([parquet]/[clickhouse])")
-    qs
   }
 
   def start(spark: SparkSession, configText: String): Seq[StreamingQuery] =

@@ -25,7 +25,16 @@ object FlowPipeline {
     * reference's per-listener threads make. mapPartitions is justified
     * here (SURVEY §2.10: imperative per-partition logic with local state).
     */
-  def decode(packets: DataFrame): Dataset[FlowRecord] = {
+  /** One decode pass extracting a view of each packet's DecodeResult —
+    * shared by [[decode]] and [[decodeOptions]] so the template-threading
+    * logic cannot drift between them. (Two *sinks* on the same packets
+    * still mean two executions of this stage — that is Spark's streaming
+    * model, one source instantiation per query — but options sets are a
+    * vanishingly small fraction of collector traffic.)
+    */
+  private def decodeStage[T](packets: DataFrame)(
+      extract: NetFlowCodec.DecodeResult => Seq[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     val spark = packets.sparkSession
     import spark.implicits._
     packets.select(col("recv_ts"), col("peer"), col("payload"))
@@ -36,30 +45,20 @@ object FlowPipeline {
           val us = recvTs.getTime * 1000L + (recvTs.getNanos / 1000L) % 1000L
           val res = NetFlowCodec.decode(peer, us, payload, templates)
           templates = res.templates
-          res.records
+          extract(res)
         }
       }
   }
+
+  def decode(packets: DataFrame): Dataset[FlowRecord] =
+    decodeStage(packets)(_.records)(Encoders.product[FlowRecord])
 
   /** Options metadata stream (sampling config, exporter stats) decoded
     * from the same raw packets — template state threaded per partition
     * exactly like [[decode]].
     */
-  def decodeOptions(packets: DataFrame): Dataset[NetFlowCodec.OptionsRecord] = {
-    val spark = packets.sparkSession
-    import spark.implicits._
-    packets.select(col("recv_ts"), col("peer"), col("payload"))
-      .as[(Timestamp, String, Array[Byte])]
-      .mapPartitions { it =>
-        var templates = Map.empty[NetFlowCodec.TemplateKey, NetFlowCodec.Template]
-        it.flatMap { case (recvTs, peer, payload) =>
-          val us = recvTs.getTime * 1000L + (recvTs.getNanos / 1000L) % 1000L
-          val res = NetFlowCodec.decode(peer, us, payload, templates)
-          templates = res.templates
-          res.options
-        }
-      }
-  }
+  def decodeOptions(packets: DataFrame): Dataset[NetFlowCodec.OptionsRecord] =
+    decodeStage(packets)(_.options)(Encoders.product[NetFlowCodec.OptionsRecord])
 
   /** De-sample flow counters with each exporter's advertised packet-
     * sampling interval (options IE 34 / IPFIX 305): bytes/packets × N for

@@ -28,11 +28,12 @@ object NetFlowCodec {
   final case class TemplateKey(exporter: String, domain: Long, templateId: Int)
   final case class TemplateField(ieId: Int, length: Int, enterprise: Option[Long] = None)
 
-  /** `scopeCount` > 0 marks an options template (RFC 3954 §6.2 /
-    * RFC 7011 §3.4.2.2): the first `scopeCount` fields are scope.
+  /** `isOptions` marks an options template (RFC 3954 §6.2 / RFC 7011
+    * §3.4.2.2) whose first `scopeCount` fields are scope — scopeCount
+    * may legitimately be 0 (some exporters send scope-less options).
     */
-  final case class Template(fields: Seq[TemplateField], scopeCount: Int = 0) {
-    val isOptions: Boolean = scopeCount > 0
+  final case class Template(fields: Seq[TemplateField], scopeCount: Int = 0,
+      isOptions: Boolean = false) {
     /** True if any field is RFC 7011 §7 variable-length (len 0xFFFF). */
     val hasVarLen: Boolean = fields.exists(_.length == 0xFFFF)
     /** Fixed record length, or -1 when records must be walked (var-len). */
@@ -42,6 +43,12 @@ object NetFlowCodec {
       */
     val minRecordLength: Int =
       fields.map(f => if (f.length == 0xFFFF) 1 else f.length).sum
+    /** Per-field start offsets within a FIXED record (empty when var-len)
+      * — lets the hot decode path stride with zero per-record allocation.
+      */
+    val fixedOffsets: Array[Int] =
+      if (hasVarLen) Array.emptyIntArray
+      else fields.scanLeft(0)(_ + _.length).toArray
   }
 
   /** One decoded options-data record: metadata an exporter publishes about
@@ -250,7 +257,7 @@ object NetFlowCodec {
                 if (totalN > 0 && scopeN <= totalN)
                   templates = templates.updated(
                     TemplateKey(exporter, domain, templateId),
-                    Template(fields, scopeCount = math.max(scopeN, 1)))
+                    Template(fields, scopeCount = scopeN, isOptions = true))
                 tp = next
             }
           }
@@ -260,10 +267,22 @@ object NetFlowCodec {
               errors += s"$exporter: data set $setId before template (dropped)"
             case Some(t) if t.minRecordLength <= 0 =>
               errors += s"$exporter: template $setId has zero-size records (dropped)"
+            case Some(t) if !t.hasVarLen =>
+              // Fixed-size records: zero-allocation stride by recordLength
+              // using the template's precomputed field offsets (the hot
+              // collector path). Trailing padding (< one record) ignored.
+              var rp = pos + 4
+              while (rp + t.recordLength <= setEnd) {
+                if (t.isOptions)
+                  opts += decodeOptionsRecord(exporter, domain, setId, buf, t, rp, null)
+                else
+                  records += decodeDataRecord(exporter, recvTsMicros, domain, buf, t,
+                    rp, null, bootMs, exportSecs, v9)
+                rp += t.recordLength
+              }
             case Some(t) =>
-              // Fixed-size records stride by recordLength; var-len records
-              // (RFC 7011 §7) are walked field-by-field. Trailing padding
-              // (< one minimal record) ignored per spec.
+              // Var-len records (RFC 7011 §7): walked field-by-field,
+              // resolving per-record length prefixes.
               var rp = pos + 4
               var cont = true
               while (cont && rp + t.minRecordLength <= setEnd) {
@@ -273,10 +292,10 @@ object NetFlowCodec {
                   cont = false
                 } else {
                   if (t.isOptions)
-                    opts += decodeOptionsRecord(exporter, domain, setId, buf, t, lens)
+                    opts += decodeOptionsRecord(exporter, domain, setId, buf, t, rp, lens)
                   else
                     records += decodeDataRecord(exporter, recvTsMicros, domain, buf, t,
-                      lens, bootMs, exportSecs, v9)
+                      rp, lens, bootMs, exportSecs, v9)
                   rp = lens.last._1 + lens.last._2 // end of last field
                 }
               }
@@ -318,9 +337,14 @@ object NetFlowCodec {
     out
   }
 
+  /** `lens` carries per-record (offset, length) pairs for var-len
+    * templates; null for fixed templates, where offsets come from the
+    * template's precomputed `fixedOffsets` relative to `base` (no
+    * per-record allocation).
+    */
   private def decodeDataRecord(exporter: String, recvTsMicros: Long, domain: Long,
-      buf: ByteBuffer, t: Template, lens: Array[(Int, Int)], bootMs: Long,
-      exportSecs: Long, v9: Boolean): FlowRecord = {
+      buf: ByteBuffer, t: Template, base: Int, lens: Array[(Int, Int)],
+      bootMs: Long, exportSecs: Long, v9: Boolean): FlowRecord = {
     var srcAddr: String = null
     var dstAddr: String = null
     var nextHop: String = null
@@ -332,7 +356,10 @@ object NetFlowCodec {
     var fi = 0
     while (fi < t.fields.length) {
       val f = t.fields(fi)
-      val (off, flen) = lens(fi)
+      var off = 0
+      var flen = 0
+      if (lens == null) { off = base + t.fixedOffsets(fi); flen = f.length }
+      else { off = lens(fi)._1; flen = lens(fi)._2 }
       def uint(): Long = { // big-endian unsigned of flen bytes (≤8)
         var v = 0L
         var i = 0
@@ -388,15 +415,21 @@ object NetFlowCodec {
       next_hop = nextHop, tos = tos, raw = rawOut.result())
   }
 
-  /** Options-data record → scope/value uint maps (≤8 B values kept). */
+  /** Options-data record → scope/value uint maps (≤8 B values kept).
+    * `lens` null ⇒ fixed template, offsets from `fixedOffsets` + `base`.
+    */
   private def decodeOptionsRecord(exporter: String, domain: Long, templateId: Int,
-      buf: ByteBuffer, t: Template, lens: Array[(Int, Int)]): OptionsRecord = {
+      buf: ByteBuffer, t: Template, base: Int,
+      lens: Array[(Int, Int)]): OptionsRecord = {
     var scope = Map.empty[Int, Long]
     var values = Map.empty[Int, Long]
     var fi = 0
     while (fi < t.fields.length) {
       val f = t.fields(fi)
-      val (off, flen) = lens(fi)
+      var off = 0
+      var flen = 0
+      if (lens == null) { off = base + t.fixedOffsets(fi); flen = f.length }
+      else { off = lens(fi)._1; flen = lens(fi)._2 }
       if (f.enterprise.isEmpty && flen <= 8) {
         var v = 0L
         var i = 0

@@ -141,16 +141,20 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream {
 
   private val key = UdpFlowSource.endpointKey(options)
-  UdpFlowSource.register(key) // one live stream per endpoint (commit trims)
+  // Parse every option BEFORE registering: a constructor failure after
+  // register would leave the endpoint permanently wedged (stop() never
+  // runs on a half-constructed stream).
   private val numPartitions = options.getInt("partitions", 4)
   private val useSocket = options.getBoolean("socket", true)
+  private val port = options.getInt("port", 2055)
+  private val host = options.getOrDefault("host", "0.0.0.0")
+  UdpFlowSource.register(key) // one live stream per endpoint (commit trims)
 
   // Receiver thread: socket.recv → shared buffer (thread boundary #1 of
-  // the reference pipeline, SURVEY §3.1).
+  // the reference pipeline, SURVEY §3.1). Deregister on any bind/setup
+  // failure so the endpoint stays usable.
   @volatile private var socket: DatagramSocket = _
-  private val receiver: Thread = if (!useSocket) null else {
-    val port = options.getInt("port", 2055)
-    val host = options.getOrDefault("host", "0.0.0.0")
+  private val receiver: Thread = if (!useSocket) null else try {
     socket = new DatagramSocket(port, InetAddress.getByName(host))
     val t = new Thread(() => {
       val buf = new Array[Byte](65535)
@@ -165,6 +169,8 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
     t.setDaemon(true)
     t.start()
     t
+  } catch {
+    case e: Throwable => UdpFlowSource.deregister(key); throw e
   }
 
   override def initialOffset(): Offset = UdpOffset(0L)

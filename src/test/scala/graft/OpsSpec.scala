@@ -159,7 +159,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ddl = ClickHouseDialect.ddl("flows", FlowSchema.schema)
     assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS `flows`"))
     assert(ddl.contains("`recv_ts` Nullable(DateTime64(6))"))
-    assert(ddl.contains("`exporter` Nullable(String)"))
+    // sorting-key columns must NOT be Nullable (CH rejects them)
+    assert(ddl.contains("`exporter` String\n") || ddl.contains("`exporter` String,"))
+    assert(ddl.contains("`start_ts` DateTime64(6)"))
     assert(ddl.contains("`bytes` Nullable(Int64)"))
     assert(ddl.contains("`src_port` Nullable(Int32)"))
     assert(ddl.contains("`raw` String")) // binary → non-null CH String

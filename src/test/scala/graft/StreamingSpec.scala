@@ -301,6 +301,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     UdpFlowSource.clear(k1); UdpFlowSource.clear(k2)
   }
 
+  test("FlowApp dual-sink: one query fans micro-batches to parquet AND jdbc") {
+    import graft.streaming.FlowApp
+    val url = "jdbc:derby:memory:appchdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE APPFLOWS (
+        |recv_ts TIMESTAMP, exporter VARCHAR(64), domain BIGINT,
+        |start_ts TIMESTAMP, end_ts TIMESTAMP, duration_ms BIGINT,
+        |src_addr VARCHAR(64), dst_addr VARCHAR(64), src_port INT,
+        |dst_port INT, protocol INT, tcp_flags INT, packets BIGINT,
+        |bytes BIGINT, in_if INT, out_if INT, src_as BIGINT, dst_as BIGINT,
+        |next_hop VARCHAR(64), tos INT, raw BLOB)""".stripMargin.replace("\n", " "))
+    conn.close()
+    val outDir = tmp("app2-out")
+    val conf = FlowApp.parseConfig(
+      s"""[listener.main]
+         |port = 9973
+         |socket = false
+         |
+         |[parquet]
+         |dir = $outDir
+         |checkpoint = ${tmp("app2-ckpt")}
+         |interval = 1 seconds
+         |
+         |[clickhouse]
+         |url = "$url"        # '#' safe inside quotes
+         |table = APPFLOWS
+         |create_table = false
+         |""".stripMargin)
+    assert(conf("clickhouse")("url") == url)
+    val key = "0.0.0.0:9973"
+    UdpFlowSource.clear(key)
+    UdpFlowSource.inject(key, 1700000000000000L, "10.2.2.2", v5Packet(7100))
+    val qs = FlowApp.start(spark, conf)
+    assert(qs.size == 1) // ONE query, both sinks (endpoint allows one stream)
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    assert(spark.read.parquet(outDir).count() == 1)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "APPFLOWS").load()
+    assert(back.count() == 1 && back.select("src_port").head().getInt(0) == 7100)
+    UdpFlowSource.clear(key)
+  }
+
   test("options records de-sample flow counters per exporter") {
     import spark.implicits._
     val ts = new Timestamp(1700000000000L)
