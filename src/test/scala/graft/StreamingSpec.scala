@@ -301,6 +301,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     UdpFlowSource.clear(k1); UdpFlowSource.clear(k2)
   }
 
+  test("capstone: decode → de-sample → top-talkers via the custom TopK operator") {
+    // The composed nf2pq-and-beyond pipeline in one pass: v9 packets
+    // carrying sampling options, flows de-sampled per exporter, then the
+    // top-2 flows by (de-sampled) bytes per exporter on TopKPerGroupExec.
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    def v9WithOptions(srcPort: Int, bytes: Int, sampling: Int): Array[Byte] = {
+      // options template 500 (scope System/4B + samplingInterval 34/4B),
+      // data template 260 (srcPort 7/2B + octets 1/4B), one record each.
+      val ot = ByteBuffer.allocate(4 + 6 + 8).order(ByteOrder.BIG_ENDIAN)
+      ot.putShort(1).putShort((4 + 6 + 8).toShort)
+        .putShort(500.toShort).putShort(4.toShort).putShort(4.toShort)
+        .putShort(1.toShort).putShort(4.toShort)
+        .putShort(34.toShort).putShort(4.toShort)
+      val od = ByteBuffer.allocate(4 + 8).order(ByteOrder.BIG_ENDIAN)
+      od.putShort(500.toShort).putShort(12.toShort).putInt(0).putInt(sampling)
+      val t = ByteBuffer.allocate(4 + 4 + 8).order(ByteOrder.BIG_ENDIAN)
+      t.putShort(0).putShort(16.toShort).putShort(260.toShort).putShort(2.toShort)
+        .putShort(7.toShort).putShort(2.toShort).putShort(1.toShort).putShort(4.toShort)
+      val d = ByteBuffer.allocate(4 + 6).order(ByteOrder.BIG_ENDIAN)
+      d.putShort(260.toShort).putShort(10.toShort)
+        .putShort(srcPort.toShort).putInt(bytes)
+      val body = ot.array() ++ od.array() ++ t.array() ++ d.array()
+      val pkt = ByteBuffer.allocate(20 + body.length).order(ByteOrder.BIG_ENDIAN)
+      pkt.putShort(9).putShort(4).putInt(1000).putInt(1700000000).putInt(1).putInt(7)
+      pkt.put(body)
+      pkt.array()
+    }
+    val ts = new Timestamp(1700000000000L)
+    val packets = Seq(
+      (ts, "10.5.0.1", v9WithOptions(1001, 100, 100)), // exporter A, 1-in-100
+      (ts, "10.5.0.1", v9WithOptions(1002, 300, 100)),
+      (ts, "10.5.0.1", v9WithOptions(1003, 200, 100)),
+      (ts, "10.5.0.2", v9WithOptions(2001, 500, 10))   // exporter B, 1-in-10
+    ).toDF("recv_ts", "peer", "payload")
+
+    val flows = FlowPipeline.decode(packets)
+    val opts = FlowPipeline.decodeOptions(packets)
+    val desampled = FlowPipeline.desample(flows, opts)
+    val top = org.apache.spark.sql.graft.native.top_k_per_group(
+        desampled.select("exporter", "src_port", "bytes"),
+        Seq("exporter"), Seq(col("bytes").desc, col("src_port").asc), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top == Set(
+      ("10.5.0.1", 1002, 30000L), // 300 × 100
+      ("10.5.0.1", 1003, 20000L), // 200 × 100 (port 1001 cut by k=2)
+      ("10.5.0.2", 2001, 5000L))) // 500 × 10
+  }
+
   test("packet replay from parquet capture decodes identically, batch and stream") {
     // Backfill story: raw packet envelopes captured to parquet re-decode
     // through the SAME FlowPipeline.decode, as a batch frame or a file
