@@ -135,6 +135,39 @@ object Extra2 {
           .orderBy("id1", "id2")
     },
 
+    "dedup_cluster" -> Q(
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, substr(text, 1, 30) AS p
+        |      FROM read_parquet('{sfDir}/documents.parquet') WHERE doc_id < 40),
+        |e AS (SELECT a.doc_id AS s, b.doc_id AS t
+        |      FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        |      WHERE levenshtein(a.p, b.p) <= 16),
+        |reach(s, t) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+        |SELECT s AS doc_id, MIN(t) AS rep FROM reach
+        |GROUP BY s ORDER BY doc_id""".stripMargin) {
+      // Dedup CLUSTERING: connected components over the edit-distance
+      // near-dup graph — pairs → cluster representative (min reachable
+      // doc_id), the "keep one per cluster" step of a dedup pipeline.
+      // Spark runs iterative min-label propagation (ops.Components);
+      // the oracle computes the same fixpoint as a recursive-CTE
+      // transitive closure (bounded subgraph, doc_id < 40).
+      (s, d) =>
+        val docs = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("p"))
+        val a = docs.select(col("doc_id").as("id1"), col("p").as("p1"))
+        val b = docs.select(col("doc_id").as("id2"), col("p").as("p2"))
+        val pairs = a.join(b, col("id1") < col("id2"))
+          .filter(levenshtein(col("p1"), col("p2")) <= 16)
+          .select("id1", "id2")
+        graft.ops.Components
+          .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("rep"))
+          .orderBy("doc_id")
+    },
+
     "agg_filter" -> Q(
       """SELECT o_orderstatus,
         |  COUNT(*) AS n_all,

@@ -37,6 +37,16 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  test("connected components: chains merge to min label, singletons stay") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val reps = graft.ops.Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("minhash: exact duplicates always collide; disjoint docs never pass verify") {
     val dups = Sketches.minhashNearDups(docsWithDup, threshold = 0.5).collect()
     val pairs = dups.map(r => (r.getLong(0), r.getLong(1))).toSet
