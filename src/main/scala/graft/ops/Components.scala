@@ -25,9 +25,19 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // Persist the symmetric edge list: it is re-joined EVERY round, and
+    // edge generation is typically the expensive part (a near-dup pair
+    // join) — without this it would recompute once per iteration.
     val sym = edges.select(col("id1").as("s"), col("id2").as("t"))
       .union(edges.select(col("id2").as("s"), col("id1").as("t")))
-    var labels = nodes.select(col("id"), col("id").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Fuse round 1 into initialization: rep₀ = min(self, neighbors) —
+    // one fewer convergence round for the common shallow graph.
+    val firstNbr = sym.groupBy("s").agg(min("t").as("nmin"))
+      .select(col("s").as("id"), col("nmin"))
+    var labels = nodes.select(col("id")).join(firstNbr, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nmin"), col("id"))).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
@@ -49,6 +59,7 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     require(converged, s"connectedComponents: not converged after $maxIter rounds")
     labels
   }
