@@ -135,6 +135,48 @@ object Extra2 {
           .orderBy("id1", "id2")
     },
 
+    "ts_resample" -> Q(
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |             (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hr
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |b AS (SELECT event_type, hr, COUNT(*) AS n,
+        |        CAST(ROUND(AVG(v), 6) AS DECIMAL(18,6)) AS avg_v
+        |      FROM e GROUP BY event_type, hr),
+        |ext AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM e),
+        |cal AS (SELECT t.event_type, gs.hr
+        |        FROM (SELECT DISTINCT event_type FROM e) t
+        |        CROSS JOIN (SELECT unnest(generate_series(
+        |          (SELECT lo FROM ext), (SELECT hi FROM ext), 3600)) AS hr) gs)
+        |SELECT cal.event_type, cal.hr, COALESCE(b.n, 0) AS n,
+        |  LAST_VALUE(b.avg_v IGNORE NULLS)
+        |    OVER (PARTITION BY cal.event_type ORDER BY cal.hr) AS locf
+        |FROM cal LEFT JOIN b ON cal.event_type = b.event_type AND cal.hr = b.hr
+        |ORDER BY cal.event_type, cal.hr""".stripMargin) {
+      // Time-series resample with gap filling: a dense hourly calendar
+      // per event type (sequence over the observed extent, broadcast —
+      // the calendar is tiny however big the data), zero-filled counts,
+      // and last-observation-carried-forward for the hourly average.
+      // The flow-store idiom for "plot per-exporter rates without holes".
+      (s, d) =>
+        val e = T.events(s, d).select(col("event_type"),
+          dec2(col("value")).as("v"),
+          expr("(ts div 1000000000) div 3600 * 3600").as("hr"))
+        val b = e.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("v")), 6).cast(DecimalType(18, 6)).as("avg_v"))
+        val ext = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        val cal = e.select("event_type").distinct()
+          .crossJoin(broadcast(ext))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+        cal.join(b, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("avg_v"), ignoreNulls = true).over(w).as("locf"))
+          .orderBy("event_type", "hr")
+    },
+
     "dedup_cluster" -> Q(
       """WITH RECURSIVE
         |d AS (SELECT doc_id, substr(text, 1, 30) AS p
