@@ -283,6 +283,34 @@ class NetFlowCodecSpec extends AnyFunSuite {
     assert(r.raw.toSeq == Seq(0x0A.toByte, 0x0B.toByte))
   }
 
+  test("decoder throughput: fixed-template stream sustains collector rates") {
+    // 2,000 packets × 30 records on the zero-allocation fixed-template
+    // stride path. The assertion is deliberately conservative (50k
+    // records/s — real rates are orders of magnitude higher) so CI noise
+    // can't flake it; the point is catching an accidental O(n²) or
+    // per-record allocation regression on the hot path.
+    val recs = (0 until 30).flatMap(i => stdDataRecord(
+      s"10.1.${i % 256}.1", "10.2.2.2", 1000 + i, 53, 17,
+      400L + i, 2L, 1700000000000L, 1700000001000L)).toArray
+    val tmplPkt = ipfixPacket(7L, ipfixTemplate(256, stdFields))
+    val dataPkt = ipfixPacket(7L, dataSet(256, recs))
+    val templates = NetFlowCodec.decode(exporter, recvUs, tmplPkt, noTemplates).templates
+    // warm-up (JIT)
+    (0 until 200).foreach(_ => NetFlowCodec.decode(exporter, recvUs, dataPkt, templates))
+    val t0 = System.nanoTime()
+    var n = 0L
+    var i = 0
+    while (i < 2000) {
+      n += NetFlowCodec.decode(exporter, recvUs, dataPkt, templates).records.size
+      i += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 60000L)
+    val rate = n / secs
+    info(f"decode rate: $rate%.0f records/s")
+    assert(rate > 50000.0, f"decode rate collapsed: $rate%.0f records/s")
+  }
+
   test("garbage and short packets produce errors, never throw") {
     assert(NetFlowCodec.decode(exporter, recvUs, Array[Byte](1), noTemplates)
       .errors.nonEmpty)
