@@ -135,6 +135,37 @@ object Extra2 {
           .orderBy("id1", "id2")
     },
 
+    "win_ratio_to_report" -> Q(
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_suppkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM read_parquet('{sfDir}/lineitem.parquet'))
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_suppkey,
+        |  CAST(ROUND(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 8)
+        |       AS DECIMAL(18,8)) AS share
+        |FROM t
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_suppkey, share""".stripMargin) {
+      // Ratio-to-report: each row's share of its group total. The group
+      // sum is computed EXACTLY in decimal on both engines (identical
+      // operands), so the single trailing double division is
+      // bit-deterministic — a double SUM OVER would be summation-order-
+      // dependent across engines/partitionings. ORDER BY covers every
+      // column ((l_orderkey, l_linenumber) alone is not unique here).
+      (s, d) =>
+        val w = Window.partitionBy("l_returnflag")
+        T.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey"), dec2(col("l_extendedprice")).as("p"))
+          .withColumn("tot", sum(col("p")).over(w))
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey"),
+            round(col("p").cast("double") / col("tot").cast("double"), 8)
+              .cast(DecimalType(18, 8)).as("share"))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_suppkey", "share")
+    },
+
     "ts_resample" -> Q(
       """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
         |             (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hr
