@@ -69,6 +69,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("agg_histogram aggregates two-phase over at most 10 groups") {
+    val p = planOf("agg_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ts_resample broadcasts the tiny extent, never shuffles it") {
+    // The calendar derives from a 1-row (lo, hi) aggregate — it must ride
+    // a BroadcastExchange; shuffling it would serialize the gap-fill.
+    assert(planOf("ts_resample").contains("BroadcastExchange"))
+  }
+
+  test("win_ratio_to_report is one partition-sort, no extra exchange") {
+    val df = SparkEntry.queries("win_ratio_to_report")(spark, sf)
+    df.collect()
+    // AQE's toString prints final + initial plans; count in the final only.
+    val full = df.queryExecution.executedPlan.toString()
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("Window"), p)
+    // one hash exchange for the window partitioning (plus the final range
+    // sort) — a second would mean the ratio projection re-shuffled.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("topk_group_exec plans the custom operator with a clustered exchange") {
+    val p = planOf("topk_group_exec")
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
