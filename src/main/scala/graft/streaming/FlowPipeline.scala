@@ -60,6 +60,13 @@ object FlowPipeline {
   def decodeOptions(packets: DataFrame): Dataset[NetFlowCodec.OptionsRecord] =
     decodeStage(packets)(_.options)(Encoders.product[NetFlowCodec.OptionsRecord])
 
+  /** Decode-error stream — malformed packets, data before template,
+    * truncated sets. A collector that silently drops these is
+    * undebuggable; route this to a metrics sink or log table.
+    */
+  def decodeErrors(packets: DataFrame): Dataset[String] =
+    decodeStage(packets)(_.errors)(Encoders.STRING)
+
   /** De-sample flow counters with each exporter's advertised packet-
     * sampling interval (options IE 34 / IPFIX 305): bytes/packets × N for
     * "1 in N" sampling. Exporters without options records pass through

@@ -301,6 +301,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     UdpFlowSource.clear(k1); UdpFlowSource.clear(k2)
   }
 
+  test("decodeErrors surfaces malformed packets instead of dropping them") {
+    import spark.implicits._
+    val ts = new Timestamp(1700000000000L)
+    val packets = Seq(
+      (ts, "10.6.6.6", v5Packet(7300)),          // good
+      (ts, "10.6.6.7", Array[Byte](0, 99, 1)),   // unsupported version
+      (ts, "10.6.6.8", Array[Byte](5.toByte))    // short packet
+    ).toDF("recv_ts", "peer", "payload")
+    assert(FlowPipeline.decode(packets).count() == 1)
+    val errs = FlowPipeline.decodeErrors(packets).collect()
+    assert(errs.length == 2)
+    assert(errs.exists(_.contains("unsupported version")))
+    assert(errs.exists(_.contains("short packet")))
+  }
+
   test("capstone: decode → de-sample → top-talkers via the custom TopK operator") {
     // The composed nf2pq-and-beyond pipeline in one pass: v9 packets
     // carrying sampling options, flows de-sampled per exporter, then the
