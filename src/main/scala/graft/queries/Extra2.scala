@@ -135,6 +135,70 @@ object Extra2 {
           .orderBy("id1", "id2")
     },
 
+    "agg_moments" -> Q(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(9,2))) AS s1,
+        |    SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS s2,
+        |    SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))
+        |        * CAST(l_quantity AS DECIMAL(9,2))) AS s3
+        |  FROM read_parquet('{sfDir}/lineitem.parquet') GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(ROUND(
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+        |     - 3 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |     + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS skew_pop
+        |FROM s ORDER BY l_returnflag""".stripMargin) {
+      // Population skewness from EXACT decimal power sums (agg_corr's
+      // discipline): (9,2)³ products stay inside DECIMAL(38), sums are
+      // exact on both engines, and the trailing arithmetic is double on
+      // identical operands — x·sqrt(x) instead of pow(x, 1.5) because
+      // sqrt is IEEE-correctly-rounded while pow is engine-dependent.
+      (s, d) =>
+        val x = col("l_quantity").cast(DecimalType(9, 2))
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+            sum(x * x).as("s2"), sum(x * x * x).as("s3"))
+          .select(col("l_returnflag"), col("n"), {
+            val nD = col("n").cast("double")
+            val s1 = col("s1").cast("double")
+            val s2 = col("s2").cast("double")
+            val s3 = col("s3").cast("double")
+            val m2n = nD * s2 - s1 * s1 // n²·m2, exact-sourced
+            round((nD * nD * s3 - lit(3) * nD * s1 * s2 + lit(2) * s1 * s1 * s1)
+              / (m2n * sqrt(m2n)), 6).cast(DecimalType(18, 6)).as("skew_pop")
+          })
+          .orderBy("l_returnflag")
+    },
+
+    "text_ngram_freq" -> Q(
+      """WITH w AS (SELECT string_split(text, ' ') AS ws
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |         j -> ws[j] || ' ' || ws[j + 1])) AS bigram FROM w)
+        |SELECT bigram, COUNT(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin) {
+      // Corpus bigram frequencies, top-20 — the n-gram language-model /
+      // contamination-check primitive. The words array binds OUTSIDE the
+      // lambda (no per-element re-split); two-phase count; top-k is
+      // TakeOrderedAndProject.
+      (s, d) => T.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), j -> concat_ws(' ', element_at(ws, j), element_at(ws, j + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
     "win_ratio_to_report" -> Q(
       """WITH t AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber, l_suppkey,
