@@ -135,6 +135,36 @@ object Extra2 {
           .orderBy("id1", "id2")
     },
 
+    "join_interval" -> Q(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |c AS (SELECT user_id, event_id AS cid, t AS ct FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS pid, t AS pt FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.cid, p.pid,
+        |  CAST(FLOOR(epoch(p.pt)) AS BIGINT) - CAST(FLOOR(epoch(c.ct)) AS BIGINT) AS lag_s
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pt >= c.ct AND p.pt < c.ct + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, c.cid, p.pid""".stripMargin) {
+      // Event-time interval join (every purchase within 1h after a click,
+      // same user) — the BATCH twin of the watermarked stream-stream
+      // interval join in graft.streaming's specs. Equi-key on user_id
+      // keeps the shuffle bounded; the time range is a post-filter, not
+      // a nested loop (same discipline as join_theta).
+      (s, d) =>
+        val e = T.events(s, d)
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("cid"), col("ts_us").as("ct"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("pid"),
+            col("ts_us").as("pt"))
+        c.join(p, col("user_id") === col("p_user")
+            && col("pt") >= col("ct")
+            && col("pt") < col("ct") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("cid"), col("pid"),
+            (unix_timestamp(col("pt")) - unix_timestamp(col("ct"))).as("lag_s"))
+          .orderBy("user_id", "cid", "pid")
+    },
+
     "agg_moments" -> Q(
       """WITH s AS (
         |  SELECT l_returnflag,
