@@ -79,9 +79,17 @@ object Extra {
     "agg_stddev" -> Q(
       // Variance from exact decimal power sums: numerator exact, single
       // double division at the end — engine-independent.
+      // The second moment is emitted in MILLIONS (exact decimal scale
+      // shift ×0.000001, then exact ROUND): the raw sum of squares has an
+      // unscaled value > 2^53 already at sf0.01, where decimal→double
+      // conversion stops being bit-identical across engines (Spark rounds
+      // the exact value once; DuckDB's pandas path converts the unscaled
+      // int128 first). Keeping the emitted magnitude small keeps the final
+      // DOUBLE bit-stable through sf10+.
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_x,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_x2,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))
+        |        * CAST(0.000001 AS DECIMAL(8,6)), 4) AS DECIMAL(18,4)) AS sum_x2_mio,
         |  CAST(ROUND(sqrt(CAST(COUNT(*) * SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))
         |        - SUM(CAST(o_totalprice AS DECIMAL(18,2))) * SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |      / (COUNT(*) * (COUNT(*) - 1))), 2) AS DECIMAL(18,2)) AS stddev
@@ -89,11 +97,12 @@ object Extra {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, d) =>
         val x = dec2(col("o_totalprice"))
+        val mio = lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(8, 6))
         T.orders(s, d)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
             dec2(sum(x)).as("sum_x"),
-            sum(x * x).cast(DecimalType(28, 4)).as("sum_x2"),
+            round(sum(x * x) * mio, 4).cast(DecimalType(18, 4)).as("sum_x2_mio"),
             round(sqrt((count(lit(1)) * sum(x * x) - sum(x) * sum(x)).cast("double")
               / (count(lit(1)) * (count(lit(1)) - 1))), 2)
               .cast(DecimalType(18, 2)).as("stddev"))

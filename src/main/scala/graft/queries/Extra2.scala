@@ -24,8 +24,8 @@ object Extra2 {
         |        CASE WHEN s - LAG(s) OVER w > 600 THEN 1 ELSE 0 END AS brk
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
         |x AS (SELECT user_id, s,
-        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
-        |                       ROWS UNBOUNDED PRECEDING) AS sess
+        |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
         |      FROM g)
         |SELECT user_id, sess, MIN(s) AS start_s, MAX(s) AS end_s,
         |       COUNT(*) AS n_events

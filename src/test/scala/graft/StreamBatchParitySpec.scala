@@ -58,7 +58,9 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(count(lit(1)).as("n"), Q.dec2(sum(Q.dec2(col("value")))).as("sumv"))
       .select(unix_timestamp(col("window.start")).as("day_s"),
         col("event_type"), col("n"), col("sumv"))
-    runToCompletion(stream, "sb_tumbling", OutputMode.Complete())
+    // Same emission contract as the declared query: decimal internals,
+    // DOUBLE at the edge (the cast is streaming-safe — plain projection).
+    runToCompletion(SparkEntry.emitDoubles(stream), "sb_tumbling", OutputMode.Complete())
     val got = sortedRows(spark.sql("SELECT * FROM sb_tumbling"))
     val want = sortedRows(SparkEntry.queries("stream_tumbling")(spark, sf))
     assert(got == want)
@@ -84,7 +86,7 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(count(lit(1)).as("n"), Q.dec2(sum(Q.dec2(col("value")))).as("sumv"))
       .select(unix_timestamp(col("window.start")).as("win_s"),
         col("event_type"), col("n"), col("sumv"))
-    runToCompletion(stream, "sb_sliding", OutputMode.Complete())
+    runToCompletion(SparkEntry.emitDoubles(stream), "sb_sliding", OutputMode.Complete())
     val got = sortedRows(spark.sql("SELECT * FROM sb_sliding"))
     val want = sortedRows(SparkEntry.queries("stream_sliding")(spark, sf))
     assert(got == want)
