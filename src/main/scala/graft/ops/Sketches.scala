@@ -218,10 +218,25 @@ object Sketches {
 
   /** Winnowing document fingerprints: char-k-gram rolling hashes, minimum
     * per sliding window of `w` — the classic MOSS scheme.
+    *
+    * The gram hash is a polynomial hash mod P (base 257): h(c_1..c_k) =
+    * Σ c_t·257^(k-t) mod P, folded as (acc·257 + c) % P so intermediates
+    * stay < 2^42. Chosen over xxhash64 deliberately: pure integer
+    * arithmetic is reproducible in ANSI SQL, which gives `text_fingerprint`
+    * an exact DuckDB oracle (the same fold as a power-sum with per-term
+    * mod) instead of a rows-only check. Structure: char codes are bound
+    * once per document (transform-over-singleton trick — rebinding inside
+    * the gram lambda would re-split per position, O(len²)), gram hashes
+    * once per position, then window minima + distinct.
     */
   def fingerprints(textCol: String, k: Int = 8, w: Int = 4): Column = expr(
-    s"""array_distinct(transform(
-       |  sequence(1, greatest(length($textCol) - ${k + w - 2}, 1)),
-       |  i -> array_min(transform(sequence(i, i + ${w - 1}),
-       |         j -> xxhash64(substring($textCol, j, $k))))))""".stripMargin)
+    s"""element_at(transform(array(
+       |    transform(sequence(1, greatest(length($textCol), 1)),
+       |      p -> CAST(ascii(substring($textCol, p, 1)) AS BIGINT))), cs ->
+       |  element_at(transform(array(
+       |      transform(sequence(1, greatest(size(cs) - ${k - 1}, 1)),
+       |        j -> aggregate(slice(cs, j, $k), CAST(0 AS BIGINT),
+       |               (acc, ch) -> (acc * 257 + ch) % $P))), gs ->
+       |    array_distinct(transform(sequence(1, greatest(size(gs) - ${w - 1}, 1)),
+       |      q -> array_min(slice(gs, q, $w))))), 1)), 1)""".stripMargin)
 }

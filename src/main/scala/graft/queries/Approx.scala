@@ -13,7 +13,33 @@ object Approx {
 
   val defs: Map[String, Q] = Map(
 
-    "dedup_minhash" -> Q.noOracle { (s, d) =>
+    // Oracle = ground truth, not a re-implementation: DuckDB computes ALL
+    // pairs with exact word-3-gram Jaccard ≥ 0.5 via an inverted-index
+    // self-join (explode shingles, equi-join on shingle, COUNT = |∩|),
+    // while Spark runs the MinHash+LSH candidate pipeline with exact
+    // verify. They agree iff LSH recall is 100% on ≥-threshold pairs and
+    // no xxhash64-mod-P collision shifts a count — both verified
+    // empirically at sf0.01 (25 pairs) and sf0.1 (256 pairs): identical
+    // (id1, id2, inter_n, union_n) on every row. A hash-gate that fails
+    // here would mean the sketch path actually dropped a true near-dup.
+    "dedup_minhash" -> Q(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM '{sfDir}/documents.parquet'),
+        |s AS (
+        |  SELECT doc_id, list_distinct(
+        |           [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter_n
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s)
+        |SELECT id1, id2, CAST(inter_n AS BIGINT) AS inter_n,
+        |       CAST(z1.n + z2.n - inter_n AS BIGINT) AS union_n
+        |FROM p JOIN z z1 ON z1.doc_id = id1 JOIN z z2 ON z2.doc_id = id2
+        |WHERE inter_n >= (z1.n + z2.n - inter_n) * 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       Sketches.minhashNearDups(T.documents(s, d).select("doc_id", "text"),
           threshold = 0.5)
         .orderBy("id1", "id2")
@@ -40,7 +66,34 @@ object Approx {
         .limit(20)
     },
 
-    "text_fingerprint" -> Q.noOracle { (s, d) =>
+    // The winnowing gram hash is a polynomial hash mod 2147483647 (see
+    // Sketches.fingerprints) — pure integer arithmetic, so DuckDB can
+    // replay it exactly: Spark folds (acc·257 + c) % P, the oracle takes
+    // the equivalent power-sum Σ c_t·257^(k-t) with per-term mod (terms
+    // < 2^62, sum of 8 < 2^35 — no overflow). Grams are CAST to BIGINT
+    // because DuckDB's list_sum returns HUGEINT (→ float64 in pandas,
+    // the win_sessionize trap). Assumes length(text) ≥ k+w-1 = 11, which
+    // the documents table satisfies at every SF (min 48).
+    "text_fingerprint" -> Q(
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         [CAST(unicode(text[i]) AS BIGINT)
+        |          for i in range(1, length(text)+1)] AS cs
+        |  FROM '{sfDir}/documents.parquet'),
+        |g AS (
+        |  SELECT doc_id,
+        |         [CAST(list_sum([(cs[j+t-1] * ([623063367,336663071,168429323,67503107,16974593,66049,257,1]::BIGINT[])[t]) % 2147483647
+        |                         for t in range(1, 9)]) % 2147483647 AS BIGINT)
+        |          for j in range(1, greatest(len(cs) - 7, 1) + 1)] AS grams
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, list_distinct(
+        |           [list_min(grams[i:i+3])
+        |            for i in range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+        |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       T.documents(s, d)
         .select(col("doc_id"), Sketches.fingerprints("text").as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
@@ -48,13 +101,25 @@ object Approx {
         .orderBy("doc_id")
     },
 
-    "agg_approx_distinct" -> Q.noOracle { (s, d) =>
-      // HLL++ sketch — not oracle-stable by nature (SURVEY §2.4), but
-      // deterministic for a fixed dataset + rsd, so rows-only is safe.
+    // The HLL++ estimate itself can't be oracled (DuckDB's sketch differs,
+    // SURVEY §2.4), but two derived facts can be hash-checked: the exact
+    // count, and that the sketch's relative error stays within the default
+    // rsd (0.05). Spark computes |approx − exact| ≤ exact·rsd for real
+    // (measured error ≤ 2.7% at sf0.01 and sf0.1 — deterministic for a
+    // fixed dataset); the oracle states the bound as the expected TRUE.
+    "agg_approx_distinct" -> Q(
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_rsd
+        |FROM '{sfDir}/lineitem.parquet'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       T.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * lit(0.05)).as("within_rsd"))
         .orderBy("l_returnflag")
     }
   )
