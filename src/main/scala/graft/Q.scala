@@ -25,6 +25,23 @@ object Q {
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 
+  /** Admission guard for the declared quadratic correctness baselines
+    * (sim_cosine_topk, dedup_embedding — all-pairs joins kept deliberately
+    * as ground-truth references next to their ANN scale paths): refuse an
+    * oversized input loudly instead of silently going O(n²) on it. The
+    * count() is one cheap metadata-driven job on the guarded (small) side
+    * and runs before the join is even constructed — at scale that is the
+    * check that tells you to switch to sim_ann_lsh / sim_ann_ivf.
+    */
+  def requireAtMost(df: DataFrame, maxRows: Long, ctx: String,
+      scalePath: String): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$ctx: $n input rows exceed the declared quadratic-baseline bound " +
+        s"of $maxRows — use $scalePath at this scale")
+    df
+  }
+
   /** Hash-spread an input across the session's full shuffle parallelism,
     * keyed (not round-robin) so downstream keyed ops can reuse the
     * partitioning. The testdata parquet files are single-row-group, so

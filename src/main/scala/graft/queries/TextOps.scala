@@ -183,7 +183,12 @@ object TextOps {
         // Native codegen'd CosineSimilarity kernel — identical arithmetic
         // order to the aggregate()/zip_with lambda form (left-to-right
         // double folds), so the DuckDB round(…,4) oracle still matches.
-        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        // Bounded baseline (dedup_levenshtein discipline): hard-refuse
+        // inputs past 10k vectors rather than silently running 10⁸+ pair
+        // cosines — sim_ann_lsh / sim_ann_ivf are the scale path.
+        val e = Q.requireAtMost(
+          T.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          10000L, "sim_cosine_topk", "sim_ann_lsh/sim_ann_ivf")
         // single small parquet file = one input split: spread the
         // pair-loop side across the executor threads (keyed, not
         // round-robin — no full-shuffle reflex at scale)
@@ -210,7 +215,12 @@ object TextOps {
       // ≥ 0.40. Filter is on the rounded value on both engines, so the
       // emitted set is boundary-stable.
       (s, d) =>
-        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        // Bounded baseline (dedup_levenshtein discipline): hard-refuse
+        // inputs past 10k vectors — the ANN near-dup path (sim_ann_lsh
+        // bucketing + exact verify) is the scale form of this query.
+        val e = Q.requireAtMost(
+          T.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          10000L, "dedup_embedding", "sim_ann_lsh")
         // single small parquet file = one input split: spread the
         // pair-loop side across the executor threads (keyed, not
         // round-robin — no full-shuffle reflex at scale)

@@ -42,17 +42,26 @@ object native {
   def top_k_per_group(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    // Registration is check-then-append on shared session state: take a
+    // global lock so two threads building queries on one session can't
+    // interleave (a duplicate strategy would be harmless, but the lost
+    // write of the other thread's append would not be).
+    native.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
     // Route the sort columns through the Dataset API's own analysis so
     // we receive fully-resolved catalyst SortOrders (a hand-built
     // SortOrder around a Column captures unconverted, non-serializable
     // ColumnNode internals).
     val sortNode = df.sort(orderBy: _*).queryExecution.analyzed.asInstanceOf[Sort]
     val child = sortNode.child
-    val group = groupCols.map(c => child.output.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(s"unknown group column $c")))
+    // Resolve group columns with the session's resolver so name matching
+    // follows spark.sql.caseSensitive like every other column lookup.
+    val resolver = spark.sessionState.analyzer.resolver
+    val group = groupCols.map(c => child.output.find(a => resolver(a.name, c))
+      .getOrElse(throw new IllegalArgumentException(s"unknown group column $c")))
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       TopKPerGroupPlan(group, sortNode.order, k, child))

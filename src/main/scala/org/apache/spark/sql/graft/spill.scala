@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.SparkEnv
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+
+/** Bridge to Spark's spill-capable external row sorter (the machinery
+  * behind SortExec). Lives in the sql package because the page-size
+  * lookup (`SparkEnv.memoryManager`) is `private[spark]`.
+  */
+object spill {
+
+  /** A spill-to-disk row sorter ordered entirely by `ord` (constant sort
+    * prefix — no radix fast path, every comparison goes through the
+    * record comparator). The sorter registers its own task-completion
+    * cleanup; callers should still drain the returned iterator fully.
+    */
+  def rowSorter(schema: StructType,
+      ord: Ordering[InternalRow]): UnsafeExternalRowSorter = {
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val res = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(
+          row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        res.isNull = false
+        res.value = 0L
+        res
+      }
+    }
+    UnsafeExternalRowSorter.create(
+      schema, ord, PrefixComparators.LONG, prefixComputer,
+      SparkEnv.get.memoryManager.pageSizeBytes, false)
+  }
+}

@@ -146,6 +146,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
   }
 
+  test("top_k_per_group: over-budget tasks degrade to the spill sort path, same result") {
+    // A 1-byte budget forces every task over budget immediately, so the
+    // whole input flows through the external-sort degrade path; the
+    // result must be identical to the in-memory hash-heap path.
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+    def run(): Set[(Long, Long)] =
+      gnative.top_k_per_group(customer, Seq("c_nationkey"),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+        .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val viaHeap = run()
+    spark.conf.set("spark.graft.topk.maxRetainedBytes", "1")
+    try {
+      val viaSort = run()
+      assert(viaSort == viaHeap)
+      assert(viaSort.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.maxRetainedBytes")
+  }
+
   test("GraftExtensions injects the cosine function and TopKPerGroup strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
