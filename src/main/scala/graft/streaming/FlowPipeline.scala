@@ -71,6 +71,11 @@ object FlowPipeline {
     * sampling interval (options IE 34 / IPFIX 305): bytes/packets × N for
     * "1 in N" sampling. Exporters without options records pass through
     * at ×1. Broadcast-sized right side: one row per (exporter, domain).
+    *
+    * BATCH-ONLY: the groupBy+max on the options side and the broadcast
+    * join are both unsupported on unbounded streaming inputs (Spark would
+    * raise AnalysisException at start()). In a streaming job use
+    * [[desampleEachBatch]], which snapshot-joins per micro-batch.
     */
   def desample(flows: Dataset[FlowRecord],
       options: Dataset[NetFlowCodec.OptionsRecord]): DataFrame = {
@@ -90,6 +95,23 @@ object FlowPipeline {
       .withColumn("bytes", col("bytes") * col("sampling_interval"))
       .withColumn("packets", col("packets") * col("sampling_interval"))
   }
+
+  /** Streaming form of [[desample]]: run the flow stream through
+    * foreachBatch and apply the batch desample against a fresh SNAPSHOT
+    * of the rates per micro-batch. `optionsSnapshot` re-reads whatever
+    * the options stream is being persisted to (e.g. the parquet table a
+    * [[decodeOptions]]-fed sink maintains) — the standard Spark shape for
+    * a slowly-changing dimension joined to a stream: each micro-batch is
+    * a bounded DataFrame, so the groupBy+broadcast inside [[desample]]
+    * are legal again, and a reconfigured sampling interval takes effect
+    * at the next trigger.
+    */
+  def desampleEachBatch(flows: Dataset[FlowRecord],
+      optionsSnapshot: SparkSession => Dataset[NetFlowCodec.OptionsRecord])(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[FlowRecord] =
+    flows.writeStream.foreachBatch { (batch: Dataset[FlowRecord], id: Long) =>
+      writeBatch(desample(batch, optionsSnapshot(batch.sparkSession)), id)
+    }
 
   /** Time-rotated Parquet sink: the reference rotates output files on a
     * wall-clock interval; the Spark-native equivalent is date/hour

@@ -75,21 +75,29 @@ object UdpFlowSource {
   private val buffers =
     scala.collection.mutable.Map[String, (Long, ArrayBuffer[(Long, String, Array[Byte])])]()
 
-  /** Endpoints with a live MicroBatchStream. One stream per endpoint:
-    * commit() trims the shared buffer, so a second concurrent reader
-    * would silently lose whatever the first acknowledged.
+  /** The live MicroBatchStream per endpoint. One stream per endpoint:
+    * commit() trims the shared buffer, so two concurrent readers would
+    * silently lose whatever the other acknowledged. Registration is
+    * LAST-WINS: on a driver-side query restart Spark can construct the
+    * new stream before (or instead of — a crashed run never tears down)
+    * the old run's stop(), so a hard "already active" error would wedge
+    * the endpoint permanently. The newer registration evicts the old
+    * stream, which releases its socket and fails loudly on its next
+    * operation instead of racing the new owner on commit-trim.
     */
-  private val active = scala.collection.mutable.Set[String]()
+  private val active = scala.collection.mutable.Map[String, UdpMicroBatchStream]()
 
-  private[streaming] def register(key: String): Unit = buffers.synchronized {
-    if (!active.add(key))
-      throw new IllegalStateException(
-        s"udp-flows endpoint $key already has an active stream; " +
-          "concurrent streams on one endpoint would race on commit-trim")
-  }
+  private[streaming] def register(key: String, stream: UdpMicroBatchStream): Unit =
+    buffers.synchronized {
+      active.get(key).foreach(_.supersede())
+      active(key) = stream
+    }
 
-  private[streaming] def deregister(key: String): Unit =
-    buffers.synchronized { active -= key }
+  /** Identity-checked: a superseded stream's late stop() must not evict
+    * the endpoint's new owner.
+    */
+  private[streaming] def deregister(key: String, stream: UdpMicroBatchStream): Unit =
+    buffers.synchronized { if (active.get(key).contains(stream)) active -= key }
 
   /** Cross-JVM restart: the checkpoint holds seq N but a fresh process
     * numbers from 0. Renumber the buffer so already-received packets get
@@ -134,7 +142,7 @@ object UdpFlowSource {
   }
 
   def clear(key: String): Unit =
-    buffers.synchronized { buffers.remove(key); active -= key }
+    buffers.synchronized { buffers.remove(key); active.remove(key) }
 }
 
 final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -148,7 +156,31 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
   private val useSocket = options.getBoolean("socket", true)
   private val port = options.getInt("port", 2055)
   private val host = options.getOrDefault("host", "0.0.0.0")
-  UdpFlowSource.register(key) // one live stream per endpoint (commit trims)
+  // Initialized before register() publishes `this`: a racing successor's
+  // supersede() write must not be clobbered by this initializer.
+  @volatile private var superseded = false
+
+  // One live stream per endpoint (commit trims); registering BEFORE the
+  // socket bind lets this stream evict a dead predecessor and take over
+  // its port. An evicted stream answers every later call with
+  // IllegalStateException (see supersede) rather than racing us.
+  UdpFlowSource.register(key, this)
+
+  /** Called (under the registry lock) when a newer stream registers this
+    * endpoint: release the socket so the successor can bind, and make
+    * every subsequent engine call on this instance fail loudly — the old
+    * query run is dead or dying, and a silent commit-trim from it would
+    * steal the new run's data.
+    */
+  private[streaming] def supersede(): Unit = {
+    superseded = true
+    if (socket != null) socket.close()
+    if (receiver != null) receiver.interrupt()
+  }
+
+  private def ensureOwner(): Unit =
+    if (superseded) throw new IllegalStateException(
+      s"udp-flows stream on $key was superseded by a newer query run")
 
   // Receiver thread: socket.recv → shared buffer (thread boundary #1 of
   // the reference pipeline, SURVEY §3.1). Deregister on any bind/setup
@@ -170,11 +202,14 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
     t.start()
     t
   } catch {
-    case e: Throwable => UdpFlowSource.deregister(key); throw e
+    case e: Throwable => UdpFlowSource.deregister(key, this); throw e
   }
 
   override def initialOffset(): Offset = UdpOffset(0L)
-  override def latestOffset(): Offset = UdpOffset(UdpFlowSource.latest(key))
+  override def latestOffset(): Offset = {
+    ensureOwner()
+    UdpOffset(UdpFlowSource.latest(key))
+  }
   override def deserializeOffset(json: String): Offset = {
     val o = UdpOffset(json.toLong)
     // Restored from a checkpoint: make sure this (possibly fresh) JVM's
@@ -182,10 +217,13 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
     UdpFlowSource.reseed(key, o.seq)
     o
   }
-  override def commit(end: Offset): Unit =
+  override def commit(end: Offset): Unit = {
+    ensureOwner()
     UdpFlowSource.trim(key, end.asInstanceOf[UdpOffset].seq)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    ensureOwner()
     val rows = UdpFlowSource.slice(key,
       start.asInstanceOf[UdpOffset].seq, end.asInstanceOf[UdpOffset].seq)
     if (rows.isEmpty) Array.empty
@@ -208,6 +246,6 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = {
     if (socket != null) socket.close()
     if (receiver != null) receiver.interrupt()
-    UdpFlowSource.deregister(key)
+    UdpFlowSource.deregister(key, this)
   }
 }

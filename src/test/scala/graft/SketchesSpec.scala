@@ -47,6 +47,19 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components: 100-node chain converges via pointer jumping") {
+    import spark.implicits._
+    // Diameter 99 ≫ the round budget for plain propagation — only the
+    // rep(rep) shortcut (O(log diameter) rounds) closes this in time.
+    val n = 100L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val reps = graft.ops.Components.connectedComponents(nodes, edges)
+    val got = reps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps.unpersist()
+    assert(got.size == 100 && got.values.forall(_ == 1L))
+  }
+
   test("minhash: exact duplicates always collide; disjoint docs never pass verify") {
     val dups = Sketches.minhashNearDups(docsWithDup, threshold = 0.5).collect()
     val pairs = dups.map(r => (r.getLong(0), r.getLong(1))).toSet

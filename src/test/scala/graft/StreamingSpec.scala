@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{FlowPipeline, FlowRecord, NetFlowCodec, UdpFlowSource}
+import graft.streaming.{FlowPipeline, FlowRecord, NetFlowCodec, UdpFlowSource, UdpMicroBatchStream, UdpOffset}
 
 /** End-to-end streaming tests: the UDP DSv2 source feeding the decode
   * stage, watermark late-data eviction, stateful flow expiry, streaming
@@ -459,6 +459,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(
       ("10.0.0.1", 50000L, 500L, 100L), // de-sampled ×100
       ("10.0.0.9", 70L, 7L, 1L)))       // no options → ×1 passthrough
+  }
+
+  test("udp source: a restarted query's new stream evicts the dead one (last-wins)") {
+    val key = "0.0.0.0:9909"
+    UdpFlowSource.clear(key)
+    def mkStream() = new UdpMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("port", "9909", "socket", "false")))
+    val first = mkStream()
+    UdpFlowSource.inject(key, 1700000000000000L, "10.1.1.1", Array[Byte](1, 2))
+    assert(first.latestOffset().asInstanceOf[UdpOffset].seq == 1L)
+    // Driver-side restart: Spark builds the new run's stream while the
+    // failed run never got to stop() — must not wedge the endpoint.
+    val second = mkStream()
+    assert(second.latestOffset().asInstanceOf[UdpOffset].seq == 1L)
+    // The evicted stream fails loudly instead of racing commit-trim.
+    intercept[IllegalStateException](first.latestOffset())
+    intercept[IllegalStateException](first.commit(UdpOffset(1L)))
+    // The dead run's late stop() must not deregister the new owner.
+    first.stop()
+    assert(second.latestOffset().asInstanceOf[UdpOffset].seq == 1L)
+    second.stop()
+    UdpFlowSource.clear(key)
+  }
+
+  test("desampleEachBatch: streaming flows join an options snapshot per micro-batch") {
+    import spark.implicits._
+    val ts = new Timestamp(1700000000000L)
+    def flow(exp: String, bytes: Long, pkts: Long) = FlowRecord(
+      recv_ts = ts, exporter = exp, domain = 9L, start_ts = ts, end_ts = ts,
+      duration_ms = 0L, src_addr = "10.0.0.1", dst_addr = "10.0.0.2",
+      src_port = 1, dst_port = 2, protocol = 6, tcp_flags = 0,
+      packets = pkts, bytes = bytes, in_if = 0, out_if = 0,
+      src_as = 0L, dst_as = 0L, next_hop = null, tos = 0,
+      raw = Array.emptyByteArray)
+    val dir = java.nio.file.Files.createTempDirectory("flows-in").toString
+    Seq(flow("10.0.0.1", 500L, 5L), flow("10.0.0.9", 70L, 7L)).toDS()
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[FlowRecord].schema)
+      .parquet(dir).as[FlowRecord]
+    val opts = Seq(NetFlowCodec.OptionsRecord("10.0.0.1", 9L, 500,
+      Map(1 -> 0L), Map(34 -> 100L, 35 -> 2L)))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = FlowPipeline.desampleEachBatch(stream,
+        s => { import s.implicits._; opts.toDS() }) { (df, _) =>
+        df.select("exporter", "bytes").collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(got.iterator().hasNext)
+    val byExp = got.toArray(Array.empty[(String, Long)]).toMap
+    assert(byExp == Map("10.0.0.1" -> 50000L, "10.0.0.9" -> 70L))
   }
 
   test("foreachBatch FlowSink collects micro-batches (ClickHouse-shaped path)") {
