@@ -13,17 +13,57 @@ import org.apache.spark.sql.graft.{native => gn}
   * Scale design: centroids are tiny → broadcast; assignment is one
   * narrow pass over the vectors (k cosine evals each, native kernel);
   * the pair join shuffles on `cid` (bounded cells, no all-pairs).
-  * Deterministic: centroids are the k lowest-vec_id vectors (a fixed,
-  * reproducible seeding — a Lloyd refinement pass would keep determinism
-  * by averaging per cell; omitted since candidate quality, not cluster
-  * quality, is what ANN needs here).
+  * Deterministic: seeding is the k lowest-vec_id vectors (fixed,
+  * reproducible), optionally tightened by [[refineCentroids]] — a
+  * determinism-preserving Lloyd pass.
   */
 object IvfIndex {
 
-  /** (vec_id, cid, probe_rank) — each vector in its nProbe nearest cells. */
-  def assign(embs: DataFrame, k: Int = 16, nProbe: Int = 2): DataFrame = {
-    val centroids = embs.orderBy("vec_id").limit(k)
+  /** `rounds` Lloyd refinement passes over seed centroids: assign every
+    * vector to its nearest current centroid, replace each centroid with
+    * its cell's member mean, keep the seed vector for an empty cell.
+    * Determinism: the mean is rounded to 6 decimals (damps float
+    * summation-order drift across partitionings) and ties in the
+    * nearest-centroid choice break on cid — rerunning yields identical
+    * centroids. Each round is one narrow pass over the vectors plus two
+    * small aggregations; centroids are checkpointed per round because
+    * the next round references them twice (broadcast + empty-cell
+    * fallback) and lineage would otherwise compound.
+    */
+  def refineCentroids(embs: DataFrame, seed: DataFrame,
+      rounds: Int): DataFrame = {
+    var cents = seed
+    (0 until rounds).foreach { _ =>
+      val byDist = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cid"))
+      val members = graft.Q.spreadBy(embs, "vec_id")
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          gn.cosine_similarity(col("embedding"), col("cvec")).as("csim"))
+        .withColumn("rn", row_number().over(byDist))
+        .filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val means = members.groupBy("cid", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+          .as("mvec"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** (vec_id, cid, probe_rank) — each vector in its nProbe nearest cells.
+    * `refine` Lloyd rounds (default 1) rebalance the lowest-id seed cells
+    * before assignment.
+    */
+  def assign(embs: DataFrame, k: Int = 16, nProbe: Int = 2,
+      refine: Int = 1): DataFrame = {
+    val seed = embs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centroids = if (refine > 0) refineCentroids(embs, seed, refine) else seed
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
     // keyed repartition: spreads a single input file without the
@@ -42,11 +82,11 @@ object IvfIndex {
     * [[Sketches.reattachCosine]]).
     */
   def annPairs(embs: DataFrame, k: Int = 16, nProbe: Int = 2,
-      broadcastReattach: Boolean = true): DataFrame = {
+      broadcastReattach: Boolean = true, refine: Int = 1): DataFrame = {
     // Assignment (k cosine evals per vector + a window) feeds both sides
     // of the cell self-join — persist the skinny (vec_id, cid, probe_rank)
     // so it runs once.
-    val a = assign(embs, k, nProbe)
+    val a = assign(embs, k, nProbe, refine)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = a.select(col("vec_id").as("id1"), col("cid"))
     val r = a.select(col("vec_id").as("id2"), col("cid").as("cid2"))

@@ -110,6 +110,23 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.intersect(ann).size >= 3, s"brute=$brute ivf(top10)=$ann")
   }
 
+  test("ivf Lloyd refinement is deterministic and keeps cell coverage") {
+    val embs = graft.Tables.embeddings(spark, sf)
+    val seed = embs.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def centroids() = graft.ops.IvfIndex.refineCentroids(embs, seed, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    val c1 = centroids()
+    val c2 = centroids()
+    assert(c1 == c2)                       // rerun → bit-identical centroids
+    assert(c1.size == 16)                  // empty cells keep their seed
+    val seedMap = seed.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(c1.exists { case (cid, v) => v != seedMap(cid) }) // means moved
+    // Every vector still lands in nProbe cells after refinement.
+    val assigned = graft.ops.IvfIndex.assign(embs, k = 16, nProbe = 2, refine = 2)
+    assert(assigned.groupBy("vec_id").count().filter(col("count") =!= 2).count() == 0)
+  }
+
   test("fingerprints: identical texts identical, shifted text overlaps") {
     import spark.implicits._
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
