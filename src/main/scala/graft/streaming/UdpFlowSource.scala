@@ -113,6 +113,36 @@ object UdpFlowSource {
   def endpointKey(options: CaseInsensitiveStringMap): String =
     options.getOrDefault("host", "0.0.0.0") + ":" + options.getOrDefault("port", "2055")
 
+  /** Source-owned sequence persistence (option `seqdir`): the committed
+    * offset is written through to a tiny per-endpoint file, and a fresh
+    * JVM restores it before its first batch. Without it, recovery leans
+    * on [[reseed]]-from-checkpoint alone, which only aligns numbering
+    * once Spark happens to call deserializeOffset — with it, an endpoint
+    * resumes monotonic numbering even when a restarted query starts from
+    * a cleared checkpoint (the reference collector's on-disk sequence
+    * file, re-expressed). Datagrams buffered in the dead JVM are still
+    * gone — the at-most-once note above stands.
+    */
+  private def seqFile(dir: String, key: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, key.replace(':', '_') + ".seq")
+
+  private[streaming] def persistSeq(dir: String, key: String, seq: Long): Unit = {
+    val p = seqFile(dir, key)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, seq.toString)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[streaming] def restoreSeq(dir: String, key: String): Option[Long] = {
+    val p = seqFile(dir, key)
+    if (java.nio.file.Files.exists(p))
+      scala.util.Try(java.nio.file.Files.readString(p).trim.toLong).toOption
+    else None
+  }
+
   /** Test/driver-side injection path (used instead of a live socket). */
   def inject(key: String, recvTsMicros: Long, peer: String, payload: Array[Byte]): Unit =
     buffers.synchronized {
@@ -156,6 +186,7 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
   private val useSocket = options.getBoolean("socket", true)
   private val port = options.getInt("port", 2055)
   private val host = options.getOrDefault("host", "0.0.0.0")
+  private val seqDir = Option(options.get("seqdir")).filter(_.nonEmpty)
   // Initialized before register() publishes `this`: a racing successor's
   // supersede() write must not be clobbered by this initializer.
   @volatile private var superseded = false
@@ -165,6 +196,11 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
   // its port. An evicted stream answers every later call with
   // IllegalStateException (see supersede) rather than racing us.
   UdpFlowSource.register(key, this)
+
+  // Source-owned sequence recovery: resume numbering from the persisted
+  // committed seq (if any) before the first batch of this JVM.
+  seqDir.flatMap(UdpFlowSource.restoreSeq(_, key))
+    .foreach(UdpFlowSource.reseed(key, _))
 
   /** Called (under the registry lock) when a newer stream registers this
     * endpoint: release the socket so the successor can bind, and make
@@ -219,7 +255,11 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
   }
   override def commit(end: Offset): Unit = {
     ensureOwner()
-    UdpFlowSource.trim(key, end.asInstanceOf[UdpOffset].seq)
+    val seq = end.asInstanceOf[UdpOffset].seq
+    UdpFlowSource.trim(key, seq)
+    // Write-through AFTER the trim: a crash between the two re-trims on
+    // restart (idempotent) rather than resuming behind the buffer head.
+    seqDir.foreach(UdpFlowSource.persistSeq(_, key, seq))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -484,6 +484,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     UdpFlowSource.clear(key)
   }
 
+  test("udp source: seqdir persists committed offsets across a simulated JVM restart") {
+    val key = "0.0.0.0:9908"
+    val seqDir = Files.createTempDirectory("udp-seq").toString
+    def mkStream() = new UdpMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("port", "9908", "socket", "false", "seqdir", seqDir)))
+    UdpFlowSource.clear(key)
+    val first = mkStream()
+    (0 until 3).foreach(i =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, "10.1.1.1", Array[Byte](i.toByte)))
+    first.commit(UdpOffset(3L)) // trims + persists seq 3
+    first.stop()
+    // Simulated process death: in-memory buffers gone entirely.
+    UdpFlowSource.clear(key)
+    val second = mkStream() // restores seq 3 from seqdir
+    assert(second.latestOffset().asInstanceOf[UdpOffset].seq == 3L)
+    // New traffic continues monotonic numbering after the restored seq.
+    UdpFlowSource.inject(key, 1700000000000099L, "10.1.1.1", Array[Byte](9))
+    assert(second.latestOffset().asInstanceOf[UdpOffset].seq == 4L)
+    val rows = second.planInputPartitions(UdpOffset(3L), UdpOffset(4L))
+    assert(rows.length == 1)
+    second.stop()
+    UdpFlowSource.clear(key)
+  }
+
   test("desampleEachBatch: streaming flows join an options snapshot per micro-batch") {
     import spark.implicits._
     val ts = new Timestamp(1700000000000L)
