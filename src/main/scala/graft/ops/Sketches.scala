@@ -129,13 +129,23 @@ object Sketches {
       .filter(col("inter_n") >= col("union_n") * threshold)
   }
 
-  /** 64-bit SimHash of the word multiset of a text column: words hashed
+  /** 62-bit SimHash of the word multiset of a text column: words hashed
     * once into array<long>, bit-counter fold in the native SimHash64
-    * kernel.
+    * kernel. The word hash is a PAIR of polynomial hashes mod P (bases
+    * 257 and 131) packed as h1·2³¹ + h2 — like [[fingerprints]], chosen
+    * over xxhash64 so `dedup_simhash` gets an exact SQL oracle that
+    * replays the identical pipeline (hash → bit-fold → bands → hamming).
+    * Empty tokens (split artifacts of repeated spaces) are filtered on
+    * both engines — their char-code functions disagree on ''.
     */
   def simhash(textCol: String): Column =
-    org.apache.spark.sql.graft.native.simhash64(
-      expr(s"transform(split($textCol, ' '), w -> xxhash64(w))"))
+    org.apache.spark.sql.graft.native.simhash64(expr(
+      s"""transform(filter(split($textCol, ' '), w -> w != ''), w ->
+         |  aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),
+         |    (a, t) -> (a * 257 + ascii(substring(w, t, 1))) % $P)
+         |      * CAST(2147483648 AS BIGINT)
+         |  + aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),
+         |    (a, t) -> (a * 131 + ascii(substring(w, t, 1))) % $P))""".stripMargin))
 
   /** docs(doc_id, text) → simhash candidate pairs within `maxHamming`,
     * found by 16-bit band collision (any identical quarter → candidate).

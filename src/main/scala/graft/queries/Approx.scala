@@ -45,7 +45,41 @@ object Approx {
         .orderBy("id1", "id2")
     },
 
-    "dedup_simhash" -> Q.noOracle { (s, d) =>
+    // Exact oracle, no recall caveat: both engines compute the identical
+    // deterministic pipeline — dual-polynomial word hash (Sketches.simhash),
+    // SimHash bit fold (bits 62-63 are structurally 0 for non-empty docs,
+    // so folding b < 62 matches the kernel's 64-bit loop), 16-bit quarter
+    // bands, hamming ≤ 3 on band-colliding pairs.
+    "dedup_simhash" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM '{sfDir}/documents.parquet'),
+        |wh AS (
+        |  SELECT doc_id, [
+        |      list_reduce(list_prepend(0::BIGINT,
+        |          [CAST(unicode(w[t]) AS BIGINT) for t in range(1, length(w)+1)]),
+        |        (a, c) -> (a * 257 + c) % 2147483647) * 2147483648
+        |    + list_reduce(list_prepend(0::BIGINT,
+        |          [CAST(unicode(w[t]) AS BIGINT) for t in range(1, length(w)+1)]),
+        |        (a, c) -> (a * 131 + c) % 2147483647)
+        |    for w in list_filter(string_split(text, ' '), w -> w != '')] AS hs
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, CAST(list_sum([
+        |      CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+        |                          for h in hs]) >= 0
+        |           THEN (1::BIGINT << b) ELSE 0 END
+        |      for b in range(0, 62)]) AS BIGINT) AS sh
+        |  FROM wh),
+        |bands AS (
+        |  SELECT doc_id, sh, q, (sh >> (q * 16)) & 65535 AS qv
+        |  FROM s, (SELECT unnest(range(0, 4)) AS q) qs),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+        |         a.sh AS sh1, b2.sh AS sh2
+        |  FROM bands a JOIN bands b2
+        |    ON a.q = b2.q AND a.qv = b2.qv AND a.doc_id < b2.doc_id)
+        |SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+        |FROM p WHERE bit_count(xor(sh1, sh2)) <= 3
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       Sketches.simhashNearDups(T.documents(s, d).select("doc_id", "text"),
           maxHamming = 3)
         .orderBy("id1", "id2")
