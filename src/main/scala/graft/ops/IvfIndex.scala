@@ -34,15 +34,19 @@ object IvfIndex {
       rounds: Int): DataFrame = {
     var cents = seed
     (0 until rounds).foreach { _ =>
-      val byDist = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cid"))
+      // Nearest-centroid via arg-min aggregation, not a window: min of
+      // struct(-csim, cid, embedding) picks highest-similarity (ties →
+      // lowest cid; the embedding field is never reached since cid is
+      // unique per vector) with map-side partial aggregation instead of
+      // a full per-vector sort.
       val members = graft.Q.spreadBy(embs, "vec_id")
         .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          gn.cosine_similarity(col("embedding"), col("cvec")).as("csim"))
-        .withColumn("rn", row_number().over(byDist))
-        .filter(col("rn") === 1)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"),
+          struct((-gn.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
+            col("cid").as("cid"), col("embedding").as("e")).as("cand"))
+        .groupBy("vec_id").agg(min(col("cand")).as("best"))
+        .select(col("best.cid").as("cid"),
+          posexplode(col("best.e")).as(Seq("pos", "v")))
       val means = members.groupBy("cid", "pos")
         .agg(round(avg(col("v").cast("double")), 6).as("m"))
         .groupBy("cid")

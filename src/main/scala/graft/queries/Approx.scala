@@ -4,10 +4,18 @@ import graft.{Q, Tables => T}
 import graft.ops.Sketches
 import org.apache.spark.sql.functions._
 
-/** Declared-but-oracle-free operators (driver records a rows-only check):
-  * sketch-based dedup/similarity and HLL distinct. Deterministic by
+/** Sketch-based dedup/similarity and HLL distinct. Deterministic by
   * construction (fixed hash constants) — unit/property tests in
-  * SketchesSpec pin the semantics.
+  * SketchesSpec pin the semantics. Round 3 gave most of these full
+  * DuckDB oracles: exact ground-truth for dedup_minhash (inverted-index
+  * Jaccard), exact pipeline replay for dedup_simhash/text_fingerprint
+  * (polynomial hashes are pure integer arithmetic), exact-count + error
+  * bound for agg_approx_distinct. Only the two ANN variants stay
+  * rows-only: their sign-LSH hyperplanes come from splitmix64 (wrap-
+  * around 64-bit multiplies — not expressible without fragile limb
+  * arithmetic) and a bucket bit flips on a float-ulp boundary, so a SQL
+  * replica could not be made bit-faithful; their recall and plan shape
+  * are pinned in SketchesSpec/ScaleTechniquesSpec instead.
   */
 object Approx {
 
