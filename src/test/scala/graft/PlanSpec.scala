@@ -98,6 +98,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TopKPerGroup"), p)
   }
 
+  test("agg_quantiles: one window exchange feeds the two-phase final agg") {
+    val df = SparkEntry.queries("agg_quantiles")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("Window"), p)
+    // rank assignment and the group aggregate share the same hash
+    // partitioning on o_orderpriority — a second hash exchange would mean
+    // the quantile pick re-shuffled rows it already had clustered.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("agg_mode aggregates before its window (counts shuffle, parts don't)") {
+    val p = planOf("agg_mode")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
