@@ -81,6 +81,53 @@ object Extra3 {
           .orderBy("t_class")
     },
 
+    // PII redaction — the mask step of a training-data pipeline. The
+    // documents table has no native PII, so both engines append the SAME
+    // deterministic contact suffix (email + IPv4 derived from doc_id)
+    // and then mask it: counts on the raw string, regexp_replace to
+    // <EMAIL>/<IP>, and a hash-checked `clean` boolean proving no
+    // pattern survives masking. Patterns stay in the Java∩RE2 common
+    // subset (no lookaround, no backrefs); DuckDB needs the 'g' flag
+    // where Spark replaces globally by default.
+    "text_pii_mask" -> Q(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id ||
+        |         '@mail.example.com from 10.0.' || (doc_id % 256) || '.7' AS raw_s
+        |  FROM '{sfDir}/documents.parquet'),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(raw_s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(raw_s, '(\d{1,3}\.){3}\d{1,3}')) AS n_ip,
+        |    regexp_replace(regexp_replace(raw_s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g') AS masked
+        |  FROM d)
+        |SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+        |  substring(masked, greatest(length(masked) - 39, 1), 40) AS tail,
+        |  NOT (regexp_matches(masked, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |       OR regexp_matches(masked, '(\d{1,3}\.){3}\d{1,3}')) AS clean
+        |FROM m ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "(\\d{1,3}\\.){3}\\d{1,3}"
+        T.documents(s, d)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com from 10.0."), col("doc_id") % 256,
+              lit(".7")).as("raw_s"))
+          .select(col("doc_id"),
+            regexp_count(col("raw_s"), lit(emailRe)).cast("int").as("n_email"),
+            regexp_count(col("raw_s"), lit(ipRe)).cast("int").as("n_ip"),
+            regexp_replace(regexp_replace(col("raw_s"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>").as("masked"))
+          .select(col("doc_id"), col("n_email"), col("n_ip"),
+            substring(col("masked"),
+              greatest(length(col("masked")) - 39, lit(1)), lit(40)).as("tail"),
+            (!(col("masked").rlike(emailRe) || col("masked").rlike(ipRe))).as("clean"))
+          .orderBy("doc_id")
+    },
+
     // ANSI error-safe function family: try_divide / try_cast /
     // try_add / try_element_at all yield NULL where strict evaluation
     // would raise. DuckDB's native semantics already NULL on /0, failed
