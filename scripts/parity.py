@@ -150,19 +150,31 @@ def compare(want: pd.DataFrame, got: pd.DataFrame) -> list:
             fails.append(f"hash {bad}/{len(want)} rows differ")
     except Exception as e:  # pragma: no cover - diagnostic only
         fails.append(f"hash error: {e}")
-    # exact canonical value compare with row-level diagnostics
-    shown = 0
-    for i in range(len(cw)):
-        rw = tuple(cell_repr(cw.iloc[i][c]) for c in cw.columns)
-        rg = tuple(cell_repr(cg.iloc[i][c]) for c in cg.columns)
-        if rw != rg:
-            if shown == 0:
-                fails.append("values differ:")
+    # Exact canonical value compare, vectorized per column (a per-cell
+    # .iloc loop took ~10 min on the 600k-row sf0.1 dumps). Strictness
+    # is unchanged: float columns compare at the BIT level (−0.0 ≠ 0.0,
+    # any-NaN == any-NaN, matching the repr compare this replaces);
+    # canon_frame has already stringified object/date columns.
+    mism = np.zeros(len(cw), dtype=bool)
+    for c in cw.columns:
+        a, b = cw[c], cg[c]
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            av = a.to_numpy(dtype="float64", copy=True)
+            bv = b.to_numpy(dtype="float64", copy=True)
+            neq = av.view("int64") != bv.view("int64")
+            neq &= ~(np.isnan(av) & np.isnan(bv))
+        else:
+            an, bn = a.isna().to_numpy(), b.isna().to_numpy()
+            neq = (a != b).to_numpy(dtype=bool) | (an ^ bn)
+            neq &= ~(an & bn)
+        mism |= neq
+    if mism.any():
+        fails.append("values differ:")
+        for i in np.flatnonzero(mism)[:3]:
+            rw = tuple(cell_repr(cw.iloc[int(i)][c]) for c in cw.columns)
+            rg = tuple(cell_repr(cg.iloc[int(i)][c]) for c in cg.columns)
             fails.append(f"  row {i}: want={rw}")
             fails.append(f"  row {i}:  got={rg}")
-            shown += 1
-            if shown >= 3:
-                break
     return fails
 
 
