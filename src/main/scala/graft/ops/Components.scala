@@ -61,25 +61,30 @@ object Components {
         .select(col("s").as("id"), col("nmin"))
       // Persisted because the shortcut below self-joins it — without the
       // persist each round would recompute the propagation join twice.
+      // `prev` (the round's starting label) rides along so convergence
+      // falls out of the same pass — no extra join against old labels.
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // Pointer jumping: adopt rep(rep). Labels are ≤ their node id and
       // monotonically shrinking, so this only ever tightens — it halves
       // the remaining path to the component minimum each round.
+      // The checkpoint is LAZY: the convergence count below is the one
+      // action per round — it materializes the checkpoint blocks AND
+      // counts shrunk labels in the same job (the eager-checkpoint +
+      // join-with-labels + count shape spent two jobs and one extra
+      // shuffle per round; on a cluster each job is a driver round-trip).
       val next = prop
         .join(prop.select(col("id").as("rid"), col("rep").as("rrep")),
           col("rep") === col("rid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
-        .localCheckpoint() // eager; truncates the doubled self-join lineage
+        .localCheckpoint(eager = false) // truncates the doubled self-join lineage
       // Min-propagation is monotone: converged when no label shrank.
-      val changed = next
-        .join(labels.select(col("id"), col("rep").as("prev")), "id")
-        .filter(col("rep") < col("prev")).count()
+      val changed = next.filter(col("rep") < col("prev")).count()
       prop.unpersist()
-      labels = next
+      labels = next.select("id", "rep")
       converged = changed == 0
       iter += 1
     }

@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.graft.{native => gn}
 
 /** IVF-style ANN (SURVEY §2.10 [N]) — the second scale path for
@@ -13,6 +13,10 @@ import org.apache.spark.sql.graft.{native => gn}
   * Scale design: centroids are tiny → broadcast; assignment is one
   * narrow pass over the vectors (k cosine evals each, native kernel);
   * the pair join shuffles on `cid` (bounded cells, no all-pairs).
+  * The probe ranking is an aggregation (partial-aggregatable top-nProbe
+  * fold over k candidate structs), not a window — no per-vector sort
+  * shuffle; under the keyed spread the groupBy reuses the existing
+  * hash partitioning, so assignment adds zero exchanges.
   * Deterministic: seeding is the k lowest-vec_id vectors (fixed,
   * reproducible), optionally tightened by [[refineCentroids]] — a
   * determinism-preserving Lloyd pass.
@@ -22,8 +26,11 @@ object IvfIndex {
   /** `rounds` Lloyd refinement passes over seed centroids: assign every
     * vector to its nearest current centroid, replace each centroid with
     * its cell's member mean, keep the seed vector for an empty cell.
-    * Determinism: the mean is rounded to 6 decimals (damps float
-    * summation-order drift across partitionings) and ties in the
+    * Determinism: members are cast per-element to DECIMAL(28,12) (a
+    * deterministic rounding, order-independent) and summed EXACTLY in
+    * decimal before the single division — so the mean is bit-identical
+    * across partitionings and aggregation orders by construction, with
+    * no knife-edge float rounding boundary. Ties in the
     * nearest-centroid choice break on cid — rerunning yields identical
     * centroids. Each round is one narrow pass over the vectors plus two
     * small aggregations; centroids are checkpointed per round because
@@ -48,7 +55,8 @@ object IvfIndex {
         .select(col("best.cid").as("cid"),
           posexplode(col("best.e")).as(Seq("pos", "v")))
       val means = members.groupBy("cid", "pos")
-        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .agg(round((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
+          .cast("double"), 6).as("m"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
           .as("mvec"))
@@ -59,25 +67,29 @@ object IvfIndex {
     cents
   }
 
-  /** (vec_id, cid, probe_rank) — each vector in its nProbe nearest cells.
-    * `refine` Lloyd rounds (default 1) rebalance the lowest-id seed cells
-    * before assignment.
+  /** (vec_id, cid, probe_rank) — each vector in its nProbe nearest cells
+    * (rank 1 = nearest). `refine` Lloyd rounds (default 1) rebalance the
+    * lowest-id seed cells before assignment. The top-nProbe pick is an
+    * arg-top aggregation over the k candidate structs (sort of a k-array
+    * per group, partial-aggregatable) — no window, no per-vector sort
+    * shuffle.
     */
   def assign(embs: DataFrame, k: Int = 16, nProbe: Int = 2,
       refine: Int = 1): DataFrame = {
     val seed = embs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val centroids = if (refine > 0) refineCentroids(embs, seed, refine) else seed
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
     // keyed repartition: spreads a single input file without the
     // round-robin full shuffle of a bare repartition().
     graft.Q.spreadBy(embs, "vec_id").crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        gn.cosine_similarity(col("embedding"), col("cvec")).as("csim"))
-      .withColumn("probe_rank", row_number().over(byDist))
-      .filter(col("probe_rank") <= nProbe)
-      .select("vec_id", "cid", "probe_rank")
+      .select(col("vec_id"),
+        struct((-gn.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
+          col("cid").as("cid")).as("cand"))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, nProbe).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pr", "c")))
+      .select(col("vec_id"), col("c.cid").as("cid"),
+        (col("pr") + 1).as("probe_rank"))
   }
 
   /** Candidate pairs sharing at least one probed cell, with exact cosine.
@@ -87,9 +99,9 @@ object IvfIndex {
     */
   def annPairs(embs: DataFrame, k: Int = 16, nProbe: Int = 2,
       broadcastReattach: Boolean = true, refine: Int = 1): DataFrame = {
-    // Assignment (k cosine evals per vector + a window) feeds both sides
-    // of the cell self-join — persist the skinny (vec_id, cid, probe_rank)
-    // so it runs once.
+    // Assignment (k cosine evals per vector + the arg-top fold) feeds both
+    // sides of the cell self-join — persist the skinny (vec_id, cid,
+    // probe_rank) so it runs once.
     val a = assign(embs, k, nProbe, refine)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = a.select(col("vec_id").as("id1"), col("cid"))

@@ -60,6 +60,21 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 100 && got.values.forall(_ == 1L))
   }
 
+  test("CacheScope.release frees every block a pipeline pinned (zero cached RDDs after)") {
+    import spark.implicits._
+    val scope = graft.ops.CacheScope.begin(spark)
+    // Two pinning pipelines: Components (persist + localCheckpoint per
+    // round) and MinHash (persisted shingle/signature intermediates).
+    val nodes = (1L to 20L).toDF("id")
+    val edges = (1L until 20L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val reps = graft.ops.Components.connectedComponents(nodes, edges)
+    assert(reps.count() == 20L) // consume fully before release
+    Sketches.minhashNearDups(docsWithDup, threshold = 0.5).count()
+    assert(scope.pendingIds.nonEmpty, "pipelines should have pinned blocks")
+    scope.release(blocking = true)
+    assert(scope.pendingIds.isEmpty, "release must leave zero cached RDDs")
+  }
+
   test("minhash: exact duplicates always collide; disjoint docs never pass verify") {
     val dups = Sketches.minhashNearDups(docsWithDup, threshold = 0.5).collect()
     val pairs = dups.map(r => (r.getLong(0), r.getLong(1))).toSet
