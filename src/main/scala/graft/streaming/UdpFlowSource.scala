@@ -99,6 +99,15 @@ object UdpFlowSource {
   private[streaming] def deregister(key: String, stream: UdpMicroBatchStream): Unit =
     buffers.synchronized { if (active.get(key).contains(stream)) active -= key }
 
+  /** Is `stream` still the endpoint's registered owner? Checked under the
+    * registry lock so it serializes against a concurrent register(): a
+    * stream that binds its socket while being superseded sees the
+    * eviction here and aborts its startup instead of squatting on the
+    * port the live owner needs.
+    */
+  private[streaming] def isActive(key: String, stream: UdpMicroBatchStream): Boolean =
+    buffers.synchronized { active.get(key).contains(stream) }
+
   /** Cross-JVM restart: the checkpoint holds seq N but a fresh process
     * numbers from 0. Renumber the buffer so already-received packets get
     * seqs ≥ the restored offset — recovery proceeds, nothing is replayed
@@ -223,7 +232,20 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
   // failure so the endpoint stays usable.
   @volatile private var socket: DatagramSocket = _
   private val receiver: Thread = if (!useSocket) null else try {
-    socket = new DatagramSocket(port, InetAddress.getByName(host))
+    // The predecessor releases the port inside its supersede(), which our
+    // register() above just triggered — but its close can still be in
+    // flight, so tolerate a brief address-in-use window before giving up.
+    socket = bindWithRetry()
+    // Constructor-race guard (registry-lock serialized): if a newer
+    // stream registered while we were binding, its supersede() ran
+    // against our then-null socket — a no-op — and we just took the port
+    // out from under the live owner. Detect the eviction and abort; the
+    // catch below deregisters only if we still own the entry (we don't).
+    if (!UdpFlowSource.isActive(key, this)) {
+      socket.close()
+      throw new IllegalStateException(
+        s"udp-flows stream on $key was superseded during startup")
+    }
     val t = new Thread(() => {
       val buf = new Array[Byte](65535)
       try while (!Thread.currentThread().isInterrupted) {
@@ -241,12 +263,29 @@ final class UdpMicroBatchStream(options: CaseInsensitiveStringMap)
     case e: Throwable => UdpFlowSource.deregister(key, this); throw e
   }
 
-  override def initialOffset(): Offset = UdpOffset(0L)
+  private def bindWithRetry(): DatagramSocket = {
+    var attempt = 0
+    while (true) {
+      try return new DatagramSocket(port, InetAddress.getByName(host))
+      catch {
+        case _: java.net.BindException if attempt < 20 =>
+          attempt += 1; Thread.sleep(50)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def initialOffset(): Offset = { ensureOwner(); UdpOffset(0L) }
   override def latestOffset(): Offset = {
     ensureOwner()
     UdpOffset(UdpFlowSource.latest(key))
   }
   override def deserializeOffset(json: String): Offset = {
+    // Owner check FIRST: reseed() renumbers the shared per-endpoint
+    // buffer, and a superseded stream's late deserializeOffset must fail
+    // loudly instead of renumbering it out from under the new owner —
+    // the same race latestOffset/commit/planInputPartitions guard.
+    ensureOwner()
     val o = UdpOffset(json.toLong)
     // Restored from a checkpoint: make sure this (possibly fresh) JVM's
     // buffer numbering is not behind the committed offset.
