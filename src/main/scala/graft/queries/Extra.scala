@@ -88,7 +88,7 @@ object Extra {
       // DOUBLE bit-stable through sf10+.
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_x,
-  |  CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,4))
+        |  CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,4))
         |        * CAST(0.000001 AS DECIMAL(8,6)), 4) AS DECIMAL(18,4)) AS sum_x2_mio,
         |  CAST(ROUND(sqrt(CAST(COUNT(*) * SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))
         |        - SUM(CAST(o_totalprice AS DECIMAL(18,2))) * SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -417,13 +417,17 @@ object Extra2 {
       // TF-IDF top-3 terms per document — the quality-scoring/feature
       // primitive of a text pipeline. Shapes that scale: tf and df are
       // two-phase aggs on (doc, word)/(word); the doc count broadcasts
-      // (1 row); ranking shuffles once on doc_id.
+      // (1 row); ranking shuffles once on doc_id. df derives FROM tf
+      // (its rows are already distinct (doc,word) pairs, so the
+      // expensive countDistinct collapses to a plain count) and the doc
+      // count comes from the raw table — the explode+shuffle word
+      // relation is built twice instead of four times.
       (s, d) =>
         val words = T.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val df = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
-        val n = words.agg(countDistinct("doc_id").as("n"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val n = T.documents(s, d).agg(countDistinct("doc_id").as("n"))
         val byScore = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("word"))
         tf.join(df, "word").crossJoin(broadcast(n))
