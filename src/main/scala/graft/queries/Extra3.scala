@@ -5,14 +5,114 @@ import graft.Q._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Round-3 additions (SURVEY §2.11c): exact distributed quantiles with a
-  * sketch-accuracy check, deterministic mode, and the ANSI try_* error-
-  * safe function family. Same emission contract as everything else —
-  * decimal internals, DOUBLE at the edge (SparkEntry.emitDoubles).
+/** Round-3+ additions (SURVEY §2.11c): exact distributed quantiles with a
+  * sketch-accuracy check, deterministic mode, the ANSI try_* error-safe
+  * function family; round 4 adds the end-to-end dedup pipeline
+  * (dedup_keep_rep), an oracle-backed salted join, and the
+  * digest/encoding scalar family. Same emission contract as everything
+  * else — decimal internals, DOUBLE at the edge (SparkEntry.emitDoubles).
   */
 object Extra3 {
 
   val defs: Map[String, Q] = Map(
+
+    // The END-TO-END dedup pipeline a 100 TB training-data run actually
+    // executes: MinHash+LSH candidate pairs (exact-verified Jaccard
+    // ≥ 0.5) → connected components → keep the minimum doc_id per
+    // cluster. Output is one row per SURVIVING document with its cluster
+    // size — the "what do I actually keep" answer, composed entirely
+    // from the scale-safe stages (banded LSH join, pointer-jumping
+    // components; no all-pairs anywhere). Ground-truth oracle: DuckDB
+    // recomputes the exact ≥ 0.5-Jaccard pair set via an inverted-index
+    // self-join (the dedup_minhash oracle) and closes it transitively
+    // with a recursive CTE — a hash fail means LSH dropped a true
+    // near-dup OR the clustering mislabeled a component.
+    "dedup_keep_rep" -> Q(
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM '{sfDir}/documents.parquet'),
+        |s AS (SELECT doc_id, list_distinct(
+        |        [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS sh
+        |      FROM w WHERE len(w) >= 3),
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter_n
+        |      FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s),
+        |ed AS (SELECT id1, id2
+        |       FROM p JOIN z z1 ON z1.doc_id = id1 JOIN z z2 ON z2.doc_id = id2
+        |       WHERE inter_n >= (z1.n + z2.n - inter_n) * 0.5),
+        |sym AS (SELECT id1 AS s, id2 AS t FROM ed
+        |        UNION ALL SELECT id2, id1 FROM ed),
+        |reach(s, t) AS (
+        |  SELECT doc_id, doc_id FROM w
+        |  UNION
+        |  SELECT r.s, sym.t FROM reach r JOIN sym ON r.t = sym.s),
+        |lab AS (SELECT s AS doc_id, MIN(t) AS rep FROM reach GROUP BY s)
+        |SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM lab GROUP BY rep ORDER BY keep_id""".stripMargin) {
+      (s, d) =>
+        val docs = T.documents(s, d).select("doc_id", "text")
+        val pairs = graft.ops.Sketches
+          .minhashNearDups(docs, threshold = 0.5)
+          .select("id1", "id2")
+        graft.ops.Components
+          .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .groupBy("rep").agg(count(lit(1)).as("n_docs"))
+          .select(col("rep").as("keep_id"), col("n_docs"))
+          .orderBy("keep_id")
+    },
+
+    // Skew-mitigation technique as a DECLARED, oracle-gated operation
+    // (it was unit-only in ScaleTechniquesSpec): the probe side salts
+    // its key by hash mod 8, the build side replicates across all 8
+    // salts, the join runs on (key, salt) — a single hot key now lands
+    // on 8 tasks instead of one. The shuffle_hash hint pins a shuffled
+    // join (broadcasting the replicated side would defeat the exercise),
+    // and the oracle is the PLAIN join — salting must be
+    // result-invisible.
+    "join_salted" -> Q(
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM read_parquet('{sfDir}/orders.parquet') o
+        |JOIN read_parquet('{sfDir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+        val salts = 8
+        val probe = T.orders(s, d)
+          .withColumn("salt", pmod(hash(col("o_orderkey")), lit(salts)))
+        val build = T.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+        probe
+          .join(build.hint("shuffle_hash"),
+            probe("o_custkey") === build("c_custkey")
+              && probe("salt") === build("salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dec2(sum(dec2(col("o_totalprice")))).as("revenue"))
+          .orderBy("c_mktsegment")
+    },
+
+    // Digest/encoding scalar family — content-hash keys (exact dedup,
+    // cache keys, stable shard assignment) and wire encodings. Both
+    // engines hash the UTF-8 bytes of p_name: md5/sha256 emit lowercase
+    // hex, hex() uppercase, base64 per RFC 4648.
+    "fn_binary" -> Q(
+      """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256,
+        |  to_base64(encode(p_name)) AS b64,
+        |  hex(encode(p_name)) AS hx
+        |FROM '{sfDir}/part.parquet' ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        T.part(s, d).select(col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("h_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("h_sha256"),
+          base64(col("p_name").cast("binary")).as("b64"),
+          hex(col("p_name")).as("hx"))
+          .orderBy("p_partkey")
+    },
 
     // Exact discrete quantiles by integer rank arithmetic — value at row
     // ceil(q·n) of the sorted group, picked with row_number + a
