@@ -4,6 +4,7 @@ import graft.{Q, Tables => T}
 import graft.Q._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-3+ additions (SURVEY §2.11c): exact distributed quantiles with a
   * sketch-accuracy check, deterministic mode, the ANSI try_* error-safe
@@ -56,11 +57,22 @@ object Extra3 {
         val pairs = graft.ops.Sketches
           .minhashNearDups(docs, threshold = 0.5)
           .select("id1", "id2")
-        graft.ops.Components
-          .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        // Iterate components ONLY over the near-dup subgraph (nodes that
+        // appear in some pair — a tiny fraction of the corpus); every
+        // other document is trivially its own singleton cluster and
+        // rejoins via one anti-join. At 100 TB this is the difference
+        // between per-round shuffles over the candidate set and
+        // per-round shuffles over the whole corpus.
+        val pairNodes = pairs.select(col("id1").as("id"))
+          .union(pairs.select(col("id2").as("id"))).distinct()
+        val clustered = graft.ops.Components
+          .connectedComponents(pairNodes, pairs)
           .groupBy("rep").agg(count(lit(1)).as("n_docs"))
           .select(col("rep").as("keep_id"), col("n_docs"))
-          .orderBy("keep_id")
+        val singles = docs.select(col("doc_id"))
+          .join(pairNodes, col("doc_id") === col("id"), "left_anti")
+          .select(col("doc_id").as("keep_id"), lit(1L).as("n_docs"))
+        clustered.union(singles).orderBy("keep_id")
     },
 
     // Skew-mitigation technique as a DECLARED, oracle-gated operation
@@ -92,6 +104,72 @@ object Extra3 {
           .agg(count(lit(1)).as("n_orders"),
             dec2(sum(dec2(col("o_totalprice")))).as("revenue"))
           .orderBy("c_mktsegment")
+    },
+
+    // Gaps-and-islands: per user, total active days and the longest run
+    // of CONSECUTIVE days with events — the classic day - row_number()
+    // island key, entirely in integer day numbers (epoch // 86400, the
+    // Events time discipline — no date types cross the engines). Scale
+    // shape: distinct + two windows/aggs all partitioned by user_id, one
+    // shuffle reused throughout.
+    "win_streaks" -> Q(
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |i AS (SELECT user_id, day,
+        |        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |      FROM d),
+        |s AS (SELECT user_id, isl, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+        |       CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val days = T.events(s, d)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts_us) div 86400").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days.withColumn("isl", col("day") - row_number().over(w))
+          .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(sum("len").as("n_days"), max("len").as("max_streak"))
+          .orderBy("user_id")
+    },
+
+    // Shannon entropy of each event type's distribution across users — a
+    // training-data diversity/quality metric (low entropy = traffic
+    // concentrated in few users). Determinism: H = ln(n) - Σ nᵤ·ln(nᵤ)/n
+    // where the Σ runs over EXACT decimals — each ln(nᵤ) is one scalar
+    // double rounded once to 9 places (engine-agreement is per-scalar,
+    // the fn_math precedent), and the weighted sum is exact decimal
+    // arithmetic, so aggregation order can't drift the result. One
+    // double division + one final round at the edge.
+    "agg_entropy" -> Q(
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+        |           FROM read_parquet('{sfDir}/events.parquet')
+        |           GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(cnt) AS n, COUNT(*) AS n_users,
+        |        SUM(CAST(ROUND(ln(cnt), 9) AS DECIMAL(18,9))
+        |            * CAST(cnt AS DECIMAL(10,0))) AS wsum
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(ROUND(ln(CAST(n AS DOUBLE))
+        |             - CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |       AS DECIMAL(18,6)) AS entropy
+        |FROM t ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        T.events(s, d)
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+          .groupBy("event_type")
+          .agg(sum("cnt").as("n"), count(lit(1)).as("n_users"),
+            sum(round(log(col("cnt")), 9).cast(DecimalType(18, 9))
+              * col("cnt").cast(DecimalType(10, 0))).as("wsum"))
+          .select(col("event_type"), col("n").as("n_events"), col("n_users"),
+            round(log(col("n").cast("double"))
+              - col("wsum").cast("double") / col("n").cast("double"), 6)
+              .cast(DecimalType(18, 6)).as("entropy"))
+          .orderBy("event_type")
     },
 
     // Digest/encoding scalar family — content-hash keys (exact dedup,
