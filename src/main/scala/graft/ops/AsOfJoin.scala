@@ -4,19 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join (SURVEY §2.3 [N]): for each left row, attach the latest
-  * right row with `rightTs <= leftTs` within the same key — the standard
-  * time-series enrichment operator Spark lacks natively.
+/** As-of join (SURVEY §2.3 [N]): for each left row, attach the nearest
+  * right row in the same key — `backward` (latest `rightTs <= leftTs`,
+  * the default time-series enrichment) or `forward` (earliest
+  * `rightTs >= leftTs`, e.g. "next fill after the order") — the standard
+  * time-series operator Spark lacks natively.
   *
   * Implementation is the union+window (sort-merge-shaped) form:
-  * union both sides tagged, sort per key by (ts, side), carry the most
-  * recent right value forward with `last(ignoreNulls)` over an unbounded
-  * preceding frame, keep left rows.
+  * union both sides tagged, sort per key by (ts, side) — descending ts
+  * for the forward direction — carry the most recent right value forward
+  * with `last(ignoreNulls)` over an unbounded preceding frame, keep left
+  * rows.
   *
   * Scale: one shuffle on the key + one per-partition sort — the same
   * cost envelope as a sort-merge join, no range explosion, spillable.
-  * (A tolerance variant filters `leftTs - matchedTs <= tolerance`
-  * afterwards.)
+  * (A tolerance variant filters on signed staleness afterwards.)
   */
 object AsOfJoin {
 
@@ -26,12 +28,18 @@ object AsOfJoin {
     * @param leftTs     event-time column on `left`
     * @param rightTs    event-time column on `right`
     * @param rightVals  right columns to attach (prefixed as-is)
-    * @param toleranceMs optional max staleness in ms (ts columns must be
-    *                    castable to long ms via unix_millis)
+    * @param toleranceMs optional max signed staleness in ms (ts columns
+    *                    must be castable to long ms via unix_millis)
+    * @param direction  "backward" (latest earlier-or-equal right row) or
+    *                    "forward" (earliest later-or-equal right row)
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"joinAsOf: unknown direction '$direction'")
+    val fwd = direction == "forward"
     val leftCols = left.columns
     val l = left.withColumn("_side", lit(1))
       .withColumn("_ts", col(leftTs))
@@ -47,8 +55,11 @@ object AsOfJoin {
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     // Right rows sort before left rows at equal timestamps (_side 0 < 1),
-    // so an exact-timestamp right row IS visible to the left row.
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+    // so an exact-timestamp right row IS visible to the left row — in
+    // both directions (both are inclusive). Forward is the time-mirrored
+    // scan: descending ts, carry the nearest LATER right row.
+    val ts = if (fwd) col("_ts").desc else col("_ts").asc
+    val w = Window.partitionBy(key).orderBy(ts, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val kept = unioned
       .withColumn("_rrow", last(col("_rrow"), ignoreNulls = true).over(w))
@@ -56,8 +67,12 @@ object AsOfJoin {
     val bounded = toleranceMs match {
       case Some(t) =>
         // Too stale → no match at all: the entire attached row nulls out.
-        val stale = unix_millis(col("_ts")) - unix_millis(col("_rrow")("_asof_ts")) > t
-        kept.withColumn("_rrow", when(stale, lit(null)).otherwise(col("_rrow")))
+        // Staleness is signed per direction (how far the match lags the
+        // left row backward, leads it forward).
+        val gap =
+          if (fwd) unix_millis(col("_rrow")("_asof_ts")) - unix_millis(col("_ts"))
+          else unix_millis(col("_ts")) - unix_millis(col("_rrow")("_asof_ts"))
+        kept.withColumn("_rrow", when(gap > t, lit(null)).otherwise(col("_rrow")))
       case None => kept
     }
     bounded.select((leftCols.map(col) ++ rightVals.map(v => col("_rrow")(v).as(v)) :+

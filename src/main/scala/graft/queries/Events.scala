@@ -117,6 +117,39 @@ object Events {
           .orderBy("user_id", "click_id")
     },
 
+    "join_asof_fwd" -> Q(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t, event_type
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |c AS (SELECT user_id, event_id, t FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t, MIN(event_id) AS p_event_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, t)
+        |SELECT c.user_id, c.event_id AS click_id, CAST(FLOOR(epoch(c.t)) AS BIGINT) AS click_s,
+        |       p.p_event_id, CAST(FLOOR(epoch(p.t)) AS BIGINT) AS p_s
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t <= p.t
+        |ORDER BY c.user_id, click_id""".stripMargin) {
+      // FORWARD as-of join — for each click, the EARLIEST later purchase
+      // of the same user ("did the click convert, and when"): the
+      // time-mirrored direction of join_asof, checked against DuckDB's
+      // native ASOF LEFT JOIN with the <= inequality. Same
+      // union+window plan (one shuffle, one per-key sort), descending
+      // scan order inside AsOfJoin.
+      (s, d) =>
+        val e = T.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us").as("pts"))
+          .agg(min(col("event_id")).as("p_event_id"))
+        graft.ops.AsOfJoin.joinAsOf(clicks, purchases, key = "user_id",
+            leftTs = "ts_us", rightTs = "pts", rightVals = Seq("p_event_id"),
+            direction = "forward")
+          .select(col("user_id"), col("click_id"),
+            unix_timestamp(col("ts_us")).as("click_s"),
+            col("p_event_id"),
+            unix_timestamp(col("asof_ts")).as("p_s"))
+          .orderBy("user_id", "click_id")
+    },
+
     "stream_dedup" -> Q(
       """SELECT user_id, event_type, value, event_id AS keep_id FROM (
         |  SELECT user_id, event_type, value, event_id,

@@ -89,6 +89,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("A", 50L, None), ("A", 250L, Some(11.0)), ("A", 300L, Some(12.0)),
       ("B", 1000L, Some(99.0)), ("C", 500L, None)))
 
+    // Forward direction: earliest quote AT-or-after each trade.
+    val fwd = AsOfJoin.joinAsOf(trades, quotes, "sym", "tts", "qts",
+      Seq("px"), direction = "forward")
+      .orderBy("sym", "tts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(fwd == Seq(
+      ("A", 50L, Some(10.0)),   // next quote at 100
+      ("A", 250L, Some(12.0)),  // next quote at 300
+      ("A", 300L, Some(12.0)),  // exact-ts quote 300 visible forward too
+      ("B", 1000L, None),       // nothing later than 150
+      ("C", 500L, None)))
     val bounded = AsOfJoin.joinAsOf(trades, quotes, "sym", "tts", "qts",
       Seq("px"), toleranceMs = Some(100000L))
       .filter(col("sym") === "B").collect()
