@@ -306,6 +306,59 @@ object Extra3 {
           .orderBy("doc_id")
     },
 
+    // Bitwise AGGREGATES (the scalar bitwise family is fn_bitwise):
+    // bit_or accumulates a seen-bits mask, bit_and a common-bits mask,
+    // bit_xor a parity fingerprint — all partial-aggregatable, so the
+    // shuffle carries one long per group and phase.
+    "agg_bits" -> Q(
+      """SELECT c_nationkey,
+        |  bit_or(c_custkey % 256) AS seen_mask,
+        |  bit_and(c_custkey % 16 + 48) AS common_mask,
+        |  bit_xor(c_custkey) AS parity_fp
+        |FROM read_parquet('{sfDir}/customer.parquet')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
+      (s, d) =>
+        T.customer(s, d)
+          .groupBy("c_nationkey")
+          .agg(expr("bit_or(c_custkey % 256)").as("seen_mask"),
+            expr("bit_and(c_custkey % 16 + 48)").as("common_mask"),
+            expr("bit_xor(c_custkey)").as("parity_fp"))
+          .orderBy("c_nationkey")
+    },
+
+    // URL parsing — Spark's parse_url family over a deterministic URL
+    // derived from doc_id (documents carry no native URLs, the
+    // text_pii_mask synthesis discipline). The oracle re-extracts the
+    // same components with anchored regexps — constructed URLs are fully
+    // regular, so the regexp statement is exact, not approximate.
+    "fn_url" -> Q(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://ex' || (doc_id % 5) || '.example.com/p/' || doc_id ||
+        |    '?q=' || (doc_id % 7) || '&ref=mail' AS url
+        |  FROM '{sfDir}/documents.parquet')
+        |SELECT doc_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param
+        |FROM u ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("https://ex"), col("doc_id") % 5,
+              lit(".example.com/p/"), col("doc_id"),
+              lit("?q="), col("doc_id") % 7, lit("&ref=mail")).as("url"))
+          .select(col("doc_id"),
+            lower(parse_url(col("url"), lit("PROTOCOL"))).as("scheme"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY")).as("query"),
+            parse_url(col("url"), lit("QUERY"), lit("q")).as("q_param"))
+          .orderBy("doc_id")
+    },
+
     // ANSI error-safe function family: try_divide / try_cast /
     // try_add / try_element_at all yield NULL where strict evaluation
     // would raise. DuckDB's native semantics already NULL on /0, failed
