@@ -54,9 +54,14 @@ object Extra3 {
         |FROM lab GROUP BY rep ORDER BY keep_id""".stripMargin) {
       (s, d) =>
         val docs = T.documents(s, d).select("doc_id", "text")
+        // The LSH+verify pipeline feeds three consumers (component edges,
+        // the pair-node set, and the singleton anti-join) — persist the
+        // skinny (id1, id2) result so the expensive candidate join runs
+        // once, not per consumer (CacheScope releases it).
         val pairs = graft.ops.Sketches
           .minhashNearDups(docs, threshold = 0.5)
           .select("id1", "id2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Iterate components ONLY over the near-dup subgraph (nodes that
         // appear in some pair — a tiny fraction of the corpus); every
         // other document is trivially its own singleton cluster and
