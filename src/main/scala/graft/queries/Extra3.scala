@@ -311,6 +311,31 @@ object Extra3 {
           .orderBy("doc_id")
     },
 
+    // Deterministic stratified sampling — exactly 10 events per type,
+    // chosen by a pseudo-random but REPRODUCIBLE order: h(id) = id ·
+    // 2654435761 mod 2³², a bijection on [0, 2³²) (odd multiplier), so
+    // there are no ties and every engine/run picks the identical sample.
+    // This is how a 100 TB pipeline samples eval slices: TABLESAMPLE is
+    // neither deterministic nor stratified; a hash-ranked window top-N
+    // per stratum is both, and shuffles only (type, h) pairs.
+    "sample_stratified" -> Q(
+      """SELECT event_type, event_id, smp_rank FROM (
+        |  SELECT event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY (event_id * 2654435761) % 4294967296) AS smp_rank
+        |  FROM read_parquet('{sfDir}/events.parquet')) t
+        |WHERE smp_rank <= 10
+        |ORDER BY event_type, smp_rank""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("event_type")
+          .orderBy(expr("(event_id * 2654435761L) % 4294967296L"))
+        T.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            row_number().over(w).as("smp_rank"))
+          .filter(col("smp_rank") <= 10)
+          .orderBy("event_type", "smp_rank")
+    },
+
     // Bitwise AGGREGATES (the scalar bitwise family is fn_bitwise):
     // bit_or accumulates a seen-bits mask, bit_and a common-bits mask,
     // bit_xor a parity fingerprint — all partial-aggregatable, so the

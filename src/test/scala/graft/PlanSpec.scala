@@ -116,6 +116,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p)
   }
 
+  test("join_salted pins a shuffled hash join on (key, salt) — no broadcast") {
+    val p = planOf("join_salted")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(p.contains("BuildRight"), "replicated (salted ×8) side must be the build side")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a broadcast would defeat the salting exercise")
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
