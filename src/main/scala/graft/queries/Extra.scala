@@ -102,7 +102,16 @@ object Extra {
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
             dec2(sum(x)).as("sum_x"),
-            round(sum(x * x) * mio, 4).cast(DecimalType(18, 4)).as("sum_x2_mio"),
+            // Narrow the second moment to DECIMAL(28,4) BEFORE the ×10⁻⁶
+            // shift: sum(x·x) is DECIMAL(38,4), and 38,4 × 8,6 overflows
+            // precision 38, silently rounding to scale 6 before the
+            // explicit round (double rounding, and a different numeric
+            // path than DuckDB's >38-wide multiply). 28+8+1 = 37 ≤ 38, so
+            // both engines compute the exact scale-10 product and round
+            // once. The cast is safe: the moment in millions stays far
+            // below 10²⁴ at any SF this library targets.
+            round(sum(x * x).cast(DecimalType(28, 4)) * mio, 4)
+              .cast(DecimalType(18, 4)).as("sum_x2_mio"),
             round(sqrt((count(lit(1)) * sum(x * x) - sum(x) * sum(x)).cast("double")
               / (count(lit(1)) * (count(lit(1)) - 1))), 2)
               .cast(DecimalType(18, 2)).as("stddev"))
