@@ -51,7 +51,8 @@ object SparkEntry {
     _root_.graft.queries.Approx.defs,
     _root_.graft.queries.Extra.defs,
     _root_.graft.queries.Extra2.defs,
-    _root_.graft.queries.Extra3.defs
+    _root_.graft.queries.Extra3.defs,
+    _root_.graft.queries.Extra4.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

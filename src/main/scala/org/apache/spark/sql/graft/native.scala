@@ -1,6 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -31,6 +33,39 @@ object native {
   /** Sign-LSH bucket per hash table (array of length `tables`). */
   def sign_lsh_buckets(emb: Column, nbits: Int, tables: Int): Column =
     ExpressionUtils.column(SignLshBuckets(ExpressionUtils.expression(emb), nbits, tables))
+
+  /** Bloom-filter build aggregate (Spark's runtime-filter machinery,
+    * reachable only through catalyst — it has no public Column/SQL
+    * surface). `hashed` must be `xxhash64(key)`: the aggregate inserts
+    * raw longs and [[might_contain]] probes with the same hash. Returns
+    * the serialized filter as one binary value — kilobytes for millions
+    * of keys, the cheapest broadcastable semi-join summary there is.
+    */
+  def bloom_filter_agg(hashed: Column, items: Long, bits: Long): Column =
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(hashed),
+      Literal(items), Literal(bits)).toAggregateExpression())
+
+  /** Membership probe against a [[bloom_filter_agg]] binary. May return
+    * false positives (callers must re-verify with the exact join) but
+    * never false negatives — safe as a pre-shuffle row filter. The bloom
+    * side must be a constant or scalar subquery ([[scalar_subquery]]) —
+    * the analyzer rejects a join-produced column here.
+    */
+  def might_contain(bloom: Column, hashed: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(hashed)))
+
+  /** A 1-row/1-column DataFrame as a scalar-subquery expression — the
+    * shape `might_contain` requires for its filter side (mirrors what
+    * Spark's InjectRuntimeFilter builds internally). The subquery
+    * executes once and its result is broadcast into the consuming
+    * expression.
+    */
+  def scalar_subquery(df: DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
 
   /** Top-k rows per group as the custom whole-operator plan
     * ([[graft.plans.TopKPerGroupPlan]]): bounded-heap per group instead

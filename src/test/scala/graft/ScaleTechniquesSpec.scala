@@ -87,6 +87,31 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom pre-filter: no false negatives, real pruning") {
+    import org.apache.spark.sql.graft.{native => gn}
+    val dim = Tables.part(spark, sf).filter(col("p_size") === 1)
+      .select("p_partkey")
+    val fact = Tables.lineitem(spark, sf).select("l_partkey")
+    val bloom = dim.agg(
+      gn.bloom_filter_agg(xxhash64(col("p_partkey")), 4096L, 65536L).as("bf"))
+    val passed = fact.filter(gn.might_contain(gn.scalar_subquery(bloom),
+      xxhash64(col("l_partkey"))))
+    val total = fact.count()
+    val kept = passed.count()
+    val trueMatches = fact.join(dim, col("l_partkey") === col("p_partkey"),
+      "left_semi").count()
+    // Never drops a true match (bloom has no false negatives)…
+    val missed = fact.join(dim, col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(passed.withColumnRenamed("l_partkey", "kept_key").distinct(),
+        col("l_partkey") === col("kept_key"), "left_anti").count()
+    assert(missed == 0L)
+    // …and actually prunes: with p_size=1 selectivity ~1/50, the pass-set
+    // must be well under the input (FP rate at 16 bits/key is ≪ 1%).
+    assert(kept >= trueMatches)
+    assert(kept < total / 2, s"bloom kept $kept of $total — no pruning")
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
