@@ -35,18 +35,29 @@ object Bench {
     // Two timed iterations, report the per-query MIN: a single sample on
     // a contended box folds scheduler noise into the number (r2/r3 driver
     // runs read 1.5-2.5x a clean pass); the min of two is the better
-    // estimate of the query's actual cost and stays honest (both samples
-    // do full work — no caching between them beyond the JVM warm-up the
-    // warm-up block above already grants every query family).
+    // estimate of the query's actual cost. A failed pass is recorded as
+    // the -1 sentinel and never wins the min — pass 1's real timing
+    // survives a flaky pass 2 (and vice versa).
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     val s1 = timeAll()
+    // Cold pass 2: queries that persist intermediates (minhash/keep_rep/
+    // ANN pipelines) leave InMemoryRelations behind, and the CacheManager
+    // substitutes them into pass 2 by canonicalized-plan match — without
+    // this flush the second sample would time warm-cache reads, not the
+    // query. Clear both the DataFrame cache and any leftover persisted /
+    // locally-checkpointed RDDs so both samples do full work.
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val s2 = timeAll()
-    val results = s1.map { case (k, v) => k -> math.min(v, s2.getOrElse(k, v)) }
+    def best(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    val results = s1.map { case (k, v) => k -> best(v, s2.getOrElse(k, -1.0)) }
     // Compact formatting (4 decimals, ~1.7 KB for 85 queries) and print
     // AFTER spark.stop(): round-1's full-double-repr line was clipped by
     // the driver's stdout tail window (BENCH_r01.json parsed: null).
@@ -56,6 +67,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line above outgrew the driver's stdout tail window at
+    // 118 queries (the window keeps line TAILS, so the leading total was
+    // clipped — BENCH_r01..r04 all parsed null). This final compact line
+    // is what the driver actually gets to parse; it always fits.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -402,7 +402,8 @@ object Extra2 {
         |           FROM read_parquet('{sfDir}/documents.parquet')),
         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
-        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n
+        |      FROM read_parquet('{sfDir}/documents.parquet')),
         |sc AS (SELECT tf.doc_id, tf.word,
         |         CAST(ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6)
         |              AS DECIMAL(18,6)) AS score

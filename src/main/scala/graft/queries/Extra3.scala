@@ -317,18 +317,26 @@ object Extra3 {
     // there are no ties and every engine/run picks the identical sample.
     // This is how a 100 TB pipeline samples eval slices: TABLESAMPLE is
     // neither deterministic nor stratified; a hash-ranked window top-N
-    // per stratum is both, and shuffles only (type, h) pairs.
+    // per stratum is both, and shuffles only (type, h) pairs. The hash is
+    // computed overflow-safely via 16-bit limbs (a·C mod 2³² = (a0·C +
+    // ((a1·C) mod 2¹⁶)·2¹⁶) mod 2³², terms < 2⁴⁸): a naive id·C wraps
+    // i64 above id ≈ 3.47e9 — Spark wraps silently (negative remainders,
+    // bijection broken), DuckDB raises.
     "sample_stratified" -> Q(
       """SELECT event_type, event_id, smp_rank FROM (
         |  SELECT event_type, event_id,
         |    ROW_NUMBER() OVER (PARTITION BY event_type
-        |      ORDER BY (event_id * 2654435761) % 4294967296) AS smp_rank
+        |      ORDER BY (((event_id % 4294967296) % 65536) * 2654435761
+        |        + ((((event_id % 4294967296) // 65536) * 2654435761) % 65536)
+        |        * 65536) % 4294967296) AS smp_rank
         |  FROM read_parquet('{sfDir}/events.parquet')) t
         |WHERE smp_rank <= 10
         |ORDER BY event_type, smp_rank""".stripMargin) {
       (s, d) =>
         val w = Window.partitionBy("event_type")
-          .orderBy(expr("(event_id * 2654435761L) % 4294967296L"))
+          .orderBy(expr("(((event_id % 4294967296L) % 65536L) * 2654435761L" +
+            " + ((((event_id % 4294967296L) DIV 65536L) * 2654435761L) % 65536L)" +
+            " * 65536L) % 4294967296L"))
         T.events(s, d)
           .select(col("event_type"), col("event_id"),
             row_number().over(w).as("smp_rank"))

@@ -56,10 +56,16 @@ object Extra4 {
     // (a bijection on [0,2³²), no ties) and bucketing mod 100 gives a
     // reproducible 80/10/10 assignment any engine can replay. Pure map +
     // one tiny aggregate: zero wide stages beyond the final 3-group agg.
+    // The hash is computed overflow-safely: a plain id*2654435761 wraps
+    // i64 for ids above ~3.47e9 (Spark wraps silently, DuckDB errors),
+    // so the low half of id is split into 16-bit limbs — a·C mod 2³² =
+    // (a0·C + ((a1·C) mod 2¹⁶)·2¹⁶) mod 2³², every term < 2⁴⁸.
     "sample_split" -> Q(
       """WITH b AS (
         |  SELECT doc_id, n_chars,
-        |    ((doc_id * 2654435761) % 4294967296) % 100 AS bkt
+        |    ((((doc_id % 4294967296) % 65536) * 2654435761
+        |      + ((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536)
+        |     % 4294967296) % 100 AS bkt
         |  FROM '{sfDir}/documents.parquet'),
         |s AS (SELECT CASE WHEN bkt < 80 THEN 'train'
         |                  WHEN bkt < 90 THEN 'val'
@@ -71,7 +77,9 @@ object Extra4 {
         |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
       T.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
-          expr("(doc_id * 2654435761L) % 4294967296L % 100").as("bkt"))
+          expr("((((doc_id % 4294967296L) % 65536L) * 2654435761L" +
+            " + ((((doc_id % 4294967296L) DIV 65536L) * 2654435761L) % 65536L)" +
+            " * 65536L) % 4294967296L) % 100").as("bkt"))
         .select(
           when(col("bkt") < 80, "train")
             .when(col("bkt") < 90, "val")
@@ -136,12 +144,13 @@ object Extra4 {
         |  SELECT c_custkey, 3, 'D', NULL, c_nationkey
         |  FROM base WHERE c_custkey % 97 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, 1, 'I',
+        |  SELECT -c_custkey, 1, 'I',
         |         CAST(100.00 AS DECIMAL(18,2)), c_nationkey
         |  FROM base WHERE c_custkey % 131 = 0),
         |latest AS (
         |  SELECT key, op, new_bal, nk FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY seq DESC, op) AS rn
         |    FROM chg) t WHERE rn = 1),
         |merged AS (
         |  SELECT b.c_nationkey,
@@ -170,10 +179,15 @@ object Extra4 {
             .select(col("c_custkey"), lit(3), lit("D"),
               lit(null).cast(DecimalType(18, 2)), col("c_nationkey")))
           .union(base.filter(col("c_custkey") % 131 === 0)
-            .select(col("c_custkey") + 1000000, lit(1), lit("I"),
+            // Insert keys live OUTSIDE the base key domain by construction
+            // (negation — base custkeys are strictly positive), so a
+            // synthesized insert can never collide with a real update at
+            // any SF; the op tiebreak below makes latest-wins a total
+            // order even if a future change stream carries same-seq rows.
+            .select(-col("c_custkey"), lit(1), lit("I"),
               lit(BigDecimal("100.00")).cast(DecimalType(18, 2)),
               col("c_nationkey")))
-        val w = Window.partitionBy("key").orderBy(col("seq").desc)
+        val w = Window.partitionBy("key").orderBy(col("seq").desc, col("op"))
         val latest = chg.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn", "seq")
         val merged = base
