@@ -124,6 +124,61 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a broadcast would defeat the salting exercise")
   }
 
+  test("join_bloom builds the bloom once and prunes the probe BELOW the join") {
+    val df = SparkEntry.queries("join_bloom")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the filter is built by a one-time aggregate inside a scalar subquery…
+    assert(p.contains("bloom_filter_agg"), p)
+    // …whose result is REUSED by every consumer — a Catalyst change that
+    // re-planned the subquery per consumer would keep the oracle green
+    // while re-running the dim aggregate, destroying the point.
+    assert(p.contains("ReusedSubquery"), p)
+    // and might_contain drops probe rows between the join and the fact
+    // scan — i.e. BEFORE the join, which is the whole shuffle-volume claim.
+    val join = p.indexOf("BroadcastHashJoin")
+    val probeScan = p.indexOf("lineitem.parquet")
+    assert(join >= 0 && probeScan > join, p)
+    assert(p.substring(join, probeScan).contains("might_contain"), p)
+  }
+
+  test("merge_upsert: windows compact only the delta; the base is never shuffled") {
+    val df = SparkEntry.queries("merge_upsert")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // every window partitions by the DELTA key — a window over the base
+    // would be the repeated-full-base-window regression this pins against
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val deltaSpecs = "windowspecdefinition\\(key#".r.findAllIn(p).size
+    assert(specs > 0 && specs == deltaSpecs, p)
+    // latest-wins is rank-limit-pushed: only the per-key winner survives
+    // the map side (Partial WindowGroupLimit below the exchange)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains(", Partial"), p)
+    // big-base/small-delta: the compacted delta broadcasts into a left
+    // join; the base streams through with NO exchange on the merge key
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
+  }
+
+  test("agg_argminmax is one two-phase aggregate, zero window exchanges") {
+    val df = SparkEntry.queries("agg_argminmax")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // partial max_by/min_by run before the exchange — one (value, id)
+    // struct per group and phase crosses the shuffle
+    assert(p.contains("partial_max_by") && p.contains("partial_min_by"), p)
+    // the struct buffer forces SortAggregate; still exactly two phases
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size == 2, p)
+    // and the window-free claim: no windowspecdefinition anywhere,
+    // exactly one hash exchange (the group-by) in the whole plan
+    assert(!p.contains("windowspecdefinition"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
