@@ -125,6 +125,44 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.intersect(ann).size >= 3, s"brute=$brute ivf(top10)=$ann")
   }
 
+  test("ann gate headroom: recall@20 stays 20/20 at declared params AND one notch weaker") {
+    // The sim_ann_lsh / sim_ann_ivf oracles assert ground-truth
+    // recall@20 = 100% at (nbits=4, tables=28) / (k=8, nProbe=5). Those
+    // parameters were tuned on the fixtures — if a testdata regeneration
+    // ever pushed recall to the edge, the driver gate would fail as an
+    // opaque hash mismatch. This test keeps the gate self-diagnosing:
+    // recall must be perfect not just at the declared params but one
+    // notch WEAKER (tables=24, nProbe=4), i.e. the declared config has
+    // margin (candidate pairs are monotone in tables/nProbe, so declared
+    // ⊇ notch). Measured edge at r5: LSH needs tables≥23, IVF nProbe≥4.
+    // If the weaker notch fails while the declared params pass, the
+    // fixtures moved to the edge; retune via tools/AnnSweep.
+    val d = "/root/testdata/sf0.01"
+    val embs = graft.Tables.embeddings(spark, d)
+    def top20(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.orderBy(col("sim").desc, col("id1"), col("id2")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val truth = top20(a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(org.apache.spark.sql.graft.native.cosine_similarity(
+          col("e1"), col("e2")), 4).as("sim")))
+    assert(truth.size == 20)
+    for ((tables, label) <- Seq(28 -> "declared", 24 -> "headroom")) {
+      val got = top20(Sketches.annPairs(embs, nbits = 4, tables = tables))
+      assert((truth -- got).isEmpty,
+        s"LSH $label (tables=$tables) missed ${(truth -- got).size}/20: ${truth -- got}")
+    }
+    for ((nProbe, label) <- Seq(5 -> "declared", 4 -> "headroom")) {
+      val got = top20(graft.ops.IvfIndex.annPairs(embs, k = 8, nProbe = nProbe,
+        refine = 0))
+      assert((truth -- got).isEmpty,
+        s"IVF $label (nProbe=$nProbe) missed ${(truth -- got).size}/20: ${truth -- got}")
+    }
+  }
+
   test("ivf Lloyd refinement is deterministic and keeps cell coverage") {
     val embs = graft.Tables.embeddings(spark, sf)
     val seed = embs.orderBy("vec_id").limit(16)
