@@ -31,6 +31,10 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
     }
+    // Drop anything the warm-up pinned (dedup_minhash persists its
+    // shingle relation) so pass 1 starts from a clean cache.
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     // Deterministic measurement order (Map iteration order is not).
     // Two timed iterations, report the per-query MIN: a single sample on
     // a contended box folds scheduler noise into the number (r2/r3 driver
@@ -38,22 +42,27 @@ object Bench {
     // estimate of the query's actual cost. A failed pass is recorded as
     // the -1 sentinel and never wins the min — pass 1's real timing
     // survives a flaky pass 2 (and vice versa).
+    // Each query runs in its own cache arena: queries that persist
+    // intermediates (minhash/keep_rep/ANN pipelines) would otherwise
+    // leave InMemoryRelations behind that the CacheManager substitutes
+    // into LATER equivalent plans by canonicalized-plan match — pass 2
+    // (and in-pass siblings like dedup_keep_rep after dedup_minhash)
+    // would time warm-cache reads, not the query. The scope releases the
+    // pinned RDD blocks; the clearCache drops the plan-level entries so
+    // nothing warns ("already cached") or silently substitutes. Both run
+    // OUTSIDE the timed window.
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val scope = graft.ops.CacheScope.begin(spark)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        scope.release()
+        spark.sharedState.cacheManager.clearCache()
+        name -> (if (ok) dt else -1.0)
       }.toMap
     val s1 = timeAll()
-    // Cold pass 2: queries that persist intermediates (minhash/keep_rep/
-    // ANN pipelines) leave InMemoryRelations behind, and the CacheManager
-    // substitutes them into pass 2 by canonicalized-plan match — without
-    // this flush the second sample would time warm-cache reads, not the
-    // query. Clear both the DataFrame cache and any leftover persisted /
-    // locally-checkpointed RDDs so both samples do full work.
-    spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val s2 = timeAll()
     def best(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)

@@ -21,10 +21,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // Per-query cache arena: the sketch/components pipelines persist
+      // and localCheckpoint intermediates that are unreachable from the
+      // returned DataFrame — without a scope those blocks pile up across
+      // 118 queries until LRU eviction. Release AFTER the parquet write
+      // (the scope's consume-fully-first contract: checkpointed RDDs
+      // have no lineage to recompute from).
+      val scope = graft.ops.CacheScope.begin(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        scope.release()
+        // Also drop plan-level cache entries: release frees the blocks
+        // but leaves the canonicalized-plan map populated, which would
+        // warn ("already cached") and silently substitute into a later
+        // query that builds an equivalent sub-plan.
+        spark.sharedState.cacheManager.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
