@@ -2,22 +2,39 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a near-dup pair graph — the step a dedup
   * pipeline runs AFTER pair generation: pairs → clusters → keep one
   * representative document per cluster.
   *
-  * Iterative min-label propagation with pointer jumping: every node
-  * starts as its own representative; each round every node adopts the
-  * smallest label among itself and its neighbors, then shortcuts to its
-  * representative's representative (rep ← rep(rep), the classic pointer-
-  * doubling move). Plain propagation alone needs O(component diameter)
-  * rounds — a near-dup chain longer than the round budget would
-  * hard-fail; the shortcut halves the remaining label-path length every
-  * round, making convergence O(log diameter) (a 10⁶-long chain closes in
-  * ~20 rounds). Each round is three shuffles (neighbor join + update
-  * join + shortcut self-join).
+  * Two execution paths, picked by the MEASURED size of the edge list
+  * (the symmetric relation is persisted and counted before branching —
+  * one job that the iterative path paid anyway to materialize it):
+  *
+  * '''Small subgraph — single-task union-find.''' The near-dup subgraph
+  * is usually a sliver of the corpus (only documents that collide in
+  * some LSH band appear), so even at large corpus scale the edge list
+  * often fits one task comfortably. Below `localSolveMaxEdges` edges the
+  * whole solve is one `mapPartitions` over the coalesced persisted edge
+  * blocks: union-by-min with path compression, so the root of every set
+  * IS the component minimum — deterministic regardless of edge order.
+  * This replaces per-round join/aggregate jobs (each a codegen compile +
+  * AQE plan + shuffle) with one shuffle-free task; isolated nodes rejoin
+  * via a broadcast left join. Memory bound: ≤ 2·maxEdges LongMap entries
+  * in the solving task (~48 B/entry → ~100 MB at the default 2²⁰).
+  *
+  * '''Large subgraph — iterative min-label propagation with pointer
+  * jumping.''' Every node starts as its own representative; each round
+  * every node adopts the smallest label among itself and its neighbors,
+  * then shortcuts to its representative's representative (rep ←
+  * rep(rep), the classic pointer-doubling move). Plain propagation alone
+  * needs O(component diameter) rounds — a near-dup chain longer than the
+  * round budget would hard-fail; the shortcut halves the remaining
+  * label-path length every round, making convergence O(log diameter) (a
+  * 10⁶-long chain closes in ~20 rounds). Each round is three shuffles
+  * (neighbor join + update join + shortcut self-join).
   *
   * Lineage is truncated every round with an eager `localCheckpoint`:
   * the shortcut self-join references the round's plan twice, so without
@@ -37,13 +54,39 @@ object Components {
     * via Spark's LRU block eviction.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
-    // Persist the symmetric edge list: it is re-joined EVERY round, and
-    // edge generation is typically the expensive part (a near-dup pair
-    // join) — without this it would recompute once per iteration.
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithStats(nodes, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * iterative path took (0 = single-task union-find path) — for
+    * tooling/tests that assert round economy or pin a path.
+    *
+    * `localSolveMaxEdges` ≤ 0 disables the union-find fast path (used by
+    * tests to exercise the iterative path on small fixtures).
+    */
+  def connectedComponentsWithStats(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50, localSolveMaxEdges: Long = 1L << 20): (DataFrame, Int) = {
+    // Persist the symmetric edge list: both paths read it more than once
+    // (re-joined EVERY round / counted then solved), and edge generation
+    // is typically the expensive part (a near-dup pair join) — without
+    // this it would recompute per consumer.
     val sym = edges.select(col("id1").as("s"), col("id2").as("t"))
       .union(edges.select(col("id2").as("s"), col("id1").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Branch on the measured subgraph size. The count doubles as the
+    // persist's materialization action — work the first round's join
+    // would otherwise have absorbed, not an extra pass over the pairs.
+    val idType = edges.schema.head.dataType
+    val integralIds = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integralIds && localSolveMaxEdges > 0
+        && sym.count() <= 2 * localSolveMaxEdges) {
+      val labels = localSolve(nodes, sym, idType)
+      sym.unpersist()
+      return (labels, 0)
+    }
     // Fuse round 1 into initialization: rep₀ = min(self, neighbors) —
     // one fewer convergence round for the common shallow graph.
     val firstNbr = sym.groupBy("s").agg(min("t").as("nmin"))
@@ -90,6 +133,51 @@ object Components {
     }
     sym.unpersist()
     require(converged, s"connectedComponents: not converged after $maxIter rounds")
-    labels
+    (labels, iter)
+  }
+
+  /** Single-task exact solve for a small edge list: union-by-min with
+    * path compression over the coalesced persisted symmetric relation.
+    * Attaching the larger root under the smaller keeps every set's root
+    * equal to its minimum member, so the output (id → component min) is
+    * deterministic whatever order the edges arrive in. The per-edge
+    * labels are persisted and materialized BEFORE `sym` is released by
+    * the caller (they are the only reader of its blocks); isolated nodes
+    * rejoin via a broadcast left join, exactly mirroring the singleton
+    * handling of the iterative path.
+    */
+  private def localSolve(nodes: DataFrame, sym: DataFrame,
+      idType: DataType): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val uf = sym
+      .select(col("s").cast(LongType).as("_1"), col("t").cast(LongType).as("_2"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x0 // compress the walked path
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (s, t) =>
+          val rs = find(s); val rt = find(t)
+          if (rs < rt) parent(rt) = rs
+          else if (rt < rs) parent(rs) = rt
+        }
+        // Snapshot keys first: find() path-compresses (mutates) the map.
+        val ks = parent.keysIterator.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "rep")
+      .select(col("id").cast(idType).as("id"), col("rep").cast(idType).as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    uf.count() // materialize before the caller unpersists sym
+    nodes.select(col("id"))
+      .join(broadcast(uf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 }

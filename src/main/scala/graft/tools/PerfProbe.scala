@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Local tuning tool (NOT on any declared path): stage-by-stage timing of
+  * the heaviest declared pipelines, so perf work targets the stage that
+  * actually costs, not the one that looks expensive. Run:
+  *   sbt -batch "runMain graft.tools.PerfProbe /root/testdata/sf0.1"
+  */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    // Warm the JVM on the flagship query so stage timings below aren't
+    // absorbing codegen/classload costs.
+    graft.SparkEntry.queries("agg_pricing")(spark, sfDir).count()
+
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+
+    val scope = graft.ops.CacheScope.begin(spark)
+    val pairs = graft.ops.Sketches.minhashNearDups(docs, threshold = 0.5)
+      .select("id1", "id2").persist(StorageLevel.MEMORY_AND_DISK)
+    time("minhash pairs (count)") { pairs.count() }
+    val pairNodes = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id"))).distinct()
+    time("pairNodes (count)") { pairNodes.count() }
+    val (labels, rounds) = time("components") {
+      val (l, n) = graft.ops.Components.connectedComponentsWithStats(pairNodes, pairs)
+      l.count(); (l, n)
+    }
+    println(s"[probe] components rounds = $rounds, labels = ${labels.count()}")
+    time("keep_rep tail (agg+anti+sort)") {
+      val clustered = labels.groupBy("rep").agg(count(lit(1)).as("n_docs"))
+        .select(col("rep").as("keep_id"), col("n_docs"))
+      val singles = docs.select(col("doc_id"))
+        .join(pairNodes, col("doc_id") === col("id"), "left_anti")
+        .select(col("doc_id").as("keep_id"), lit(1L).as("n_docs"))
+      clustered.union(singles).orderBy("keep_id").count()
+    }
+    scope.release()
+    spark.sharedState.cacheManager.clearCache()
+
+    val scope2 = graft.ops.CacheScope.begin(spark)
+    time("dedup_keep_rep end-to-end") {
+      graft.SparkEntry.queries("dedup_keep_rep")(spark, sfDir).count()
+    }
+    scope2.release()
+    spark.sharedState.cacheManager.clearCache()
+
+    val scope3 = graft.ops.CacheScope.begin(spark)
+    time("dedup_cluster end-to-end") {
+      graft.SparkEntry.queries("dedup_cluster")(spark, sfDir).count()
+    }
+    scope3.release()
+    spark.sharedState.cacheManager.clearCache()
+
+    val scope4 = graft.ops.CacheScope.begin(spark)
+    time("dedup_minhash end-to-end") {
+      graft.SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
+    }
+    scope4.release()
+    spark.stop()
+  }
+}

@@ -51,13 +51,37 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // Diameter 99 ≫ the round budget for plain propagation — only the
     // rep(rep) shortcut (O(log diameter) rounds) closes this in time.
+    // localSolveMaxEdges = 0 pins the ITERATIVE path (the chain is small
+    // enough that the union-find fast path would otherwise take it).
     val n = 100L
     val nodes = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
-    val reps = graft.ops.Components.connectedComponents(nodes, edges)
+    val (reps, rounds) = graft.ops.Components
+      .connectedComponentsWithStats(nodes, edges, localSolveMaxEdges = 0)
     val got = reps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     reps.unpersist()
+    assert(rounds > 0, "iterative path must be the one exercised")
     assert(got.size == 100 && got.values.forall(_ == 1L))
+  }
+
+  test("connected components: union-find fast path ≡ iterative path") {
+    import spark.implicits._
+    // Mixed shapes — chain, triangle+tail, singleton islands — solved by
+    // BOTH paths; labelings must be identical (and rounds must report
+    // which path ran: 0 = single-task union-find).
+    val nodes = (1L to 30L).toDF("id")
+    val edges = ((1L until 10L).map(i => (i, i + 1)) ++ // chain 1..10
+      Seq((12L, 15L), (15L, 13L), (13L, 12L), (13L, 20L)) ++ // cycle + tail
+      Seq((25L, 24L))).toDF("id1", "id2")
+    val (fast, r1) = graft.ops.Components.connectedComponentsWithStats(nodes, edges)
+    val (iter, r2) = graft.ops.Components
+      .connectedComponentsWithStats(nodes, edges, localSolveMaxEdges = 0)
+    assert(r1 == 0 && r2 > 0)
+    val a = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = iter.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a(10L) == 1L && a(20L) == 12L && a(24L) == 24L && a(25L) == 24L
+      && a(30L) == 30L)
   }
 
   test("CacheScope.release frees every block a pipeline pinned (zero cached RDDs after)") {
