@@ -38,20 +38,28 @@ object AnnSweep {
           round(org.apache.spark.sql.graft.native.cosine_similarity(
             col("e1"), col("e2")), 4).as("sim"))
       val truth = top20(brute)
-      println(s"== $d truth=${truth.size}")
-      for (nbits <- Seq(3, 4); tables <- Seq(16, 24, 32)) {
+      val nAll = brute.count()
+      println(s"== $d truth=${truth.size} all_pairs=$nAll")
+      // cands/all is the efficiency axis: an "ANN" config admitting ~all
+      // pairs is brute force with extra steps — the sweep optimizes for
+      // 20/20 recall (with a margin notch) at the LOWEST candidate frac.
+      for (nbits <- Seq(4, 6, 8); tables <- Seq(16, 24, 28, 32, 48, 64)) {
         val t0 = System.nanoTime()
-        val got = top20(graft.ops.Sketches.annPairs(embs, nbits, tables))
+        val res = graft.ops.Sketches.annPairs(embs, nbits, tables)
+        val (got, nc) = (top20(res), res.count())
         val rec = (truth & got).size
         println(f"LSH nbits=$nbits tables=$tables%2d recall=$rec/20 " +
-          f"miss=${(truth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+          f"miss=${(truth -- got).size} cands=$nc%7d (${100.0 * nc / nAll}%5.1f%%) " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
-      for (k <- Seq(8, 16); nProbe <- Seq(3, 4); refine <- Seq(0, 1)) {
+      for (k <- Seq(8, 16, 32, 64); nProbe <- Seq(2, 3, 4, 5); refine <- Seq(0, 1)) {
         val t0 = System.nanoTime()
-        val got = top20(graft.ops.IvfIndex.annPairs(embs, k, nProbe, refine = refine))
+        val res = graft.ops.IvfIndex.annPairs(embs, k, nProbe, refine = refine)
+        val (got, nc) = (top20(res), res.count())
         val rec = (truth & got).size
         println(f"IVF k=$k%2d nProbe=$nProbe refine=$refine recall=$rec/20 " +
-          f"miss=${(truth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+          f"miss=${(truth -- got).size} cands=$nc%7d (${100.0 * nc / nAll}%5.1f%%) " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
     }
     spark.stop()

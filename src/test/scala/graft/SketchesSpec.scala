@@ -151,14 +151,19 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ann gate headroom: recall@20 stays 20/20 at declared params AND one notch weaker") {
     // The sim_ann_lsh / sim_ann_ivf oracles assert ground-truth
-    // recall@20 = 100% at (nbits=4, tables=28) / (k=8, nProbe=5). Those
-    // parameters were tuned on the fixtures — if a testdata regeneration
-    // ever pushed recall to the edge, the driver gate would fail as an
-    // opaque hash mismatch. This test keeps the gate self-diagnosing:
-    // recall must be perfect not just at the declared params but one
-    // notch WEAKER (tables=24, nProbe=4), i.e. the declared config has
-    // margin (candidate pairs are monotone in tables/nProbe, so declared
-    // ⊇ notch). Measured edge at r5: LSH needs tables≥23, IVF nProbe≥4.
+    // recall@20 = 100% at (nbits=4, tables=28) / (k=16, nProbe=5,
+    // refine=1). Those parameters were tuned on the fixtures — if a
+    // testdata regeneration ever pushed recall to the edge, the driver
+    // gate would fail as an opaque hash mismatch. This test keeps the
+    // gate self-diagnosing: recall must be perfect not just at the
+    // declared params but one notch WEAKER (tables=24, nProbe=4), i.e.
+    // the declared config has margin (candidate pairs are monotone in
+    // tables/nProbe, so declared ⊇ notch). Measured at r5 (AnnSweep):
+    // LSH needs tables≥23; IVF k=16/refine=1 is 20/20 at nProbe∈{4,5}
+    // on both SFs and 19/20 at nProbe=3 on sf0.01. k=16 (not 8) keeps
+    // the gate non-vacuous: nProbe ≥ k/2 would make any two probe sets
+    // overlap by pigeonhole — 100% candidate admission, recall
+    // guaranteed structurally instead of measured.
     // If the weaker notch fails while the declared params pass, the
     // fixtures moved to the edge; retune via tools/AnnSweep.
     val d = "/root/testdata/sf0.01"
@@ -180,8 +185,8 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"LSH $label (tables=$tables) missed ${(truth -- got).size}/20: ${truth -- got}")
     }
     for ((nProbe, label) <- Seq(5 -> "declared", 4 -> "headroom")) {
-      val got = top20(graft.ops.IvfIndex.annPairs(embs, k = 8, nProbe = nProbe,
-        refine = 0))
+      val got = top20(graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = nProbe,
+        refine = 1))
       assert((truth -- got).isEmpty,
         s"IVF $label (nProbe=$nProbe) missed ${(truth -- got).size}/20: ${truth -- got}")
     }
