@@ -163,30 +163,8 @@ object Extra4 {
         |  CAST(SUM(bal) AS DECIMAL(18,2)) AS sum_bal
         |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
       (s, d) =>
-        val base = T.customer(s, d)
-          .select(col("c_custkey"), col("c_nationkey"),
-            dec2(col("c_acctbal")).as("bal"))
-        val upd = expr(
-          "CAST(round(bal * CAST(1.05 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2))")
-        val upd2 = expr(
-          "CAST(round(bal * CAST(1.10 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2))")
-        val chg = base.filter(col("c_custkey") % 7 === 0)
-          .select(col("c_custkey").as("key"), lit(1).as("seq"), lit("U").as("op"),
-            upd.as("new_bal"), col("c_nationkey").as("nk"))
-          .union(base.filter(col("c_custkey") % 14 === 0)
-            .select(col("c_custkey"), lit(2), lit("U"), upd2, col("c_nationkey")))
-          .union(base.filter(col("c_custkey") % 97 === 0)
-            .select(col("c_custkey"), lit(3), lit("D"),
-              lit(null).cast(DecimalType(18, 2)), col("c_nationkey")))
-          .union(base.filter(col("c_custkey") % 131 === 0)
-            // Insert keys live OUTSIDE the base key domain by construction
-            // (negation — base custkeys are strictly positive), so a
-            // synthesized insert can never collide with a real update at
-            // any SF; the op tiebreak below makes latest-wins a total
-            // order even if a future change stream carries same-seq rows.
-            .select(-col("c_custkey"), lit(1), lit("I"),
-              lit(BigDecimal("100.00")).cast(DecimalType(18, 2)),
-              col("c_nationkey")))
+        val base = upsertBase(s, d)
+        val chg = upsertChanges(base)
         val w = Window.partitionBy("key").orderBy(col("seq").desc, col("op"))
         val latest = chg.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn", "seq")
@@ -263,4 +241,44 @@ object Extra4 {
         .orderBy("event_type")
     }
   )
+
+  /** The customer base relation of [[defs merge_upsert]] in CDC state
+    * shape — shared with StreamBatchParitySpec so the streaming
+    * foreachBatch apply starts from the identical table.
+    */
+  private[graft] def upsertBase(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    T.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        dec2(col("c_acctbal")).as("bal"))
+
+  /** The synthesized CDC change set of merge_upsert (key, seq, op,
+    * new_bal, nk) — shared with StreamBatchParitySpec so the streaming
+    * twin replays bit-identical changes through foreachBatch.
+    */
+  private[graft] def upsertChanges(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val upd = expr(
+      "CAST(round(bal * CAST(1.05 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2))")
+    val upd2 = expr(
+      "CAST(round(bal * CAST(1.10 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2))")
+    base.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), lit(1).as("seq"), lit("U").as("op"),
+        upd.as("new_bal"), col("c_nationkey").as("nk"))
+      .union(base.filter(col("c_custkey") % 14 === 0)
+        .select(col("c_custkey"), lit(2), lit("U"), upd2, col("c_nationkey")))
+      .union(base.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"), lit(3), lit("D"),
+          lit(null).cast(DecimalType(18, 2)), col("c_nationkey")))
+      .union(base.filter(col("c_custkey") % 131 === 0)
+        // Insert keys live OUTSIDE the base key domain by construction
+        // (negation — base custkeys are strictly positive), so a
+        // synthesized insert can never collide with a real update at
+        // any SF; the op tiebreak in the consumer makes latest-wins a
+        // total order even if a future change stream carries same-seq
+        // rows.
+        .select(-col("c_custkey"), lit(1), lit("I"),
+          lit(BigDecimal("100.00")).cast(DecimalType(18, 2)),
+          col("c_nationkey")))
+  }
 }

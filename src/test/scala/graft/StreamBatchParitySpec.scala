@@ -80,6 +80,77 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("CDC upsert via foreachBatch: streamed change apply == declared merge_upsert") {
+    // merge_upsert is the batch twin of a streaming CDC apply. Replay the
+    // SAME synthesized change set (Extra4.upsertChanges — bit-identical
+    // decimals) through a MemoryStream in seq-ordered micro-batches; each
+    // foreachBatch applies latest-wins-within-batch upsert/delete to a
+    // state table (last writer wins across batches = global seq order).
+    // The final state, aggregated the same way, must equal the declared
+    // batch query row-for-row.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = graft.queries.Extra4.upsertBase(spark, sf)
+    val changes = graft.queries.Extra4.upsertChanges(base)
+      .as[(Long, Int, String, java.math.BigDecimal, Int)].collect()
+    assert(changes.nonEmpty)
+
+    def applyCdc(state: DataFrame, batch: DataFrame): DataFrame = {
+      val w = Window.partitionBy("key").orderBy(col("seq").desc, col("op"))
+      val latest = batch
+        .select(col("key"), col("seq"), col("op"),
+          col("new_bal").cast(DecimalType(18, 2)).as("new_bal"),
+          col("nk").as("i_nk"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "seq")
+      val kept = state.join(latest, Seq("key"), "left")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"), col("nk"),
+          coalesce(col("new_bal"), col("bal")).as("bal"))
+      // Proper MERGE semantics: any surviving change row whose key is
+      // absent from the state inserts (the fixture only exercises 'I'
+      // here, but upsert must not depend on that).
+      val inserted = latest.filter(col("op") =!= "D")
+        .join(state, Seq("key"), "left_anti")
+        .select(col("key"), col("i_nk").as("nk"), col("new_bal").as("bal"))
+      kept.union(inserted)
+    }
+
+    // key/nk/bal state; localCheckpoint per batch truncates the growing
+    // join lineage (same discipline as ops.Components).
+    @volatile var state = base.select(col("c_custkey").as("key"),
+      col("c_nationkey").as("nk"), col("bal")).localCheckpoint()
+    @volatile var nBatches = 0
+    val ms = MemoryStream[(Long, Int, String, java.math.BigDecimal, Int)]
+    val q = ms.toDF().toDF("key", "seq", "op", "new_bal", "nk")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          state = applyCdc(state, batch).localCheckpoint()
+          nBatches += 1
+        }
+      }
+      .start()
+    // One micro-batch per seq epoch — the stream arrives in commit order.
+    Seq(1, 2, 3).foreach { epoch =>
+      ms.addData(changes.filter(_._2 == epoch).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(nBatches >= 3, s"expected one applied micro-batch per epoch, got $nBatches")
+
+    val got = sortedRows(SparkEntry.emitDoubles(
+      state.groupBy("nk")
+        .agg(count(lit(1)).as("n_rows"), Q.dec2(sum("bal")).as("sum_bal"))
+        .select(col("nk").as("c_nationkey"), col("n_rows"), col("sum_bal"))))
+    val want = sortedRows(SparkEntry.queries("merge_upsert")(spark, sf))
+    assert(got == want)
+  }
+
   test("sliding window agg: readStream result == declared batch result") {
     val stream = eventStream()
       .groupBy(window(col("ts_us"), "1 day", "6 hours"), col("event_type"))
