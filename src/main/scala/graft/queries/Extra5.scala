@@ -194,6 +194,295 @@ object Extra5 {
         .filter(col("cnt") * 100 > col("n"))
         .select("word", "cnt")
         .orderBy(col("cnt").desc, col("word"))
+    },
+
+    // Conversion funnel — users reaching view → click-after-view →
+    // purchase-after-click, each stage gated on STRICTLY-after event
+    // time. Stage timestamps stay in the raw int64 nanosecond domain on
+    // both engines (never truncated — a µs cast could merge distinct
+    // events). Scale shape: three per-user aggs + two joins all keyed on
+    // user_id — one co-partitioned shuffle family, no windows, no
+    // self-cross.
+    "funnel_conversion" -> Q(
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1
+        |           FROM read_parquet('{sfDir}/events.parquet')
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |      FROM read_parquet('{sfDir}/events.parquet') e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |      FROM read_parquet('{sfDir}/events.parquet') e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_click,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin) { (s, d) =>
+      val e = T.events(s, d).select("user_id", "event_type", "ts")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+
+    // Cohort retention — users grouped by first-activity week, counted
+    // per week offset they return in. The classic growth-analytics
+    // matrix. All keying is integer week numbers (epoch // 604800);
+    // one per-user agg + one co-partitioned join + one distinct agg on
+    // a (cohort, offset) key space that is tiny regardless of data
+    // volume.
+    "retention_cohort" -> Q(
+      """WITH f AS (SELECT user_id, MIN(ts) AS ft
+        |           FROM read_parquet('{sfDir}/events.parquet') GROUP BY user_id),
+        |w AS (SELECT e.user_id,
+        |        CAST(FLOOR(epoch(f.ft)) AS BIGINT) // 604800 AS cw,
+        |        CAST(FLOOR(epoch(e.ts)) AS BIGINT) // 604800 AS ew
+        |      FROM read_parquet('{sfDir}/events.parquet') e
+        |      JOIN f ON e.user_id = f.user_id)
+        |SELECT cw * 604800 AS cohort_s, ew - cw AS week_offset,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY cohort_s, week_offset
+        |ORDER BY cohort_s, week_offset""".stripMargin) { (s, d) =>
+      val e = T.events(s, d)
+        .select(col("user_id"), expr("(ts div 1000000000) div 604800").as("ew"))
+      val f = e.groupBy("user_id").agg(min("ew").as("cw"))
+      e.join(f, "user_id")
+        .groupBy((col("cw") * 604800).as("cohort_s"),
+          (col("ew") - col("cw")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_s", "week_offset")
+    },
+
+    // SCD type-2 interval build — turn a change log (orders per
+    // customer, ordered by date with an orderkey tiebreak for total
+    // order) into validity intervals: valid_from = change day,
+    // valid_to = next change day, open interval = current row. One
+    // window per customer partition, integer day arithmetic
+    // throughout, rolled up by status so output stays bounded at any
+    // SF.
+    "scd2_build" -> Q(
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS from_day,
+        |    LEAD(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS to_day
+        |  FROM read_parquet('{sfDir}/orders.parquet'))
+        |SELECT o_orderstatus, COUNT(*) AS n_intervals,
+        |  CAST(SUM(CASE WHEN to_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(SUM(CASE WHEN to_day IS NOT NULL THEN to_day - from_day ELSE 0 END) AS BIGINT) AS sum_days
+        |FROM ch GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"),
+          col("o_orderdate"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("from_day"))
+        .withColumn("to_day", lead("from_day", 1).over(w))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("to_day").isNull, 1).otherwise(0)).as("n_current"),
+          sum(when(col("to_day").isNotNull, col("to_day") - col("from_day"))
+            .otherwise(0)).as("sum_days"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Linear-interpolation gap fill — the sibling of ts_resample's LOCF:
+    // per-user hourly series between first and last observation, missing
+    // hours filled by exact linear interpolation between the bracketing
+    // observations. Determinism: per-hour means divide an exact
+    // DECIMAL-summed numerator (as double) by an integer count — IEEE
+    // division both engines perform identically; the interpolation is
+    // pure +,-,*,/ on those doubles (bit-identical), then quantized to
+    // integer micro-units with floor(v·10⁶) — one IEEE multiply + floor,
+    // bit-identical everywhere (ROUND on a double is NOT: DuckDB rounds
+    // via float math, Spark via exact decimal HALF_UP — they disagree on
+    // near-tie values) — before the order-independent integer sum.
+    // Scale shape: one keyed agg, one sequence explode, two frame-bounded
+    // windows over (user) partitions — no global window anywhere.
+    "ts_interp" -> Q(
+      """WITH obs AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM read_parquet('{sfDir}/events.parquet') GROUP BY user_id, h),
+        |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id),
+        |s AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM b),
+        |j AS (SELECT s.user_id, s.h, obs.v
+        |      FROM s LEFT JOIN obs ON s.user_id = obs.user_id AND s.h = obs.h),
+        |x AS (SELECT user_id, h, v,
+        |   LAST_VALUE(v IGNORE NULLS) OVER
+        |     (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |   LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |     (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |   FIRST_VALUE(v IGNORE NULLS) OVER
+        |     (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |     (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        | FROM j)
+        |SELECT user_id, COUNT(*) AS n_hours, COUNT(v) AS n_obs,
+        |  CAST(SUM(CAST(FLOOR((CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        |    END) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_interp_u
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val obs = T.events(s, d)
+        .select(col("user_id"), expr("(ts div 1000000000) div 3600").as("h"),
+          dec2(col("value")).as("v2"))
+        .groupBy("user_id", "h")
+        .agg((sum("v2").cast("double") / count(lit(1))).as("v"))
+      val series = obs.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+      val wp = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      series.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("pv", last("v", ignoreNulls = true).over(wp))
+        .withColumn("ph",
+          last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first("v", ignoreNulls = true).over(wn))
+        .withColumn("nh",
+          first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wn))
+        .withColumn("iv",
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("h") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double"))))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"), count(col("v")).as("n_obs"),
+          sum(floor(col("iv") * lit(1000000.0)).cast("long")).as("sum_interp_u"))
+        .orderBy("user_id")
+    },
+
+    // Sequence-pattern counting (MATCH_RECOGNIZE-flavored): per user,
+    // order the event-initial string by (ts, event_id) — a total order —
+    // and count non-overlapping view→click*→purchase runs with one
+    // regexp scan. The per-user sequence is built with
+    // array_sort∘collect_list over unique sort keys (collect order is
+    // nondeterministic; the sort makes it total), never assumed from
+    // shuffle order. State per user is one string — the batch twin of a
+    // flatMapGroupsWithState session machine.
+    "seq_pattern" -> Q(
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+        |         COUNT(*) AS n_events
+        |  FROM read_parquet('{sfDir}/events.parquet') GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
+        |FROM s ORDER BY user_id""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("c"))))
+            .as("arr"))
+        .select(col("user_id"), col("n_events"),
+          expr("cast(regexp_count(array_join(transform(arr, x -> x.c), ''), 'vc*p') as bigint)")
+            .as("n_funnels"))
+        .orderBy("user_id")
+    },
+
+    // Triangle counting on an oriented edge list — the graph-analytics
+    // capstone over the components machinery (dedup_cluster): edges are
+    // synthesized deterministically from orders, stored once in a<b
+    // orientation, and each triangle is counted exactly once via the
+    // two-path + closing-edge join (e1.a<e1.b<e2.b by construction).
+    // Orientation is THE scale trick: it bounds the join fan-out by
+    // out-degree instead of total degree, the standard O(m^1.5)
+    // enumeration.
+    "graph_triangles" -> Q(
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    LEAST(o_custkey % 60, (o_custkey + o_orderkey) % 60) AS a,
+        |    GREATEST(o_custkey % 60, (o_custkey + o_orderkey) % 60) AS b
+        |  FROM read_parquet('{sfDir}/orders.parquet')
+        |  WHERE o_custkey % 60 <> (o_custkey + o_orderkey) % 60),
+        |t AS (SELECT COUNT(*) AS n_tri
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |v AS (SELECT COUNT(DISTINCT x) AS n_vertices
+        |      FROM (SELECT a AS x FROM e UNION SELECT b FROM e))
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT n_vertices FROM v) AS n_vertices,
+        |       (SELECT n_tri FROM t) AS n_triangles""".stripMargin) { (s, d) =>
+      val raw = T.orders(s, d).select(
+        (col("o_custkey") % 60).as("x"),
+        ((col("o_custkey") + col("o_orderkey")) % 60).as("y"))
+        .filter(col("x") =!= col("y"))
+      val e = raw.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")).distinct()
+      val e1 = e.select(col("a").as("a1"), col("b").as("b1"))
+      val e2 = e.select(col("a").as("a2"), col("b").as("b2"))
+      val e3 = e.select(col("a").as("a3"), col("b").as("b3"))
+      val tri = e1.join(e2, col("b1") === col("a2"))
+        .join(e3, col("a3") === col("a1") && col("b3") === col("b2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val verts = e.select(col("a").as("x")).union(e.select(col("b").as("x")))
+        .distinct().agg(count(lit(1)).as("n_vertices"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(verts).crossJoin(tri)
+    },
+
+    // Band join — |s_acctbal − c_acctbal| ≤ 1.0 WITHOUT a nested-loop
+    // plan: bucket both sides by floor(value/ε), explode the small side
+    // to its ±1 neighbor buckets, equi-join on the bucket, exact-filter
+    // the band. |x−y| ≤ ε ⟹ bucket(x) − bucket(y) ∈ {−1,0,1}, so the
+    // bucket join is a superset of the band and the residual filter is
+    // exact. The oracle is the plain theta join — the bucketing must be
+    // result-invisible. At 100 TB this turns an O(n·m) comparison into
+    // a hash join with 3× replication of the SMALL side only.
+    "join_band" -> Q(
+      """SELECT COUNT(*) AS n_pairs,
+        |       CAST(SUM(s_suppkey) AS BIGINT) AS sum_skey,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_ckey
+        |FROM read_parquet('{sfDir}/supplier.parquet') s
+        |JOIN read_parquet('{sfDir}/customer.parquet') c
+        |  ON abs(s.s_acctbal - c.c_acctbal) <= 1.0""".stripMargin) { (s, d) =>
+      val sup = T.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"), floor(col("s_acctbal")).as("k0"))
+        .select(col("s_suppkey"), col("s_acctbal"),
+          explode(expr("array(k0 - 1L, k0, k0 + 1L)")).as("bk"))
+      val cust = T.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), floor(col("c_acctbal")).as("bk"))
+      cust.join(sup, "bk")
+        .filter(abs(col("s_acctbal") - col("c_acctbal")) <= 1.0)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("s_suppkey").as("sum_skey"), sum("c_custkey").as("sum_ckey"))
+    },
+
+    // Geo distance — haversine km from a synthesized per-customer
+    // (lat, lon) grid point to a fixed reference, rounded once at the
+    // edge. The trig runs on identical doubles in both engines (grid
+    // coordinates are exact .5-offset values); the inner term is
+    // clamped to [0,1] before asin against fp drift at the antipode.
+    "fn_geo" -> Q(
+      """SELECT c_custkey,
+        |  CAST(ROUND(2 * 6371.0 * asin(sqrt(least(
+        |    pow(sin(radians(((c_custkey % 180) - 89.5) - 40.0) / 2), 2)
+        |    + cos(radians((c_custkey % 180) - 89.5)) * cos(radians(40.0))
+        |      * pow(sin(radians((((c_custkey * 7) % 360) - 179.5) - (-74.0)) / 2), 2),
+        |    1.0))), 3) AS DECIMAL(18,3)) AS dist_km
+        |FROM read_parquet('{sfDir}/customer.parquet')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T.customer(s, d).select(col("c_custkey"),
+        expr(
+          """cast(round(2 * 6371.0D * asin(sqrt(least(
+            |  pow(sin(radians(((c_custkey % 180) - 89.5D) - 40.0D) / 2), 2)
+            |  + cos(radians((c_custkey % 180) - 89.5D)) * cos(radians(40.0D))
+            |    * pow(sin(radians((((c_custkey * 7) % 360) - 179.5D) - (-74.0D)) / 2), 2),
+            |  1.0D))), 3) as decimal(18,3))""".stripMargin).as("dist_km"))
+        .orderBy("c_custkey")
     }
   )
 }
