@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // Automatic bloom-filtered join (conf-gated off by default;
+    // spark.graft.bloomJoin.enabled=true turns it on). PreCBO = after the
+    // operator-optimization fixed point, once per optimization.
+    e.injectPreCBORule(org.apache.spark.sql.graft.BloomJoinRule)
   }
 }

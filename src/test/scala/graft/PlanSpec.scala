@@ -179,6 +179,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("join_band: the band join is a hash join on buckets, never a nested loop") {
+    val p = planOf("join_band")
+    // the whole point of the floor-bucket rewrite: an equi-join backbone
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+    // with the exact band residual applied as a post-join filter
+    assert(p.contains("abs((s_acctbal"), p)
+  }
+
+  test("text_decontam: benchmark grams broadcast into a semi join (no shuffle of train grams)") {
+    val p = planOf("text_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("pack_sequences: the packing window is per-shard, never global") {
+    val p = planOf("pack_sequences")
+    assert("windowspecdefinition\\(source#".r.findFirstIn(p).isDefined, p)
+    // no empty-partition-spec window (the single-partition killer)
+    assert(!"windowspecdefinition\\(\\[\\]".r.findFirstIn(p).isDefined, p)
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
