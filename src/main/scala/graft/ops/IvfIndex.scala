@@ -40,7 +40,7 @@ object IvfIndex {
   def refineCentroids(embs: DataFrame, seed: DataFrame,
       rounds: Int): DataFrame = {
     var cents = seed
-    (0 until rounds).foreach { _ =>
+    (0 until rounds).foreach { rnd =>
       // Nearest-centroid via arg-min aggregation, not a window: min of
       // struct(-csim, cid, embedding) picks highest-similarity (ties →
       // lowest cid; the embedding field is never reached since cid is
@@ -62,7 +62,12 @@ object IvfIndex {
           .as("mvec"))
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
-        .localCheckpoint()
+      // Checkpoint only BETWEEN rounds: the next round references cents
+      // twice (broadcast + empty-cell fallback) and would recompute the
+      // whole pass for each. The final round's result has exactly one
+      // consumer (the assignment broadcast), which materializes the
+      // lineage once anyway — checkpointing it would add a whole job.
+      if (rnd < rounds - 1) cents = cents.localCheckpoint()
     }
     cents
   }

@@ -75,6 +75,36 @@ object PerfProbe {
       graft.SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
     }
     scope4.release()
+    spark.sharedState.cacheManager.clearCache()
+
+    // sim_ann_ivf stage breakdown (k=16, nProbe=5, refine=1 — the
+    // declared non-degenerate gate params)
+    val embs = graft.Tables.embeddings(spark, sfDir)
+    val scope5 = graft.ops.CacheScope.begin(spark)
+    val seed = time("ivf seed (limit k)") {
+      val s = embs.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      s.count(); s
+    }
+    val cents = time("ivf lloyd round") {
+      val c = graft.ops.IvfIndex.refineCentroids(embs, seed, rounds = 1)
+      c.count(); c
+    }
+    val a = time("ivf assign (post-lloyd)") {
+      val x = graft.ops.IvfIndex.assign(embs, k = 16, nProbe = 5, refine = 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      x.count(); x
+    }
+    time("ivf cell join + distinct") {
+      val l = a.select(col("vec_id").as("id1"), col("cid"))
+      val r = a.select(col("vec_id").as("id2"), col("cid").as("cid2"))
+      l.join(r, col("cid") === col("cid2") && col("id1") < col("id2"))
+        .select("id1", "id2").distinct().count()
+    }
+    time("sim_ann_ivf end-to-end") {
+      graft.SparkEntry.queries("sim_ann_ivf")(spark, sfDir).count()
+    }
+    scope5.release()
     spark.stop()
   }
 }
