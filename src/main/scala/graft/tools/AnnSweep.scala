@@ -52,6 +52,34 @@ object AnnSweep {
           f"miss=${(truth -- got).size} cands=$nc%7d (${100.0 * nc / nAll}%5.1f%%) " +
           f"t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
+      // PQ: per-query top-10 EXACT match (rounded-sim total order) vs
+      // brute force — containment demands the ADC shortlist covers the
+      // true top-10 for every query.
+      val qtruth = {
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val pairsQ = q.join(broadcast(e.select(col("vec_id").as("nb_id"), col("embedding").as("xe"))),
+          col("nb_id") =!= col("q_id"))
+          .select(col("q_id"), col("nb_id"),
+            round(org.apache.spark.sql.graft.native.cosine_similarity(
+              col("qe"), col("xe")), 4).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("nb_id"))
+        pairsQ.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select("q_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val nCorpus = embs.count()
+      for (m <- Seq(8, 16); sFrac <- Seq(10, 20, 30, 40, 50); rounds <- Seq(0, 1)) {
+        val s = (nCorpus * sFrac / 100).toInt
+        val t0 = System.nanoTime()
+        val got = graft.ops.PqIndex.search(embs, nq = 8, m = m, k = 16,
+          rounds = rounds, shortlist = s, topK = 10)
+          .select("q_id", "nb_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"PQ m=$m%2d k=16 rounds=$rounds S=$s%4d ($sFrac%2d%%) " +
+          f"match=${(qtruth & got).size}/${qtruth.size} " +
+          f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
       for (k <- Seq(8, 16, 32, 64); nProbe <- Seq(2, 3, 4, 5); refine <- Seq(0, 1)) {
         val t0 = System.nanoTime()
         val res = graft.ops.IvfIndex.annPairs(embs, k, nProbe, refine = refine)

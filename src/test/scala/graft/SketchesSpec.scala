@@ -190,6 +190,50 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((truth -- got).isEmpty,
         s"IVF $label (nProbe=$nProbe) missed ${(truth -- got).size}/20: ${truth -- got}")
     }
+    // PQ (sim_ann_pq): per-query top-10 containment at the declared
+    // shortlist (N/2) AND one notch weaker (40% of N). Shortlists are
+    // prefixes of one ADC ranking, so declared ⊇ notch.
+    val n = embs.count()
+    val qtruth = {
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("nb_id"))
+      q.join(broadcast(e.select(col("vec_id").as("nb_id"), col("embedding").as("xe"))),
+        col("nb_id") =!= col("q_id"))
+        .select(col("q_id"), col("nb_id"),
+          round(org.apache.spark.sql.graft.native.cosine_similarity(
+            col("qe"), col("xe")), 4).as("sim"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 10).select("q_id", "nb_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(qtruth.size == 80)
+    for ((frac, label) <- Seq(50 -> "declared", 40 -> "headroom")) {
+      val got = graft.ops.PqIndex.search(embs, nq = 8, m = 8, k = 16,
+        rounds = 0, shortlist = (n * frac / 100).toInt, topK = 10)
+        .select("q_id", "nb_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((qtruth -- got).isEmpty,
+        s"PQ $label (S=$frac%) missed ${(qtruth -- got).size}/80: ${qtruth -- got}")
+    }
+  }
+
+  test("pq codebook training is deterministic and keeps full code coverage") {
+    val embs = graft.Tables.embeddings(spark, sf)
+    def cb() = graft.ops.PqIndex.trainCodebooks(embs, m = 8, k = 16, rounds = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toVector).toMap
+    val c1 = cb()
+    val c2 = cb()
+    assert(c1 == c2)            // rerun → bit-identical codebooks
+    assert(c1.size == 8 * 16)   // every (subspace, code) survives (empty cells keep seed)
+    // every subvector still encodable: codes land in the codebook domain
+    val codes = graft.ops.PqIndex.encode(embs,
+      graft.ops.PqIndex.trainCodebooks(embs, 8, 16, rounds = 1), m = 8)
+    val dom = c1.keySet.map(_._2)
+    assert(codes.select("code").distinct().collect().map(_.getLong(0)).toSet.subsetOf(dom))
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 8).count() == 0)
   }
 
   test("ivf Lloyd refinement is deterministic and keeps cell coverage") {
