@@ -483,6 +483,72 @@ object Extra5 {
             |    * pow(sin(radians((((c_custkey * 7) % 360) - 179.5D) - (-74.0D)) / 2), 2),
             |  1.0D))), 3) as decimal(18,3))""".stripMargin).as("dist_km"))
         .orderBy("c_custkey")
+    },
+
+    // The SQL-text surface — the engine's queries are equally runnable as
+    // ANSI SQL through spark.sql() over registered views (TPC-H Q3
+    // shape: segment filter → 3-way join → revenue top-10). Catalyst
+    // compiles this to the identical physical plan the DataFrame form
+    // would get (broadcast dim, two-phase agg, TakeOrderedAndProject) —
+    // declared to pin that the text path stays first-class.
+    "sql_q3" -> Q(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS o_day
+        |FROM read_parquet('{sfDir}/customer.parquet') c
+        |JOIN read_parquet('{sfDir}/orders.parquet') o ON c.c_custkey = o.o_custkey
+        |JOIN read_parquet('{sfDir}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_day
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      T.customer(s, d).createOrReplaceTempView("graft_customer")
+      T.orders(s, d).createOrReplaceTempView("graft_orders")
+      T.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+          |  unix_timestamp(o_orderdate) div 86400 AS o_day
+          |FROM graft_customer c
+          |JOIN graft_orders o ON c.c_custkey = o.o_custkey
+          |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          |GROUP BY l_orderkey, o_day
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    },
+
+    // The typed Dataset[T] surface — case-class Encoders, lambda filter,
+    // groupByKey + reduceGroups (an Aggregator under the hood: partial
+    // merge runs map-side, so the shuffle still carries one tuple per
+    // key). Sums stay in exact Long (quantity and linenumber are
+    // integer-valued) so the typed fold is order-independent. Declared
+    // deliberately: typed rows pay serialization vs columnar codegen —
+    // the engine treats the typed API as a first-class surface but
+    // reaches for it only where compile-time row types matter.
+    "ds_typed" -> Q(
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line, COUNT(*) AS n
+        |FROM read_parquet('{sfDir}/lineitem.parquet')
+        |WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .select("l_returnflag", "l_quantity", "l_linenumber")
+        .as[LineSlice]
+        .filter((x: LineSlice) => x.l_quantity > 10)
+        .map((x: LineSlice) => (x.l_returnflag, x.l_quantity.toLong, x.l_linenumber.toLong, 1L))
+        .groupByKey(_._1)
+        .reduceGroups((a: (String, Long, Long, Long), b: (String, Long, Long, Long)) =>
+          (a._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+        .map { case (k, (_, q, ln, n)) => (k, q, ln, n) }
+        .toDF("l_returnflag", "sum_qty", "sum_line", "n")
+        .orderBy("l_returnflag")
     }
   )
+
+  /** Typed row for the ds_typed Dataset[T] query. */
+  final case class LineSlice(l_returnflag: String, l_quantity: Double,
+      l_linenumber: Int)
 }
