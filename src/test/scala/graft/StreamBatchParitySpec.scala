@@ -162,4 +162,56 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = sortedRows(SparkEntry.queries("stream_sliding")(spark, sf))
     assert(got == want)
   }
+
+  test("stateful funnel via flatMapGroupsWithState == declared funnel_conversion") {
+    // The declared batch funnel (min view → min click strictly after →
+    // min purchase strictly after) is exactly what a per-user streaming
+    // stage machine computes when events arrive in event-time order:
+    // sorted replay hits the first view (= min), then the first
+    // strictly-later click (= min click > t1), then purchase. Run the
+    // machine as a real streaming query and compare stage counts.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val stream = eventStream()
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelStages]) => {
+          var st = state.getOption.getOrElse(FunnelStages(-1L, -1L, -1L))
+          // within-batch order is shuffle order — replay in event time
+          // ((ts, event_id) is a total order; the file source feeds
+          // batches in file order so cross-batch order is monotone here)
+          evs.toVector.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 < 0 => st = st.copy(t1 = e.ts)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && e.ts > st.t1 =>
+                st = st.copy(t2 = e.ts)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.ts > st.t2 =>
+                st = st.copy(t3 = e.ts)
+              case _ =>
+            }
+          }
+          state.update(st)
+          Iterator.single((uid, st.t1 >= 0, st.t2 >= 0, st.t3 >= 0))
+        })
+      .toDF("user_id", "s1", "s2", "s3")
+    runToCompletion(stream, "sb_funnel", OutputMode.Update())
+    // one emitted row per user per batch; the last row carries the final
+    // state — with AvailableNow over one file there is exactly one batch
+    val got = sortedRows(spark.sql(
+      """SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM sb_funnel""".stripMargin))
+    val want = sortedRows(SparkEntry.queries("funnel_conversion")(spark, sf))
+    assert(got == want)
+  }
 }
+
+/** Typed rows for the stateful-funnel parity test (top-level: Encoders
+  * for local classes capture the enclosing test scope).
+  */
+final case class FunnelEv(user_id: Long, event_type: String, ts: Long,
+    event_id: Long)
+final case class FunnelStages(t1: Long, t2: Long, t3: Long)
