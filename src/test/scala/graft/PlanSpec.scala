@@ -200,6 +200,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!"windowspecdefinition\\(\\[\\]".r.findFirstIn(p).isDefined, p)
   }
 
+  test("sim_ann_pq: bounded-heap shortlist + broadcast LUT, rerank only the shortlist") {
+    val p = planOf("sim_ann_pq")
+    // the ADC shortlist runs as the custom bounded-heap operator, not a
+    // full per-query sort
+    assert(p.contains("TopKPerGroup ["), p)
+    // the query LUT and codebooks arrive by broadcast — the corpus-side
+    // codes are never shuffled to build candidates
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
