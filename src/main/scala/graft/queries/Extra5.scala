@@ -485,6 +485,76 @@ object Extra5 {
         .orderBy("c_custkey")
     },
 
+    // Count-min frequency sketch (graft.functions.CountMinAgg, the
+    // second typed-Aggregator ladder rung after agg_weighted): the whole
+    // token stream folds into ONE 8 KB counter array via map-side
+    // partial merges; the broadcast sketch then answers per-word
+    // frequency estimates as 4 codegen'd array lookups. Gate (the
+    // agg_approx_distinct pattern): per word, the estimate must be ≥ the
+    // exact count (CM never under-counts — structural) and within
+    // N/50 above it (generous vs the measured zero/near-zero collision
+    // overcount; oracle emits the exact counts and TRUE).
+    "agg_countmin" -> Q(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM read_parquet('{sfDir}/documents.parquet'))
+        |SELECT word, COUNT(*) AS cnt, TRUE AS within_bound
+        |FROM w GROUP BY word ORDER BY word""".stripMargin) { (s, d) =>
+      s.udf.register("count_min", udaf(graft.functions.CountMinAgg))
+      val words = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val sketch = words.agg(expr("count_min(xxhash64(word))").as("buf"))
+      val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("n"))
+      counts.join(broadcast(sketch)).join(broadcast(total))
+        .select(col("word"), col("cnt"),
+          expr(graft.functions.CountMinAgg.estimateSql("buf", "word")).as("est"),
+          col("n"))
+        .select(col("word"), col("cnt"),
+          (col("est") >= col("cnt") &&
+            col("est") <= col("cnt") + greatest(expr("n div 50"), lit(1L)))
+            .as("within_bound"))
+        .orderBy("word")
+    },
+
+    // Sub-document (paragraph-level) dedup — the CCNet/RefinedWeb step
+    // that whole-doc dedup misses: chop every document into fixed
+    // 12-word blocks, keep each distinct block's first occurrence
+    // ((doc_id, block_idx) minimum — a total order), count survivors
+    // per source. One window over blocks partitioned BY BLOCK TEXT (at
+    // 100 TB: by the block's hash — uniform keys, no skew), which is
+    // the only shuffle; block construction is pure per-row array
+    // slicing.
+    "dedup_paragraph" -> Q(
+      """WITH b AS (
+        |  SELECT doc_id, source, k AS bidx,
+        |         array_to_string(list_slice(string_split(text, ' '),
+        |                                    k * 12 + 1, k * 12 + 12), ' ') AS btext
+        |  FROM read_parquet('{sfDir}/documents.parquet')
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 10000)) AS k) ks
+        |  WHERE k * 12 < len(string_split(text, ' '))),
+        |r AS (SELECT source, btext,
+        |        ROW_NUMBER() OVER (PARTITION BY btext ORDER BY doc_id, bidx) AS rn
+        |      FROM b)
+        |SELECT source, COUNT(*) AS n_blocks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN length(btext) ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("btext").orderBy("doc_id", "bidx")
+      T.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(0, int((size(w) - 1) div 12))")).as("bidx"),
+          col("w"))
+        .select(col("doc_id"), col("source"), col("bidx"),
+          expr("concat_ws(' ', slice(w, bidx * 12 + 1, 12))").as("btext"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"),
+          sum(when(col("rn") === 1, length(col("btext"))).otherwise(0)).as("kept_chars"))
+        .orderBy("source")
+    },
+
     // The SQL-text surface — the engine's queries are equally runnable as
     // ANSI SQL through spark.sql() over registered views (TPC-H Q3
     // shape: segment filter → 3-way join → revenue top-10). Catalyst
