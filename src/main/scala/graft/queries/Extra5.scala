@@ -485,6 +485,75 @@ object Extra5 {
         .orderBy("c_custkey")
     },
 
+    // PageRank, 3 power iterations — completes the graph family
+    // (components → dedup_cluster, triangles → graph_triangles). All
+    // arithmetic is INTEGER: ranks live in 1e-12 units as BIGINT, each
+    // out-contribution is rank DIV outdeg and the damping step is
+    // (85·Σ) DIV 100 — floor division is bit-identical in both engines,
+    // so the iteration needs no decimal/double division contract at
+    // all (decimal÷decimal scale rules DIVERGE between engines; integer
+    // truncation cannot). Scale shape per iteration: one join of the
+    // rank vector against the edge list (both partitioned by vertex) +
+    // one keyed agg — the canonical Pregel-as-SQL step; dangling
+    // vertices contribute nothing (simplified variant, identical on
+    // both sides).
+    "graph_pagerank" -> Q(
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 97 AS src, (o_orderkey * 31) % 97 AS dst
+        |  FROM read_parquet('{sfDir}/orders.parquet')
+        |  WHERE (o_custkey % 97 + (o_orderkey * 31) % 97) % 7 < 2
+        |    AND o_custkey % 97 <> (o_orderkey * 31) % 97),
+        |v AS (SELECT DISTINCT x AS vid FROM (SELECT src AS x FROM e UNION SELECT dst FROM e)),
+        |n AS (SELECT COUNT(*) AS nv FROM v),
+        |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |r0 AS (SELECT vid, 1000000000000 // (SELECT nv FROM n) AS r FROM v),
+        |r1 AS (SELECT v.vid,
+        |         150000000000 // (SELECT nv FROM n)
+        |         + 85 * COALESCE(SUM(r0.r // deg.od), 0) // 100 AS r
+        |       FROM v LEFT JOIN e ON e.dst = v.vid
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       LEFT JOIN r0 ON r0.vid = e.src
+        |       GROUP BY v.vid),
+        |r2 AS (SELECT v.vid,
+        |         150000000000 // (SELECT nv FROM n)
+        |         + 85 * COALESCE(SUM(r1.r // deg.od), 0) // 100 AS r
+        |       FROM v LEFT JOIN e ON e.dst = v.vid
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       LEFT JOIN r1 ON r1.vid = e.src
+        |       GROUP BY v.vid),
+        |r3 AS (SELECT v.vid,
+        |         150000000000 // (SELECT nv FROM n)
+        |         + 85 * COALESCE(SUM(r2.r // deg.od), 0) // 100 AS r
+        |       FROM v LEFT JOIN e ON e.dst = v.vid
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       LEFT JOIN r2 ON r2.vid = e.src
+        |       GROUP BY v.vid)
+        |SELECT vid, CAST(r AS BIGINT) AS rank_u FROM r3
+        |ORDER BY vid""".stripMargin) { (s, d) =>
+      val e = T.orders(s, d)
+        .select((col("o_custkey") % 97).as("src"),
+          ((col("o_orderkey") * 31) % 97).as("dst"))
+        .filter((col("src") + col("dst")) % 7 < 2 && col("src") =!= col("dst"))
+        .distinct()
+      val v = e.select(col("src").as("vid")).union(e.select(col("dst").as("vid")))
+        .distinct()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      val ed = e.join(deg, "src") // (src, dst, od): static per iteration
+      val nv = v.agg(count(lit(1)).as("nv"))
+      var r = v.join(broadcast(nv))
+        .select(col("vid"), expr("1000000000000L div nv").as("r"))
+      (0 until 3).foreach { _ =>
+        val contrib = ed.join(r, col("src") === col("vid"))
+          .select(col("dst"), expr("r div od").as("c"))
+        r = v.join(contrib, col("vid") === col("dst"), "left")
+          .groupBy("vid").agg(coalesce(sum("c"), lit(0L)).as("s"))
+          .join(broadcast(nv))
+          .select(col("vid"),
+            expr("150000000000L div nv + (85 * s) div 100").as("r"))
+      }
+      r.select(col("vid"), col("r").as("rank_u")).orderBy("vid")
+    },
+
     // Count-min frequency sketch (graft.functions.CountMinAgg, the
     // second typed-Aggregator ladder rung after agg_weighted): the whole
     // token stream folds into ONE 8 KB counter array via map-side
