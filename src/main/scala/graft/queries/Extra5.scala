@@ -485,6 +485,44 @@ object Extra5 {
         .orderBy("c_custkey")
     },
 
+    // Z-score anomaly detection — flag events more than 2σ from their
+    // user's mean. Determinism (the agg_stddev recipe): Σv and Σv² are
+    // summed as exact DECIMALs (v is DECIMAL(18,2), v² is DECIMAL(36,4)
+    // — inside precision 38), converted to double once; mean, variance,
+    // sqrt and the 2σ comparison are then the identical IEEE expression
+    // tree in both engines. Scale shape: one keyed agg + one
+    // co-partitioned join back to the events (both shuffles on
+    // user_id), then a second keyed agg — no window, no broadcast of
+    // anything data-sized.
+    "ts_outlier" -> Q(
+      """WITH m AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+        |  FROM read_parquet('{sfDir}/events.parquet') GROUP BY user_id)
+        |SELECT e.user_id, MAX(m.n) AS n_events,
+        |  CAST(SUM(CASE WHEN abs(CAST(e.value AS DOUBLE) - m.sv / m.n)
+        |                     > 2 * sqrt(greatest(m.svv / m.n - (m.sv / m.n) * (m.sv / m.n), 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM read_parquet('{sfDir}/events.parquet') e
+        |JOIN m ON e.user_id = m.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).select(col("user_id"), col("value"))
+      val m = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sv"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("svv"))
+      ev.join(m, "user_id")
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_events"),
+          sum(when(
+            abs(col("value").cast("double") - col("sv") / col("n")) >
+              lit(2) * sqrt(greatest(
+                col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")),
+                lit(0))), 1).otherwise(0)).as("n_outliers"))
+        .orderBy("user_id")
+    },
+
     // PageRank, 3 power iterations — completes the graph family
     // (components → dedup_cluster, triangles → graph_triangles). All
     // arithmetic is INTEGER: ranks live in 1e-12 units as BIGINT, each
