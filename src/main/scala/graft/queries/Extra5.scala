@@ -485,6 +485,56 @@ object Extra5 {
         .orderBy("c_custkey")
     },
 
+    // Truncated EWMA in exact integer arithmetic — the smoothing
+    // window analytics stacks on monitoring series. Weights are powers
+    // of two over the last 8 observations (half-life 1 step), so with
+    // values in exact cents the weighted numerator and denominator are
+    // plain BIGINTs and the single floor division at the edge is
+    // bit-identical in both engines — no float accumulation anywhere.
+    // The 8 lags share one window sort; per-partition windows keyed by
+    // user, never global.
+    "win_ewma" -> Q(
+      """WITH v AS (
+        |  SELECT user_id, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         ts
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |l AS (
+        |  SELECT user_id, event_id, c,
+        |    LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2,
+        |    LAG(c, 3) OVER w AS c3, LAG(c, 4) OVER w AS c4,
+        |    LAG(c, 5) OVER w AS c5, LAG(c, 6) OVER w AS c6,
+        |    LAG(c, 7) OVER w AS c7
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  CAST((c * 128 + COALESCE(c1, 0) * 64 + COALESCE(c2, 0) * 32
+        |      + COALESCE(c3, 0) * 16 + COALESCE(c4, 0) * 8 + COALESCE(c5, 0) * 4
+        |      + COALESCE(c6, 0) * 2 + COALESCE(c7, 0))
+        |    // (128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+        |       + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+        |       + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+        |       + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+        |       + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+        |       + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+        |       + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS ewma_c
+        |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val v = T.events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        (dec2(col("value")) * 100).cast("long").as("c"))
+      val withLags = (1 to 7).foldLeft(v) { (df, i) =>
+        df.withColumn(s"c$i", lag("c", i).over(w))
+      }
+      val num = (1 to 7).map(i => s"COALESCE(c$i, 0L) * ${1 << (7 - i)}")
+        .mkString("c * 128 + ", " + ", "")
+      val den = (1 to 7).map(i =>
+        s"CASE WHEN c$i IS NULL THEN 0 ELSE ${1 << (7 - i)} END")
+        .mkString("128 + ", " + ", "")
+      withLags
+        .select(col("user_id"), col("event_id"),
+          expr(s"CAST(($num) div ($den) AS BIGINT)").as("ewma_c"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Z-score anomaly detection — flag events more than 2σ from their
     // user's mean. Determinism (the agg_stddev recipe): Σv and Σv² are
     // summed as exact DECIMALs (v is DECIMAL(18,2), v² is DECIMAL(36,4)
