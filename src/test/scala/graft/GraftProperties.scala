@@ -153,4 +153,42 @@ object GraftProperties extends Properties("graft") {
       val plus = simhashEval((extra :: hs).toArray)
       java.lang.Long.bitCount(base ^ plus) <= 16
     }
+
+  // ------------------------------------------------ count-min laws
+  // JVM-side estimate: must agree with what estimateSql computes, so the
+  // replay contract (JVM fold, SQL probe) can never silently diverge —
+  // the index arithmetic appears ONCE here and once in the SQL string.
+  private def cmEstimate(buf: Array[Long], h: Long): Long = {
+    import graft.functions.CountMinAgg.{depth, width}
+    (0 until depth).map { i =>
+      buf(i * width + ((h >>> (56 - 8 * i)) & 0xFFL).toInt)
+    }.min
+  }
+
+  property("count-min never under-counts; merge order is irrelevant") =
+    forAll(Gen.listOfN(300, Gen.chooseNum(Long.MinValue, Long.MaxValue))) { hs =>
+      val cm = graft.functions.CountMinAgg
+      val whole = hs.foldLeft(cm.zero)(cm.reduce)
+      val (l, r) = hs.splitAt(hs.length / 2)
+      val merged = cm.merge(l.foldLeft(cm.zero)(cm.reduce),
+        r.foldLeft(cm.zero)(cm.reduce))
+      val exact = hs.groupBy(identity).view.mapValues(_.size.toLong)
+      whole.sameElements(merged) &&
+        exact.forall { case (h, n) => cmEstimate(whole, h) >= n }
+    }
+
+  property("count-min SQL probe replays the JVM index arithmetic") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { h =>
+      // the SQL string hard-codes shift/mask constants; recompute the
+      // addressed cells from the string and compare against idx() output
+      val sql = graft.functions.CountMinAgg.estimateSql("buf", "x")
+      val addressed = "(\\d+) \\+ CAST\\(shiftrightunsigned\\(xxhash64\\(x\\), (\\d+)\\)".r
+        .findAllMatchIn(sql)
+        .map(m => m.group(1).toInt + ((h >>> m.group(2).toInt) & 0xFFL).toInt)
+        .toSet
+      val buf = graft.functions.CountMinAgg.reduce(
+        graft.functions.CountMinAgg.zero, h)
+      // exactly the cells the JVM reduce incremented are addressed
+      addressed == buf.zipWithIndex.collect { case (v, i) if v == 1L => i }.toSet
+    }
 }
