@@ -461,27 +461,30 @@ object Extra5 {
           sum("s_suppkey").as("sum_skey"), sum("c_custkey").as("sum_ckey"))
     },
 
-    // Geo distance — haversine km from a synthesized per-customer
-    // (lat, lon) grid point to a fixed reference, rounded once at the
-    // edge. The trig runs on identical doubles in both engines (grid
-    // coordinates are exact .5-offset values); the inner term is
-    // clamped to [0,1] before asin against fp drift at the antipode.
+    // Geo distance — haversine from a synthesized per-customer
+    // (lat, lon) grid point to a fixed reference, emitted as integer
+    // METERS via floor(km·1000): the trig runs on identical doubles in
+    // both engines (grid coordinates are exact .5-offset values; libm
+    // parity verified at 16.5k rows) and the single multiply+floor is
+    // bit-deterministic — ROUND on a double is not (the ts_interp
+    // lesson). The inner term is clamped to [0,1] before asin against
+    // fp drift at the antipode.
     "fn_geo" -> Q(
       """SELECT c_custkey,
-        |  CAST(ROUND(2 * 6371.0 * asin(sqrt(least(
+        |  CAST(FLOOR(2 * 6371.0 * asin(sqrt(least(
         |    pow(sin(radians(((c_custkey % 180) - 89.5) - 40.0) / 2), 2)
         |    + cos(radians((c_custkey % 180) - 89.5)) * cos(radians(40.0))
         |      * pow(sin(radians((((c_custkey * 7) % 360) - 179.5) - (-74.0)) / 2), 2),
-        |    1.0))), 3) AS DECIMAL(18,3)) AS dist_km
+        |    1.0))) * 1000.0) AS BIGINT) AS dist_m
         |FROM read_parquet('{sfDir}/customer.parquet')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       T.customer(s, d).select(col("c_custkey"),
         expr(
-          """cast(round(2 * 6371.0D * asin(sqrt(least(
+          """cast(floor((2 * 6371.0D * asin(sqrt(least(
             |  pow(sin(radians(((c_custkey % 180) - 89.5D) - 40.0D) / 2), 2)
             |  + cos(radians((c_custkey % 180) - 89.5D)) * cos(radians(40.0D))
             |    * pow(sin(radians((((c_custkey * 7) % 360) - 179.5D) - (-74.0D)) / 2), 2),
-            |  1.0D))), 3) as decimal(18,3))""".stripMargin).as("dist_km"))
+            |  1.0D)))) * 1000.0D) as bigint)""".stripMargin).as("dist_m"))
         .orderBy("c_custkey")
     },
 
