@@ -53,7 +53,8 @@ object SparkEntry {
     _root_.graft.queries.Extra2.defs,
     _root_.graft.queries.Extra3.defs,
     _root_.graft.queries.Extra4.defs,
-    _root_.graft.queries.Extra5.defs
+    _root_.graft.queries.Extra5.defs,
+    _root_.graft.queries.Extra6.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

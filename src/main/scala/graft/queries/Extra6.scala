@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.Q._
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 2 (SURVEY §2.11e): source-format coverage beyond
+  * parquet. Each scan_* query materializes a deterministic copy of a
+  * fixture table in the target format under /tmp (mode=overwrite — the
+  * write is part of the declared pipeline), reads it back through the
+  * corresponding Spark source, and aggregates; the oracle computes the
+  * same aggregate from the original parquet, so the hash gate asserts
+  * the FORMAT ROUND-TRIP is lossless, not just that the reader runs.
+  * All aggregates are format-stable values (integers, strings, exact
+  * decimals from text-roundtrippable doubles).
+  */
+object Extra6 {
+
+  /** Deterministic per-SF staging dir for a format round-trip. */
+  private def stage(d: String, fmt: String): String =
+    s"/tmp/graft_fmt/${fmt}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  val defs: Map[String, Q] = Map(
+
+    // CSV source: header + explicit schema (never inferSchema on a real
+    // pipeline — one pass saved and no type drift). The round-trip is
+    // nation (ints + strings), joined back to the region dim and rolled
+    // up — proving values survived the text format byte-exactly.
+    "scan_csv" -> Q(
+      """SELECT r.r_name, COUNT(*) AS n_nations,
+        |       CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_key
+        |FROM read_parquet('{sfDir}/nation.parquet') n
+        |JOIN read_parquet('{sfDir}/region.parquet') r
+        |  ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, d) =>
+      val dir = stage(d, "csv")
+      val nation = T.nation(s, d)
+      nation.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      val back = s.read.option("header", "true").schema(nation.schema).csv(dir)
+      back.join(T.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey").cast("long")).as("sum_key"))
+        .orderBy("r_name")
+    },
+
+    // JSON-lines source with explicit schema. Doubles survive the text
+    // round-trip because Spark serializes them in shortest-roundtrip
+    // form — but the gate still casts to DECIMAL(18,2) before summing,
+    // the same belt-and-braces every money aggregate wears.
+    "scan_json" -> Q(
+      """SELECT s_nationkey, COUNT(*) AS n_sup,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM read_parquet('{sfDir}/supplier.parquet')
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val dir = stage(d, "json")
+      val sup = T.supplier(s, d)
+      sup.coalesce(1).write.mode("overwrite").json(dir)
+      s.read.schema(sup.schema).json(dir)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          dec2(sum(dec2(col("s_acctbal")))).as("sum_bal"))
+        .orderBy("s_nationkey")
+    },
+
+    // ORC source — the columnar alternative; binary-exact by nature, so
+    // the round-trip covers the reader/writer pair and shows the engine
+    // is not parquet-monogamous.
+    "scan_orc" -> Q(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val dir = stage(d, "orc")
+      T.orders(s, d).select("o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dec2(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // XML parsing (from_xml, new in Spark 4): synthesize a per-order XML
+    // document from typed columns, parse it back with an explicit
+    // schema, emit the parsed fields. The oracle emits the same fields
+    // straight from parquet — the gate asserts parse∘render = id.
+    "fn_xml" -> Q(
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      T.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          concat(lit("<o><k>"), col("o_orderkey"),
+            lit("</k><p>"), col("o_orderpriority"),
+            lit("</p><t>"), dec2(col("o_totalprice")),
+            lit("</t></o>")).as("xml"))
+        .select(col("o_orderkey"),
+          expr("from_xml(xml, 'k BIGINT, p STRING, t DECIMAL(18,2)')").as("px"))
+        .select(col("o_orderkey"), col("px.p").as("prio"), col("px.t").as("price"))
+        .orderBy("o_orderkey")
+    }
+  )
+}
