@@ -82,6 +82,31 @@ object Extra6 {
         .orderBy("o_orderpriority")
     },
 
+    // Partition pruning over a Hive-style partitioned layout — THE table
+    // layout of a 100 TB warehouse: data written partitionBy(priority),
+    // read back with a partition predicate. Catalyst turns the filter
+    // into PartitionFilters (plan-pinned in PlanSpec), so only 1 of 5
+    // directory subtrees is ever listed or read — pruning that happens
+    // before any I/O, unlike row-group PushedFilters. The oracle
+    // computes the same aggregate from the unpartitioned original.
+    "scan_partition_prune" -> Q(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       COUNT(DISTINCT o_custkey) AS n_cust,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val dir = stage(d, "hivepart")
+      T.orders(s, d).select("o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("o_custkey").as("n_cust"),
+          dec2(sum(dec2(col("o_totalprice")))).as("sum_price"))
+    },
+
     // XML parsing (from_xml, new in Spark 4): synthesize a per-order XML
     // document from typed columns, parse it back with an explicit
     // schema, emit the parsed fields. The oracle emits the same fields

@@ -210,6 +210,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("scan_partition_prune: the priority predicate becomes a PartitionFilter") {
+    val p = planOf("scan_partition_prune")
+    // pruning happens at the directory level, before any I/O
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority") ||
+      p.contains("PartitionFilters: [(o_orderpriority"), p)
+    assert(p.contains("(o_orderpriority#") && p.contains("= 1-URGENT"), p)
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
