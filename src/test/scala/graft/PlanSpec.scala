@@ -218,6 +218,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("(o_orderpriority#") && p.contains("= 1-URGENT"), p)
   }
 
+  test("ts_interp: both gap-fill windows partition per user, never globally") {
+    val p = planOf("ts_interp")
+    assert("windowspecdefinition\\(user_id#".r.findAllIn(p).nonEmpty, p)
+    assert(!"windowspecdefinition\\(\\[\\]".r.findFirstIn(p).isDefined &&
+      !"windowspecdefinition\\(, ".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("win_ewma: all eight lags share one window operator (one sort, one pass)") {
+    val df = SparkEntry.queries("win_ewma")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==").head
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert("lag\\(c#".r.findAllIn(p).size >= 7, p)
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
