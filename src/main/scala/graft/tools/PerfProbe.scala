@@ -105,6 +105,45 @@ object PerfProbe {
       graft.SparkEntry.queries("sim_ann_ivf")(spark, sfDir).count()
     }
     scope5.release()
+    spark.sharedState.cacheManager.clearCache()
+
+    // Scaling probe: same pipelines on an 8x corpus. Replicas are
+    // PERTURBED, not copied - a copied replica is a true near-dup of
+    // the original, so buckets would legitimately explode (64x more
+    // real pairs, an adversarial dataset rather than a bigger one).
+    // Embeddings rotate per replica (norm-preserving direction change);
+    // docs get a per-replica suffix token. A quadratic path would cost
+    // 64x; the bucketed sketch paths should stay near-linear. Prints
+    // evidence for SURVEY's scale claims - measured, not argued.
+    val embs1 = graft.Tables.embeddings(spark, sfDir)
+    val docs1 = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    def embsX(n: Int) = (0 until n).map { i =>
+      embs1.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${i * 7 + 1}, ${64 - i * 7})," +
+          s" slice(embedding, 1, ${i * 7}))").as("embedding"))
+    }.reduce(_ unionAll _)
+    def docsX(n: Int) = (0 until n).map { i =>
+      docs1.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" rep$i token$i")).as("text"))
+    }.reduce(_ unionAll _)
+    for (n <- Seq(1, 8)) {
+      // nbits scales with log(N): bucket occupancy (the join fan-out
+      // driver) stays constant only if bucket count grows with the
+      // corpus - 4 bits at 5k vectors, 7 bits at 40k keep ~300/bucket.
+      val nbits = if (n == 1) 4 else 7
+      val scope = graft.ops.CacheScope.begin(spark)
+      time(s"scale x$n: lsh annPairs (nbits=$nbits)") {
+        graft.ops.Sketches.annPairs(embsX(n), nbits = nbits, tables = 28).count()
+      }
+      scope.release()
+      spark.sharedState.cacheManager.clearCache()
+      val scope2b = graft.ops.CacheScope.begin(spark)
+      time(s"scale x$n: minhash pairs") {
+        graft.ops.Sketches.minhashNearDups(docsX(n), threshold = 0.5).count()
+      }
+      scope2b.release()
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }
