@@ -30,15 +30,24 @@ object AsOfJoin {
     * @param rightVals  right columns to attach (prefixed as-is)
     * @param toleranceMs optional max signed staleness in ms (ts columns
     *                    must be castable to long ms via unix_millis)
-    * @param direction  "backward" (latest earlier-or-equal right row) or
-    *                    "forward" (earliest later-or-equal right row)
+    * @param direction  "backward" (latest earlier-or-equal right row),
+    *                    "forward" (earliest later-or-equal right row), or
+    *                    "nearest" (whichever of the two is closer in
+    *                    time; equal distance prefers backward — a total,
+    *                    deterministic choice). Nearest runs BOTH carries
+    *                    over the same keyed partition — one shuffle, two
+    *                    per-partition sorts — then picks per row.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String],
       toleranceMs: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
+    require(Seq("backward", "forward", "nearest").contains(direction),
       s"joinAsOf: unknown direction '$direction'")
+    if (direction == "nearest") {
+      require(toleranceMs.isEmpty, "joinAsOf: tolerance+nearest not supported")
+      return joinAsOfNearest(left, right, key, leftTs, rightTs, rightVals)
+    }
     val fwd = direction == "forward"
     val leftCols = left.columns
     val l = left.withColumn("_side", lit(1))
@@ -76,6 +85,42 @@ object AsOfJoin {
       case None => kept
     }
     bounded.select((leftCols.map(col) ++ rightVals.map(v => col("_rrow")(v).as(v)) :+
+      col("_rrow")("_asof_ts").as("asof_ts")): _*)
+  }
+
+  /** Nearest direction: both carries computed over the SAME keyed
+    * partition (Catalyst plans the two opposite-order windows as one
+    * exchange + two sorts), then a per-row pick of the closer side —
+    * gaps compared in integer microseconds, equal distance prefers
+    * backward (total, deterministic).
+    */
+  private def joinAsOfNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_ts", col(leftTs))
+      .select((col(key) +: leftCols.filterNot(_ == key).map(col)
+        :+ col("_ts") :+ col("_side")): _*)
+    val r = right.select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+      struct((rightVals.map(col) :+ col(rightTs).as("_asof_ts")): _*).as("_rrow"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val wb = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key).orderBy(col("_ts").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = unioned
+      .withColumn("_bw", last(col("_rrow"), ignoreNulls = true).over(wb))
+      .withColumn("_fw", last(col("_rrow"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+      .withColumn("_bgap",
+        unix_micros(col("_ts")) - unix_micros(col("_bw")("_asof_ts")))
+      .withColumn("_fgap",
+        unix_micros(col("_fw")("_asof_ts")) - unix_micros(col("_ts")))
+      .withColumn("_rrow",
+        when(col("_bw").isNotNull &&
+          (col("_fw").isNull || col("_bgap") <= col("_fgap")), col("_bw"))
+          .otherwise(col("_fw")))
+    picked.select((leftCols.map(col) ++ rightVals.map(v => col("_rrow")(v).as(v)) :+
       col("_rrow")("_asof_ts").as("asof_ts")): _*)
   }
 }

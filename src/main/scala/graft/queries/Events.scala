@@ -150,6 +150,51 @@ object Events {
           .orderBy("user_id", "click_id")
     },
 
+    "join_asof_near" -> Q(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t, event_type
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |c AS (SELECT user_id, event_id, t FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t, MIN(event_id) AS p_event_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, t),
+        |bw AS (SELECT c.user_id, c.event_id, c.t, p.p_event_id AS b_id, p.t AS b_t
+        |       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t),
+        |fw AS (SELECT c.user_id, c.event_id, p.p_event_id AS f_id, p.t AS f_t
+        |       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t <= p.t)
+        |SELECT bw.user_id, bw.event_id AS click_id,
+        |  CAST(FLOOR(epoch(bw.t)) AS BIGINT) AS click_s,
+        |  CASE WHEN b_t IS NOT NULL AND (f_t IS NULL
+        |         OR epoch_us(bw.t) - epoch_us(b_t) <= epoch_us(f_t) - epoch_us(bw.t))
+        |       THEN b_id ELSE f_id END AS p_event_id,
+        |  CAST(FLOOR(epoch(
+        |    CASE WHEN b_t IS NOT NULL AND (f_t IS NULL
+        |           OR epoch_us(bw.t) - epoch_us(b_t) <= epoch_us(f_t) - epoch_us(bw.t))
+        |         THEN b_t ELSE f_t END)) AS BIGINT) AS p_s
+        |FROM bw JOIN fw ON bw.user_id = fw.user_id AND bw.event_id = fw.event_id
+        |ORDER BY bw.user_id, click_id""".stripMargin) {
+      // NEAREST as-of join — completes the direction family: for each
+      // click, the purchase closest in time either way (equal distance
+      // prefers backward — a total, deterministic choice). DuckDB has no
+      // native nearest, so the oracle composes its two native ASOF
+      // directions and picks per row in integer microseconds, exactly
+      // like the operator. One shuffle, two per-partition sorts
+      // (opposite-order windows share the keyed exchange).
+      (s, d) =>
+        val e = T.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us").as("pts"))
+          .agg(min(col("event_id")).as("p_event_id"))
+        graft.ops.AsOfJoin.joinAsOf(clicks, purchases, key = "user_id",
+            leftTs = "ts_us", rightTs = "pts", rightVals = Seq("p_event_id"),
+            direction = "nearest")
+          .select(col("user_id"), col("click_id"),
+            unix_timestamp(col("ts_us")).as("click_s"),
+            col("p_event_id"),
+            unix_timestamp(col("asof_ts")).as("p_s"))
+          .orderBy("user_id", "click_id")
+    },
+
     "stream_dedup" -> Q(
       """SELECT user_id, event_type, value, event_id AS keep_id FROM (
         |  SELECT user_id, event_type, value, event_id,

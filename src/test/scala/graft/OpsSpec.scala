@@ -105,6 +105,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("px"), toleranceMs = Some(100000L))
       .filter(col("sym") === "B").collect()
     assert(bounded.length == 1 && bounded.head.isNullAt(3)) // 850s > 100s tolerance
+
+    // Nearest direction: closest either way; EQUAL distance prefers
+    // backward (trade at 250 sits exactly between quotes 200 and 300).
+    val near = AsOfJoin.joinAsOf(trades, quotes, "sym", "tts", "qts",
+      Seq("px"), direction = "nearest")
+      .orderBy("sym", "tts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(near == Seq(
+      ("A", 50L, Some(10.0)),   // only forward exists (100)
+      ("A", 250L, Some(11.0)),  // TIE 200 vs 300 → backward wins
+      ("A", 300L, Some(12.0)),  // exact hit
+      ("B", 1000L, Some(99.0)), // only backward exists
+      ("C", 500L, None)))       // no key match either way
   }
 
   test("text analysis: langid argmax deterministic, quality score bounded") {
