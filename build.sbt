@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unprefixed. sbt's default
+// LoggedOutput routes it through the logger, prefixing every line with
+// "[info] " — which defeats any downstream tool that expects bare JSON
+// lines on stdout (e.g. the bench total line from graft.Bench).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
