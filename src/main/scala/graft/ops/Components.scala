@@ -57,6 +57,69 @@ object Components {
       maxIter: Int = 50): DataFrame =
     connectedComponentsWithStats(nodes, edges, maxIter)._1
 
+  /** Thrown INSIDE the solving task when the edge stream outgrows the
+    * declared bound — the failover signal for the optimistic fast path.
+    * Detected by message marker because Spark re-wraps task failures.
+    */
+  private val TooLargeMarker = "graft.Components.SUBGRAPH_TOO_LARGE"
+
+  private def isTooLarge(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.getMessage != null && c.getMessage.contains(TooLargeMarker)) return true
+      c = c.getCause
+    }
+    false
+  }
+
+  /** Edges-only variant: (id, rep) for every vertex INCIDENT TO ≥1 EDGE
+    * — no separate node relation. This is the shape a dedup pipeline
+    * wants (pair graph → labels; untouched documents are singletons by
+    * construction and rejoin via one anti-join against these labels):
+    * passing `nodes` = "distinct endpoints of edges" would pay a
+    * union+distinct shuffle to compute a set the solve already knows,
+    * plus the join attaching labels to it.
+    *
+    * The fast path is OPTIMISTIC: no pre-count job — the single-task
+    * union-find runs as the FIRST materialization of the (persisted)
+    * edge relation and enforces `localSolveMaxEdges` in-task, aborting
+    * with a marker failure if the stream outgrows it; the driver then
+    * falls over to the iterative path, which reuses whatever edge
+    * blocks the aborted attempt already cached. Per-round job latency is
+    * the real cost on a small subgraph, so skipping the gate job is
+    * worth one wasted bounded attempt in the rare too-large regime
+    * (pipelines that KNOW they're big pass `localSolveMaxEdges = 0`).
+    * Union-find is symmetric per edge, so the solve consumes each
+    * undirected pair once — the 2× symmetric relation is never built
+    * on this path.
+    */
+  def edgeComponents(edges: DataFrame, maxIter: Int = 50,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+    val idType = edges.schema.head.dataType
+    val integralIds = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val ed = edges.select(col("id1").as("s"), col("id2").as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (integralIds && localSolveMaxEdges > 0) {
+      try {
+        val labels = localSolveEdgesOnly(ed, idType, localSolveMaxEdges)
+        ed.unpersist()
+        return labels
+      } catch {
+        case e: Throwable if isTooLarge(e) => () // fall through to iterative
+      }
+    }
+    val nodes = ed.select(col("s").as("id"))
+      .union(ed.select(col("t").as("id"))).distinct()
+    val (labels, _) = connectedComponentsWithStats(nodes,
+      ed.select(col("s").as("id1"), col("t").as("id2")), maxIter,
+      localSolveMaxEdges = 0)
+    ed.unpersist()
+    labels
+  }
+
   /** [[connectedComponents]] plus the number of propagation rounds the
     * iterative path took (0 = single-task union-find path) — for
     * tooling/tests that assert round economy or pin a path.
@@ -148,14 +211,36 @@ object Components {
     */
   private def localSolve(nodes: DataFrame, sym: DataFrame,
       idType: DataType): DataFrame = {
-    val spark = nodes.sparkSession
+    val uf = localSolveEdgesOnly(sym, idType, Long.MaxValue)
+    nodes.select(col("id"))
+      .join(broadcast(uf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+  }
+
+  /** The union-find solve itself: (id, rep) for every id appearing in
+    * the (s, t) pair relation (symmetric or one-per-undirected-edge —
+    * union-find doesn't care). Persisted AND materialized before
+    * returning — the caller unpersists the input right after, and this
+    * is the only reader of its blocks. One entry in `parent` per
+    * non-root vertex; `seen` covers roots, so the output includes every
+    * incident vertex including component minima. Rows beyond `maxEdges`
+    * abort the task with [[TooLargeMarker]] — the stream is consumed
+    * lazily, so an oversized input costs one bounded read, not a full
+    * buffer.
+    */
+  private def localSolveEdgesOnly(pairs: DataFrame, idType: DataType,
+      maxEdges: Long): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    val uf = sym
+    val marker = TooLargeMarker
+    val uf = pairs
       .select(col("s").cast(LongType).as("_1"), col("t").cast(LongType).as("_2"))
       .as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
         val parent = new scala.collection.mutable.LongMap[Long]()
+        val seen = new scala.collection.mutable.LongMap[Unit]()
+        var n = 0L
         def find(x0: Long): Long = {
           var r = x0
           while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -164,20 +249,24 @@ object Components {
           r
         }
         it.foreach { case (s, t) =>
+          n += 1
+          if (n > maxEdges)
+            throw new RuntimeException(s"$marker: edge stream exceeded $maxEdges")
+          seen(s) = (); seen(t) = ()
           val rs = find(s); val rt = find(t)
           if (rs < rt) parent(rt) = rs
           else if (rt < rs) parent(rs) = rt
         }
         // Snapshot keys first: find() path-compresses (mutates) the map.
-        val ks = parent.keysIterator.toArray
+        // Iterate `seen`, not `parent`: roots (component minima) never
+        // get a parent entry but still need an output row.
+        val ks = seen.keysIterator.toArray
         ks.iterator.map(k => (k, find(k)))
       }
       .toDF("id", "rep")
       .select(col("id").cast(idType).as("id"), col("rep").cast(idType).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    uf.count() // materialize before the caller unpersists sym
-    nodes.select(col("id"))
-      .join(broadcast(uf), Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    uf.count() // materialize before the caller unpersists the pair blocks
+    uf
   }
 }

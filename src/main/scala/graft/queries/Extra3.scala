@@ -54,28 +54,29 @@ object Extra3 {
         |FROM lab GROUP BY rep ORDER BY keep_id""".stripMargin) {
       (s, d) =>
         val docs = T.documents(s, d).select("doc_id", "text")
-        // The LSH+verify pipeline feeds three consumers (component edges,
-        // the pair-node set, and the singleton anti-join) — persist the
-        // skinny (id1, id2) result so the expensive candidate join runs
-        // once, not per consumer (CacheScope releases it).
+        // The skinny (id1, id2) pair relation has exactly one consumer —
+        // edgeComponents — which persists it internally (the LSH+verify
+        // pipeline runs once; a caller-side persist would be redundant).
         val pairs = graft.ops.Sketches
           .minhashNearDups(docs, threshold = 0.5)
           .select("id1", "id2")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Iterate components ONLY over the near-dup subgraph (nodes that
-        // appear in some pair — a tiny fraction of the corpus); every
+        // Components run ONLY over the near-dup subgraph (nodes that
+        // appear in some pair — a tiny fraction of the corpus), via the
+        // edges-only entry point: the label table it returns covers
+        // exactly the pair-incident vertices (no union+distinct node
+        // relation, no gate-count job — the optimistic bounded
+        // union-find is the pipeline's FIRST materialization). Every
         // other document is trivially its own singleton cluster and
-        // rejoins via one anti-join. At 100 TB this is the difference
+        // rejoins via one anti-join against the (persisted,
+        // materialized) labels. At 100 TB this is the difference
         // between per-round shuffles over the candidate set and
         // per-round shuffles over the whole corpus.
-        val pairNodes = pairs.select(col("id1").as("id"))
-          .union(pairs.select(col("id2").as("id"))).distinct()
-        val clustered = graft.ops.Components
-          .connectedComponents(pairNodes, pairs)
+        val labels = graft.ops.Components.edgeComponents(pairs)
+        val clustered = labels
           .groupBy("rep").agg(count(lit(1)).as("n_docs"))
           .select(col("rep").as("keep_id"), col("n_docs"))
         val singles = docs.select(col("doc_id"))
-          .join(pairNodes, col("doc_id") === col("id"), "left_anti")
+          .join(labels, col("doc_id") === col("id"), "left_anti")
           .select(col("doc_id").as("keep_id"), lit(1L).as("n_docs"))
         clustered.union(singles).orderBy("keep_id")
     },

@@ -33,23 +33,22 @@ object PerfProbe {
 
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
 
+    // keep_rep stage split (mirrors the query's actual shape: no
+    // gate-count job — edgeComponents' bounded union-find is the first
+    // materialization of the LSH pipeline).
     val scope = graft.ops.CacheScope.begin(spark)
     val pairs = graft.ops.Sketches.minhashNearDups(docs, threshold = 0.5)
-      .select("id1", "id2").persist(StorageLevel.MEMORY_AND_DISK)
-    time("minhash pairs (count)") { pairs.count() }
-    val pairNodes = pairs.select(col("id1").as("id"))
-      .union(pairs.select(col("id2").as("id"))).distinct()
-    time("pairNodes (count)") { pairNodes.count() }
-    val (labels, rounds) = time("components") {
-      val (l, n) = graft.ops.Components.connectedComponentsWithStats(pairNodes, pairs)
-      l.count(); (l, n)
+      .select("id1", "id2")
+    val labels = time("edgeComponents (LSH + solve)") {
+      val l = graft.ops.Components.edgeComponents(pairs)
+      l.count(); l
     }
-    println(s"[probe] components rounds = $rounds, labels = ${labels.count()}")
+    println(s"[probe] labels = ${labels.count()}")
     time("keep_rep tail (agg+anti+sort)") {
       val clustered = labels.groupBy("rep").agg(count(lit(1)).as("n_docs"))
         .select(col("rep").as("keep_id"), col("n_docs"))
       val singles = docs.select(col("doc_id"))
-        .join(pairNodes, col("doc_id") === col("id"), "left_anti")
+        .join(labels, col("doc_id") === col("id"), "left_anti")
         .select(col("doc_id").as("keep_id"), lit(1L).as("n_docs"))
       clustered.union(singles).orderBy("keep_id").count()
     }

@@ -84,6 +84,32 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       && a(30L) == 30L)
   }
 
+  test("edgeComponents ≡ connectedComponents on incident vertices, both paths") {
+    import spark.implicits._
+    // Component minima (roots) never receive a union-find parent entry —
+    // the edges-only output must still include them (the keep_rep
+    // singleton anti-join depends on the label table covering EVERY
+    // pair-incident vertex, minima included).
+    val edges = ((1L until 10L).map(i => (i, i + 1)) ++
+      Seq((12L, 15L), (15L, 13L), (13L, 12L), (13L, 20L), (25L, 24L)))
+      .toDF("id1", "id2")
+    val incident = (1L to 10L) ++ Seq(12L, 13L, 15L, 20L, 24L, 25L)
+    val nodes = incident.toDF("id")
+    val want = graft.ops.Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = graft.ops.Components.edgeComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = graft.ops.Components.edgeComponents(edges, localSolveMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // over-bound: the optimistic in-task solve aborts (14 edges > 4) and
+    // the failover to the iterative path must be transparent
+    val failover = graft.ops.Components.edgeComponents(edges, localSolveMaxEdges = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want && iter == want && failover == want)
+    assert(fast.keySet == incident.toSet)
+    assert(fast(1L) == 1L && fast(24L) == 24L) // minima present, self-labeled
+  }
+
   test("CacheScope.release frees every block a pipeline pinned (zero cached RDDs after)") {
     import spark.implicits._
     val scope = graft.ops.CacheScope.begin(spark)
