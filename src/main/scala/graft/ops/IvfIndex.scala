@@ -23,53 +23,22 @@ import org.apache.spark.sql.graft.{native => gn}
   */
 object IvfIndex {
 
-  /** `rounds` Lloyd refinement passes over seed centroids: assign every
-    * vector to its nearest current centroid, replace each centroid with
-    * its cell's member mean, keep the seed vector for an empty cell.
-    * Determinism: members are cast per-element to DECIMAL(28,12) (a
-    * deterministic rounding, order-independent) and summed EXACTLY in
-    * decimal before the single division — so the mean is bit-identical
-    * across partitionings and aggregation orders by construction, with
-    * no knife-edge float rounding boundary. Ties in the
-    * nearest-centroid choice break on cid — rerunning yields identical
-    * centroids. Each round is one narrow pass over the vectors plus two
-    * small aggregations; centroids are checkpointed per round because
-    * the next round references them twice (broadcast + empty-cell
-    * fallback) and lineage would otherwise compound.
+  /** `rounds` Lloyd refinement passes over seed centroids — the shared
+    * [[Lloyd]] recipe bound to the whole vector (one subspace, j ≡ 0)
+    * with a cosine score (negated: Lloyd scores ascending-better) and
+    * empty cells keeping the PREVIOUS round's centroid. Determinism —
+    * exact decimal means, cid tiebreaks, per-round checkpoints — is
+    * Lloyd's contract; see its scaladoc.
     */
   def refineCentroids(embs: DataFrame, seed: DataFrame,
       rounds: Int): DataFrame = {
-    var cents = seed
-    (0 until rounds).foreach { rnd =>
-      // Nearest-centroid via arg-min aggregation, not a window: min of
-      // struct(-csim, cid, embedding) picks highest-similarity (ties →
-      // lowest cid; the embedding field is never reached since cid is
-      // unique per vector) with map-side partial aggregation instead of
-      // a full per-vector sort.
-      val members = graft.Q.spreadBy(embs, "vec_id")
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct((-gn.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
-            col("cid").as("cid"), col("embedding").as("e")).as("cand"))
-        .groupBy("vec_id").agg(min(col("cand")).as("best"))
-        .select(col("best.cid").as("cid"),
-          posexplode(col("best.e")).as(Seq("pos", "v")))
-      val means = members.groupBy("cid", "pos")
-        .agg(round((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
-          .cast("double"), 6).as("m"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
-          .as("mvec"))
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
-      // Checkpoint only BETWEEN rounds: the next round references cents
-      // twice (broadcast + empty-cell fallback) and would recompute the
-      // whole pass for each. The final round's result has exactly one
-      // consumer (the assignment broadcast), which materializes the
-      // lineage once anyway — checkpointing it would add a whole job.
-      if (rnd < rounds - 1) cents = cents.localCheckpoint()
-    }
-    cents
+    val points = graft.Q.spreadBy(embs, "vec_id")
+      .select(lit(0).as("j"), col("vec_id"), col("embedding").as("sv"))
+    val seedJ = seed.select(lit(0).as("j"), col("cid"), col("cvec"))
+    Lloyd.train(points, seedJ,
+      (sv, cvec) => -gn.cosine_similarity(sv, cvec),
+      rounds, fallbackToSeed = false)
+      .select("cid", "cvec")
   }
 
   /** (vec_id, cid, probe_rank) — each vector in its nProbe nearest cells

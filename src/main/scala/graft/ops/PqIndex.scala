@@ -31,17 +31,23 @@ import org.apache.spark.sql.graft.{native => gn}
   */
 object PqIndex {
 
-  /** 8-dim L2 distance² between two float subvectors, as a SQL lambda
-    * (codegen-friendly, no UDF). Inputs are exact floats; the fold is a
-    * fixed left-to-right expression tree — deterministic per row.
+  /** Embedding dimension, probed from a one-row sample (the schema only
+    * says array<float>). One tiny job per train/search entry point —
+    * never per [[subvecs]] call, which runs several times per pipeline.
     */
-  private val l2sq =
-    "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))," +
-      " 0D, (acc, v) -> acc + v * v)"
+  private def embeddingDim(embs: DataFrame, m: Int): Int = {
+    val d = embs.select(size(col("embedding"))).limit(1).head().getInt(0)
+    require(d > 0 && d % m == 0,
+      s"PqIndex: m=$m must evenly divide the embedding dim d=$d " +
+        "(an uneven split would silently drop trailing dimensions " +
+        "from every vector in both training and search)")
+    d
+  }
 
-  /** (vec_id, j, sv): each vector exploded into its m subvectors. */
-  private[graft] def subvecs(embs: DataFrame, m: Int): DataFrame = {
-    val d = 64 // fixture embedding dim (FIXTURES.md); callers assert m | d
+  /** (vec_id, j, sv): each vector exploded into its m subvectors.
+    * `d` comes from [[embeddingDim]] — m | d already verified there.
+    */
+  private[graft] def subvecs(embs: DataFrame, m: Int, d: Int): DataFrame = {
     val sub = d / m
     embs.select(col("vec_id"), explode(expr(
       s"transform(sequence(0, ${m - 1}), j -> struct(j AS j, slice(embedding, j * $sub + 1, $sub) AS sv))"))
@@ -50,45 +56,36 @@ object PqIndex {
   }
 
   /** Codebooks (j, cid, cvec): seeded from the k lowest-vec_id vectors'
-    * subvectors (deterministic), tightened by `rounds` Lloyd passes run
-    * over ALL subspaces at once — one assignment join + one decimal mean
-    * aggregation per round, keyed by (j, cid), not m separate jobs.
+    * subvectors (deterministic), tightened by `rounds` passes of the
+    * shared [[Lloyd]] recipe run over ALL subspaces at once — one
+    * assignment join + one decimal mean aggregation per round, keyed by
+    * (j, cid), not m separate jobs. L2² score; empty cells fall back to
+    * the original seed.
     */
   def trainCodebooks(embs: DataFrame, m: Int, k: Int,
-      rounds: Int): DataFrame = {
-    val seed = subvecs(embs.orderBy("vec_id").limit(k), m)
+      rounds: Int): DataFrame =
+    trainCodebooksD(embs, m, k, rounds, embeddingDim(embs, m))
+
+  private def trainCodebooksD(embs: DataFrame, m: Int, k: Int,
+      rounds: Int, d: Int): DataFrame = {
+    val seed = subvecs(embs.orderBy("vec_id").limit(k), m, d)
       .select(col("j"), col("vec_id").as("cid"), col("sv").as("cvec"))
-    var cb = seed
-    (0 until rounds).foreach { rnd =>
-      val members = subvecs(graft.Q.spreadBy(embs, "vec_id"), m)
-        .join(broadcast(cb), "j")
-        .select(col("vec_id"), col("j"),
-          struct(expr(l2sq.format("sv", "cvec")).as("d2"),
-            col("cid").as("cid"), col("sv").as("sv")).as("cand"))
-        .groupBy("vec_id", "j").agg(min(col("cand")).as("best"))
-        .select(col("j"), col("best.cid").as("cid"),
-          posexplode(col("best.sv")).as(Seq("pos", "v")))
-      val means = members.groupBy("j", "cid", "pos")
-        .agg(round((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
-          .cast("double"), 6).as("m"))
-        .groupBy("j", "cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
-          .as("mvec"))
-      cb = seed.join(means, Seq("j", "cid"), "left")
-        .select(col("j"), col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
-      if (rnd < rounds - 1) cb = cb.localCheckpoint()
-    }
-    cb
+    Lloyd.train(subvecs(graft.Q.spreadBy(embs, "vec_id"), m, d), seed,
+      Lloyd.l2sq, rounds, fallbackToSeed = true)
   }
 
   /** (vec_id, j, code): every subvector assigned to its nearest codebook
     * entry (L2 argmin, ties → lowest cid). The corpus-side index state.
     */
   def encode(embs: DataFrame, cb: DataFrame, m: Int): DataFrame =
-    subvecs(embs, m)
+    encodeD(embs, cb, m, embeddingDim(embs, m))
+
+  private def encodeD(embs: DataFrame, cb: DataFrame, m: Int,
+      d: Int): DataFrame =
+    subvecs(embs, m, d)
       .join(broadcast(cb), "j")
       .select(col("vec_id"), col("j"),
-        struct(expr(l2sq.format("sv", "cvec")).as("d2"),
+        struct(Lloyd.l2sq(col("sv"), col("cvec")).as("d2"),
           col("cid").as("cid")).as("cand"))
       .groupBy("vec_id", "j").agg(min(col("cand")).as("best"))
       .select(col("vec_id"), col("j"), col("best.cid").as("code"))
@@ -100,14 +97,15 @@ object PqIndex {
     */
   def search(embs: DataFrame, nq: Int = 8, m: Int = 8, k: Int = 16,
       rounds: Int = 1, shortlist: Int = 100, topK: Int = 10): DataFrame = {
-    val cb = trainCodebooks(embs, m, k, rounds)
-    val codes = encode(graft.Q.spreadBy(embs, "vec_id"), cb, m)
+    val d = embeddingDim(embs, m) // one probe for the whole pipeline
+    val cb = trainCodebooksD(embs, m, k, rounds, d)
+    val codes = encodeD(graft.Q.spreadBy(embs, "vec_id"), cb, m, d)
     val queries = embs.filter(col("vec_id") < nq)
     // query LUT: one row per (q, subspace, code) — nq·m·k rows, kilobytes
-    val lut = subvecs(queries, m).select(col("vec_id").as("q_id"), col("j"), col("sv"))
+    val lut = subvecs(queries, m, d).select(col("vec_id").as("q_id"), col("j"), col("sv"))
       .join(broadcast(cb), "j")
       .select(col("q_id"), col("j"), col("cid").as("code"),
-        expr(l2sq.format("sv", "cvec")).cast(DecimalType(18, 9)).as("contrib"))
+        Lloyd.l2sq(col("sv"), col("cvec")).cast(DecimalType(18, 9)).as("contrib"))
     // ADC: m lookups + an exact-decimal sum per (query, candidate)
     val adc = codes.join(broadcast(lut), Seq("j", "code"))
       .filter(col("vec_id") =!= col("q_id"))
