@@ -42,6 +42,25 @@ object Q {
     df
   }
 
+  /** Admission guard for per-group state concentration (the group twin
+    * of [[requireAtMost]]): operators that materialize one row per group
+    * from ALL the group's rows (seq_pattern's collect_list sequence
+    * build) turn a hot key into one giant row in one task. Refuse loudly
+    * when any group exceeds `maxRows`, naming the streaming/state-machine
+    * form that handles unbounded groups. Cost: one keyed count + scalar
+    * max — counts only, never the payload columns.
+    */
+  def requireMaxGroupSize(df: DataFrame, key: String, maxRows: Long,
+      ctx: String, scalePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mx = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    require(mx <= maxRows,
+      s"$ctx: a '$key' group holds $mx rows, exceeding the declared " +
+        s"per-group concentration bound of $maxRows — use $scalePath at this scale")
+    df
+  }
+
   /** Hash-spread an input across the session's full shuffle parallelism,
     * keyed (not round-robin) so downstream keyed ops can reuse the
     * partitioning. The testdata parquet files are single-row-group, so

@@ -85,15 +85,23 @@ object Extra5 {
         |  SELECT source,
         |         substr(text, k * 150 + 1, 200) AS chunk
         |  FROM read_parquet('{sfDir}/documents.parquet')
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 10000)) AS k) ks
+        |  CROSS JOIN (SELECT unnest(generate_series(0,
+        |    (SELECT COALESCE(CAST(MAX(n_chars) AS BIGINT), 0) // 150
+        |     FROM read_parquet('{sfDir}/documents.parquet')))) AS k) ks
         |  WHERE k * 150 < n_chars)
         |SELECT source, COUNT(*) AS n_chunks,
         |       CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars,
         |       CAST(SUM(CASE WHEN chunk LIKE '%data%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_data
         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // The oracle's offset series is DATA-DERIVED (max n_chars // 150 —
+      // no hard cap to outgrow); the Spark filter mirrors its WHERE
+      // exactly so a zero-length document emits no chunk on either
+      // engine (sequence(0, 0) would otherwise emit one empty k=0 chunk
+      // that the oracle excludes).
       T.documents(s, d)
-        .select(col("source"), col("text"),
+        .select(col("source"), col("text"), col("n_chars"),
           explode(expr("sequence(0, int(greatest(n_chars - 1, 0) div 150))")).as("k"))
+        .filter(expr("k * 150 < n_chars"))
         .select(col("source"),
           expr("substring(text, k * 150 + 1, 200)").as("chunk"))
         .groupBy("source")
@@ -370,7 +378,14 @@ object Extra5 {
     // array_sort∘collect_list over unique sort keys (collect order is
     // nondeterministic; the sort makes it total), never assumed from
     // shuffle order. State per user is one string — the batch twin of a
-    // flatMapGroupsWithState session machine.
+    // flatMapGroupsWithState session machine, and that machine IS the
+    // scale path: the collect_list concentrates a user's whole history
+    // into one row in one task, so admission is guarded at 1M
+    // events/user (≈ a few MB of struct rows — comfortably one task;
+    // fixtures max out at ~100). An unboundedly hot user belongs on the
+    // streaming form, which carries O(1) state per user — parity with
+    // this query is proven in StreamBatchParitySpec ("stateful vc*p
+    // counter").
     "seq_pattern" -> Q(
       """WITH s AS (
         |  SELECT user_id,
@@ -380,9 +395,13 @@ object Extra5 {
         |SELECT user_id, n_events,
         |       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
         |FROM s ORDER BY user_id""".stripMargin) { (s, d) =>
-      T.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("c"))
+      Q.requireMaxGroupSize(
+        T.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")),
+        key = "user_id", maxRows = 1000000L, ctx = "seq_pattern",
+        scalePath = "the flatMapGroupsWithState vc*p state machine " +
+          "(StreamBatchParitySpec)")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("c"))))
@@ -395,12 +414,19 @@ object Extra5 {
 
     // Triangle counting on an oriented edge list — the graph-analytics
     // capstone over the components machinery (dedup_cluster): edges are
-    // synthesized deterministically from orders, stored once in a<b
-    // orientation, and each triangle is counted exactly once via the
-    // two-path + closing-edge join (e1.a<e1.b<e2.b by construction).
-    // Orientation is THE scale trick: it bounds the join fan-out by
-    // out-degree instead of total degree, the standard O(m^1.5)
-    // enumeration.
+    // synthesized deterministically from orders, deduped in canonical
+    // a<b form, then ORIENTED BY DEGREE — each undirected edge points
+    // from its lower-(degree, id) endpoint to the higher — and each
+    // triangle is counted exactly once via the two-path + closing-edge
+    // join (s→t is a total order, so exactly one rotation of every
+    // triangle matches). Degree orientation is THE scale trick: a
+    // vertex's out-neighbors all have degree ≥ its own, which caps
+    // out-degree at O(√m) and gives the standard O(m^1.5) enumeration
+    // bound. Orienting by id alone does NOT — a low-id hub keeps all
+    // its neighbors as out-edges and the two-path join fans out
+    // quadratically on a skewed graph. The triangle count is
+    // orientation-invariant, so the oracle keeps its simpler id
+    // orientation — any divergence is a Spark-side orientation bug.
     "graph_triangles" -> Q(
       """WITH e AS (
         |  SELECT DISTINCT
@@ -420,17 +446,31 @@ object Extra5 {
         (col("o_custkey") % 60).as("x"),
         ((col("o_custkey") + col("o_orderkey")) % 60).as("y"))
         .filter(col("x") =!= col("y"))
-      val e = raw.select(least(col("x"), col("y")).as("a"),
+      val eu = raw.select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b")).distinct()
-      val e1 = e.select(col("a").as("a1"), col("b").as("b1"))
-      val e2 = e.select(col("a").as("a2"), col("b").as("b2"))
-      val e3 = e.select(col("a").as("a3"), col("b").as("b3"))
-      val tri = e1.join(e2, col("b1") === col("a2"))
-        .join(e3, col("a3") === col("a1") && col("b3") === col("b2"))
+      // Undirected degree of every vertex, joined back to both endpoints
+      // (keyed joins — the degree relation is |V|-sized and AQE
+      // broadcasts it when small; at scale it stays a co-partitioned
+      // hash join, never a driver collect).
+      val deg = eu.select(col("a").as("v")).union(eu.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val keyed = eu
+        .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      // Orient low-(degree, id) → high. a<b already holds, so the id
+      // tiebreak means "keep (a,b) unless b is strictly lower-degree".
+      val e = keyed.select(
+        when(col("db") < col("da"), col("b")).otherwise(col("a")).as("s"),
+        when(col("db") < col("da"), col("a")).otherwise(col("b")).as("t"))
+      val e1 = e.select(col("s").as("s1"), col("t").as("t1"))
+      val e2 = e.select(col("s").as("s2"), col("t").as("t2"))
+      val e3 = e.select(col("s").as("s3"), col("t").as("t3"))
+      val tri = e1.join(e2, col("t1") === col("s2"))
+        .join(e3, col("s3") === col("s1") && col("t3") === col("t2"))
         .agg(count(lit(1)).as("n_triangles"))
-      val verts = e.select(col("a").as("x")).union(e.select(col("b").as("x")))
+      val verts = eu.select(col("a").as("x")).union(eu.select(col("b").as("x")))
         .distinct().agg(count(lit(1)).as("n_vertices"))
-      e.agg(count(lit(1)).as("n_edges"))
+      eu.agg(count(lit(1)).as("n_edges"))
         .crossJoin(verts).crossJoin(tri)
     },
 
@@ -577,17 +617,17 @@ object Extra5 {
     },
 
     // PageRank, 3 power iterations — completes the graph family
-    // (components → dedup_cluster, triangles → graph_triangles). All
-    // arithmetic is INTEGER: ranks live in 1e-12 units as BIGINT, each
-    // out-contribution is rank DIV outdeg and the damping step is
-    // (85·Σ) DIV 100 — floor division is bit-identical in both engines,
-    // so the iteration needs no decimal/double division contract at
-    // all (decimal÷decimal scale rules DIVERGE between engines; integer
-    // truncation cannot). Scale shape per iteration: one join of the
-    // rank vector against the edge list (both partitioned by vertex) +
-    // one keyed agg — the canonical Pregel-as-SQL step; dangling
-    // vertices contribute nothing (simplified variant, identical on
-    // both sides).
+    // (components → dedup_cluster, triangles → graph_triangles). The
+    // loop lives in ops.PageRank (parameterized iterations, per-round
+    // localCheckpoint lineage truncation — the Components recipe, so
+    // iteration counts >3 don't blow up the analyzer; PageRankSpec runs
+    // 12 rounds). All arithmetic is INTEGER: ranks live in 1e-12 units
+    // as BIGINT, each out-contribution is rank DIV outdeg and the
+    // damping step is (85·Σ) DIV 100 — floor division is bit-identical
+    // in both engines, so the iteration needs no decimal/double
+    // division contract at all (decimal÷decimal scale rules DIVERGE
+    // between engines; integer truncation cannot). Dangling vertices
+    // contribute nothing (simplified variant, identical on both sides).
     "graph_pagerank" -> Q(
       """WITH e AS (
         |  SELECT DISTINCT o_custkey % 97 AS src, (o_orderkey * 31) % 97 AS dst
@@ -626,23 +666,8 @@ object Extra5 {
           ((col("o_orderkey") * 31) % 97).as("dst"))
         .filter((col("src") + col("dst")) % 7 < 2 && col("src") =!= col("dst"))
         .distinct()
-      val v = e.select(col("src").as("vid")).union(e.select(col("dst").as("vid")))
-        .distinct()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
-      val ed = e.join(deg, "src") // (src, dst, od): static per iteration
-      val nv = v.agg(count(lit(1)).as("nv"))
-      var r = v.join(broadcast(nv))
-        .select(col("vid"), expr("1000000000000L div nv").as("r"))
-      (0 until 3).foreach { _ =>
-        val contrib = ed.join(r, col("src") === col("vid"))
-          .select(col("dst"), expr("r div od").as("c"))
-        r = v.join(contrib, col("vid") === col("dst"), "left")
-          .groupBy("vid").agg(coalesce(sum("c"), lit(0L)).as("s"))
-          .join(broadcast(nv))
-          .select(col("vid"),
-            expr("150000000000L div nv + (85 * s) div 100").as("r"))
-      }
-      r.select(col("vid"), col("r").as("rank_u")).orderBy("vid")
+      graft.ops.PageRank.run(e, iterations = 3)
+        .select(col("vid"), col("r").as("rank_u")).orderBy("vid")
     },
 
     // Count-min frequency sketch (graft.functions.CountMinAgg, the
@@ -690,7 +715,9 @@ object Extra5 {
         |         array_to_string(list_slice(string_split(text, ' '),
         |                                    k * 12 + 1, k * 12 + 12), ' ') AS btext
         |  FROM read_parquet('{sfDir}/documents.parquet')
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 10000)) AS k) ks
+        |  CROSS JOIN (SELECT unnest(generate_series(0,
+        |    (SELECT COALESCE(MAX(len(string_split(text, ' '))), 0) // 12
+        |     FROM read_parquet('{sfDir}/documents.parquet')))) AS k) ks
         |  WHERE k * 12 < len(string_split(text, ' '))),
         |r AS (SELECT source, btext,
         |        ROW_NUMBER() OVER (PARTITION BY btext ORDER BY doc_id, bidx) AS rn

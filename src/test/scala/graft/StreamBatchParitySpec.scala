@@ -163,6 +163,52 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("stateful vc*p counter via flatMapGroupsWithState == declared seq_pattern") {
+    // The scale path for seq_pattern (which concentrates a user's whole
+    // history into one collect_list row): a per-user state machine with
+    // O(1) state — (pending-view flag, funnel count, event count) — that
+    // never materializes the sequence. Equivalence to the regex: a
+    // leftmost non-overlapping 'vc*p' match exists exactly when a 'p'
+    // arrives while some 'v' has been seen with only {v, c} characters
+    // since (the LAST such v has only c's before the p, which is the
+    // match the regex backtracks to); counting resets at the consumed
+    // 'p', and any other character breaks every pending 'v'. Run it as a
+    // real streaming query; per-user (n_events, n_funnels) must equal
+    // the declared batch query row-for-row.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val stream = eventStream()
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[FunnelEv], state: GroupState[SeqPatState]) => {
+          var st = state.getOption.getOrElse(SeqPatState(sawV = false, 0L, 0L))
+          // within-batch order is shuffle order — replay in event time
+          // ((ts, event_id) is a total order; one file → one batch, so
+          // cross-batch order isn't exercised here)
+          evs.toVector.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            st = st.copy(nEvents = st.nEvents + 1)
+            e.event_type.take(1) match {
+              case "v" => st = st.copy(sawV = true)
+              case "c" => // clicks keep any pending view alive
+              case "p" =>
+                if (st.sawV) st = st.copy(sawV = false, nFunnels = st.nFunnels + 1)
+              case _ => st = st.copy(sawV = false) // any other char breaks the run
+            }
+          }
+          state.update(st)
+          Iterator.single((uid, st.nEvents, st.nFunnels))
+        })
+      .toDF("user_id", "n_events", "n_funnels")
+    runToCompletion(stream, "sb_seqpat", OutputMode.Update())
+    val got = sortedRows(spark.sql(
+      "SELECT user_id, n_events, n_funnels FROM sb_seqpat"))
+    val want = sortedRows(SparkEntry.queries("seq_pattern")(spark, sf)
+      .select("user_id", "n_events", "n_funnels"))
+    assert(got == want)
+  }
+
   test("stateful funnel via flatMapGroupsWithState == declared funnel_conversion") {
     // The declared batch funnel (min view → min click strictly after →
     // min purchase strictly after) is exactly what a per-user streaming
@@ -215,3 +261,6 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 final case class FunnelEv(user_id: Long, event_type: String, ts: Long,
     event_id: Long)
 final case class FunnelStages(t1: Long, t2: Long, t3: Long)
+
+/** O(1)-per-user state for the vc*p sequence-pattern machine. */
+final case class SeqPatState(sawV: Boolean, nEvents: Long, nFunnels: Long)
