@@ -66,9 +66,13 @@ object AsOfJoin {
     // Right rows sort before left rows at equal timestamps (_side 0 < 1),
     // so an exact-timestamp right row IS visible to the left row — in
     // both directions (both are inclusive). Forward is the time-mirrored
-    // scan: descending ts, carry the nearest LATER right row.
+    // scan: descending ts, carry the nearest LATER right row. The _rrow
+    // struct is the final sort key: among right rows SHARING (key, ts)
+    // the greatest (rightVals…, ts) tuple is carried — a total,
+    // direction-independent tiebreak instead of shuffle-order
+    // nondeterminism (requires rightVals to be orderable types).
     val ts = if (fwd) col("_ts").desc else col("_ts").asc
-    val w = Window.partitionBy(key).orderBy(ts, col("_side").asc)
+    val w = Window.partitionBy(key).orderBy(ts, col("_side").asc, col("_rrow").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val kept = unioned
       .withColumn("_rrow", last(col("_rrow"), ignoreNulls = true).over(w))
@@ -92,7 +96,11 @@ object AsOfJoin {
     * partition (Catalyst plans the two opposite-order windows as one
     * exchange + two sorts), then a per-row pick of the closer side —
     * gaps compared in integer microseconds, equal distance prefers
-    * backward (total, deterministic).
+    * backward (total, deterministic). Right rows sharing (key, ts) use
+    * the same greatest-_rrow tiebreak as backward/forward — and because
+    * BOTH windows order the tie group by the struct ascending, the two
+    * carries agree on the winner, so the equal-distance pick can never
+    * flip on shuffle order either.
     */
   private def joinAsOfNearest(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
@@ -104,9 +112,11 @@ object AsOfJoin {
     val r = right.select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
       struct((rightVals.map(col) :+ col(rightTs).as("_asof_ts")): _*).as("_rrow"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val wb = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
+    val wb = Window.partitionBy(key)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_rrow").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(key).orderBy(col("_ts").desc, col("_side").asc)
+    val wf = Window.partitionBy(key)
+      .orderBy(col("_ts").desc, col("_side").asc, col("_rrow").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val picked = unioned
       .withColumn("_bw", last(col("_rrow"), ignoreNulls = true).over(wb))

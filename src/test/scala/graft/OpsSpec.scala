@@ -121,6 +121,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("C", 500L, None)))       // no key match either way
   }
 
+  test("as-of join: duplicate right (key, ts) rows resolve to the greatest tuple in every direction") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // Three quotes share (A, 100): the greatest (px, ts) struct — px=30
+    // — must win under every direction and any input/shuffle order
+    // (reversed input exercises that the pick isn't arrival order).
+    val dupQuotes = Seq(
+      ("A", ts(100), 20.0), ("A", ts(100), 30.0), ("A", ts(100), 10.0))
+    val trades = Seq(("A", ts(100), 1L), ("A", ts(400), 2L)).toDF("sym", "tts", "qty")
+    for (qs <- Seq(dupQuotes, dupQuotes.reverse)) {
+      val quotes = qs.toDF("sym", "qts", "px")
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = AsOfJoin.joinAsOf(trades, quotes, "sym", "tts", "qts",
+          Seq("px"), direction = dir)
+          .orderBy("tts")
+          .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double])).toSeq
+        val want = dir match {
+          case "forward" => Seq(Some(30.0), None) // nothing at/after 400
+          case _ => Seq(Some(30.0), Some(30.0))
+        }
+        assert(got == want, s"direction=$dir input=${qs.map(_._3)}")
+      }
+    }
+  }
+
   test("text analysis: langid argmax deterministic, quality score bounded") {
     import spark.implicits._
     val docs = Seq(
