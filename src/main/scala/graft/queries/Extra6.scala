@@ -16,9 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Extra6 {
 
-  /** Deterministic per-SF staging dir for a format round-trip. */
-  private def stage(d: String, fmt: String): String =
-    s"/tmp/graft_fmt/${fmt}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  /** Per-SF staging dir for a format round-trip, made unique per JVM
+    * (pid@start): two harness processes on the same SF (bench and
+    * correctness can overlap) would otherwise race overwrite-vs-read on
+    * one path and read torn data. Within a process the path is stable,
+    * so the second bench pass overwrites pass 1's staging rather than
+    * accreting; stale dirs from dead JVMs are bounded by /tmp lifetime.
+    */
+  private def stage(d: String, fmt: String): String = {
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_fmt/$jvm/${fmt}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  }
 
   val defs: Map[String, Q] = Map(
 
