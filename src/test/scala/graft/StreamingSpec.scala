@@ -316,34 +316,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.exists(_.contains("short packet")))
   }
 
+  /** v9 packet carrying an options template + one sampled data record:
+    * options template 500 (scope System/4B + samplingInterval 34/4B),
+    * data template 260 (srcPort 7/2B + octets 1/4B), one record each.
+    * Shared by the capstone and FlowApp-loop tests.
+    */
+  private def v9WithOptions(srcPort: Int, bytes: Int, sampling: Int): Array[Byte] = {
+    val ot = ByteBuffer.allocate(4 + 6 + 8).order(ByteOrder.BIG_ENDIAN)
+    ot.putShort(1).putShort((4 + 6 + 8).toShort)
+      .putShort(500.toShort).putShort(4.toShort).putShort(4.toShort)
+      .putShort(1.toShort).putShort(4.toShort)
+      .putShort(34.toShort).putShort(4.toShort)
+    val od = ByteBuffer.allocate(4 + 8).order(ByteOrder.BIG_ENDIAN)
+    od.putShort(500.toShort).putShort(12.toShort).putInt(0).putInt(sampling)
+    val t = ByteBuffer.allocate(4 + 4 + 8).order(ByteOrder.BIG_ENDIAN)
+    t.putShort(0).putShort(16.toShort).putShort(260.toShort).putShort(2.toShort)
+      .putShort(7.toShort).putShort(2.toShort).putShort(1.toShort).putShort(4.toShort)
+    val d = ByteBuffer.allocate(4 + 6).order(ByteOrder.BIG_ENDIAN)
+    d.putShort(260.toShort).putShort(10.toShort)
+      .putShort(srcPort.toShort).putInt(bytes)
+    val body = ot.array() ++ od.array() ++ t.array() ++ d.array()
+    val pkt = ByteBuffer.allocate(20 + body.length).order(ByteOrder.BIG_ENDIAN)
+    pkt.putShort(9).putShort(4).putInt(1000).putInt(1700000000).putInt(1).putInt(7)
+    pkt.put(body)
+    pkt.array()
+  }
+
   test("capstone: decode → de-sample → top-talkers via the custom TopK operator") {
     // The composed nf2pq-and-beyond pipeline in one pass: v9 packets
     // carrying sampling options, flows de-sampled per exporter, then the
     // top-2 flows by (de-sampled) bytes per exporter on TopKPerGroupExec.
     import spark.implicits._
-    import java.nio.{ByteBuffer, ByteOrder}
-    def v9WithOptions(srcPort: Int, bytes: Int, sampling: Int): Array[Byte] = {
-      // options template 500 (scope System/4B + samplingInterval 34/4B),
-      // data template 260 (srcPort 7/2B + octets 1/4B), one record each.
-      val ot = ByteBuffer.allocate(4 + 6 + 8).order(ByteOrder.BIG_ENDIAN)
-      ot.putShort(1).putShort((4 + 6 + 8).toShort)
-        .putShort(500.toShort).putShort(4.toShort).putShort(4.toShort)
-        .putShort(1.toShort).putShort(4.toShort)
-        .putShort(34.toShort).putShort(4.toShort)
-      val od = ByteBuffer.allocate(4 + 8).order(ByteOrder.BIG_ENDIAN)
-      od.putShort(500.toShort).putShort(12.toShort).putInt(0).putInt(sampling)
-      val t = ByteBuffer.allocate(4 + 4 + 8).order(ByteOrder.BIG_ENDIAN)
-      t.putShort(0).putShort(16.toShort).putShort(260.toShort).putShort(2.toShort)
-        .putShort(7.toShort).putShort(2.toShort).putShort(1.toShort).putShort(4.toShort)
-      val d = ByteBuffer.allocate(4 + 6).order(ByteOrder.BIG_ENDIAN)
-      d.putShort(260.toShort).putShort(10.toShort)
-        .putShort(srcPort.toShort).putInt(bytes)
-      val body = ot.array() ++ od.array() ++ t.array() ++ d.array()
-      val pkt = ByteBuffer.allocate(20 + body.length).order(ByteOrder.BIG_ENDIAN)
-      pkt.putShort(9).putShort(4).putInt(1000).putInt(1700000000).putInt(1).putInt(7)
-      pkt.put(body)
-      pkt.array()
-    }
     val ts = new Timestamp(1700000000000L)
     val packets = Seq(
       (ts, "10.5.0.1", v9WithOptions(1001, 100, 100)), // exporter A, 1-in-100
@@ -435,6 +438,78 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "APPFLOWS").load()
     assert(back.count() == 1 && back.select("src_port").head().getInt(0) == 7100)
+    UdpFlowSource.clear(key)
+  }
+
+  test("FlowApp loop: UDP v9 + options → per-batch desample → partitioned parquet → read-back equals pre-encode truth") {
+    // The full nf2pq operating loop in one test: config-assembled UDP
+    // listener → v9 decode (flows AND options templates from the same
+    // stream) → per-micro-batch desample against the persisted options
+    // table (the desampleEachBatch snapshot shape) → date/hour-partitioned
+    // parquet (the rotation layout) → read back → the per-exporter
+    // aggregation equals the same aggregation computed from the
+    // pre-encode records. Closes the last seam between the streaming
+    // surface and the batch surface: what went in as synthetic flow
+    // tuples comes back out of the parquet table de-sampled and intact.
+    import graft.streaming.FlowApp
+    import graft.streaming.NetFlowCodec
+    // Pre-encode truth: (exporter, src_port, raw bytes, sampling 1-in-N)
+    val truth = Seq(
+      ("10.7.0.1", 4001, 100L, 100L), ("10.7.0.1", 4002, 250L, 100L),
+      ("10.7.0.2", 5001, 40L, 10L), ("10.7.0.2", 5002, 60L, 10L))
+    val key = "0.0.0.0:9974"
+    UdpFlowSource.clear(key)
+    truth.zipWithIndex.foreach { case ((peer, port, b, samp), i) =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, peer,
+        v9WithOptions(port, b.toInt, samp.toInt))
+    }
+    val conf = FlowApp.parseConfig(
+      """[listener.loop]
+        |port = 9974
+        |socket = false
+        |""".stripMargin)
+    val outDir = tmp("loop-flows")
+    val optsDir = tmp("loop-opts")
+    val q = FlowApp.packetStream(spark, conf)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val raw = batch.persist()
+        try {
+          // options land in their own table first; the flow desample then
+          // snapshot-reads it — a reconfigured interval takes effect at
+          // the next trigger, exactly the desampleEachBatch contract
+          FlowPipeline.decodeOptions(raw).write.mode("append").parquet(optsDir)
+          val snapshot = s.read.schema(
+            org.apache.spark.sql.Encoders.product[NetFlowCodec.OptionsRecord].schema)
+            .parquet(optsDir)
+            .as[NetFlowCodec.OptionsRecord](
+              org.apache.spark.sql.Encoders.product[NetFlowCodec.OptionsRecord])
+          FlowPipeline.desample(FlowPipeline.decode(raw), snapshot)
+            .withColumn("date", date_format(col("start_ts"), "yyyy-MM-dd"))
+            .withColumn("hour", date_format(col("start_ts"), "HH"))
+            .write.mode("append").partitionBy("date", "hour").parquet(outDir)
+        } finally { raw.unpersist(); () }
+      }
+      .option("checkpointLocation", tmp("loop-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val back = spark.read.parquet(outDir)
+    val got = back.groupBy("exporter")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = truth.groupBy(_._1).map { case (exp, rows) =>
+      (exp, rows.size.toLong, rows.map(t => t._3 * t._4).sum)
+    }.toSet
+    assert(got == want) // de-sampled byte totals match the pre-encode records
+    // per-flow values survive the loop too, not just the rollup
+    val ports = back.select("src_port", "bytes").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSet
+    assert(ports == truth.map(t => t._2 -> t._3 * t._4).toSet)
+    // and the sink really used the rotation layout (one export window →
+    // exactly one date/hour partition directory pair)
+    assert(back.select("date", "hour").distinct().count() == 1)
     UdpFlowSource.clear(key)
   }
 
