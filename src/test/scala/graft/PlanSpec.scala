@@ -233,6 +233,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("lag\\(c#".r.findAllIn(p).size >= 7, p)
   }
 
+  test("graph_triangles orients edges by degree, not id (bounded fan-out)") {
+    val p = planOf("graph_triangles")
+    // the orientation projection compares the two endpoint degrees —
+    // id-orientation (the unbounded-hub regression) would have no da/db
+    // comparison anywhere in the plan
+    assert("CASE WHEN \\(db#\\d+".r.findFirstIn(p).isDefined &&
+      p.contains("< da#"), p)
+  }
+
+  test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
+    // Self-maintaining: scan THIS spec's source for the queries its tests
+    // pin (quoted names passed to planOf / queries) and require each to
+    // appear in Plans.picks — so adding a pin without adding the
+    // human-readable dump section fails here instead of drifting (the
+    // round-5 lesson: win_ewma and ts_interp were pinned but absent from
+    // PLANS.md).
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/test/scala/graft/PlanSpec.scala"))
+    val pinned = """(?:planOf|queries)\("(\w+)"\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    val dumped = Plans.picks.map(_._1).toSet
+    assert(pinned.nonEmpty && pinned.contains("win_ewma")) // the scan works
+    val missing = pinned -- dumped
+    assert(missing.isEmpty,
+      s"pinned but not in the Plans dump set: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
