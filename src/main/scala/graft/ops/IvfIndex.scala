@@ -24,21 +24,20 @@ import org.apache.spark.sql.graft.{native => gn}
 object IvfIndex {
 
   /** `rounds` Lloyd refinement passes over seed centroids — the shared
-    * [[Lloyd]] recipe bound to the whole vector (one subspace, j ≡ 0)
-    * with a cosine score (negated: Lloyd scores ascending-better) and
-    * empty cells keeping the PREVIOUS round's centroid. Determinism —
-    * exact decimal means, cid tiebreaks, per-round checkpoints — is
-    * Lloyd's contract; see its scaladoc.
+    * [[Lloyd]] recipe in its single-subspace binding (subspaced = false:
+    * no j column anywhere — see Lloyd's scaladoc for why a literal key
+    * would cost 3–5× per round) with a cosine score (negated: Lloyd
+    * scores ascending-better) and empty cells keeping the PREVIOUS
+    * round's centroid. Determinism — exact decimal means, cid
+    * tiebreaks, per-round checkpoints — is Lloyd's contract.
     */
   def refineCentroids(embs: DataFrame, seed: DataFrame,
       rounds: Int): DataFrame = {
     val points = graft.Q.spreadBy(embs, "vec_id")
-      .select(lit(0).as("j"), col("vec_id"), col("embedding").as("sv"))
-    val seedJ = seed.select(lit(0).as("j"), col("cid"), col("cvec"))
-    Lloyd.train(points, seedJ,
+      .select(col("vec_id"), col("embedding").as("sv"))
+    Lloyd.train(points, seed,
       (sv, cvec) => -gn.cosine_similarity(sv, cvec),
-      rounds, fallbackToSeed = false)
-      .select("cid", "cvec")
+      rounds, fallbackToSeed = false, subspaced = false)
   }
 
   /** (vec_id, cid, probe_rank) — each vector in its nProbe nearest cells

@@ -42,29 +42,46 @@ object Lloyd {
       zip_with(sv, cvec, (x, y) => x.cast("double") - y.cast("double")),
       lit(0.0), (acc, v) => acc + v * v)
 
-  /** One Lloyd pass: points (j, vec_id, sv) + codebook cb (j, cid, cvec)
-    * → next codebook (j, cid, cvec). `score(sv, cvec)` is
-    * ascending-better; `fallback` supplies (j, cid, cvec) for cells that
-    * attracted no members.
+  /** One Lloyd pass: points (j?, vec_id, sv) + codebook cb (j?, cid,
+    * cvec) → next codebook. `score(sv, cvec)` is ascending-better;
+    * `fallback` supplies rows for cells that attracted no members.
+    *
+    * `subspaced = false` is the single-subspace (whole-vector) binding:
+    * no `j` column exists ANYWHERE in the pass — the assignment join is
+    * a plain broadcast cross join and every grouping drops the key.
+    * This is not mere convenience: threading a constant `lit(0)` key
+    * instead costs 3–5× per round (measured at sf0.1) — the folded
+    * literal lands in grouping/partitioning expressions as `0 AS 0#n`,
+    * defeating the aggregate codegen the j-free shape gets.
     */
   def step(points: DataFrame, cb: DataFrame,
-      score: (Column, Column) => Column, fallback: DataFrame): DataFrame = {
-    val members = points
-      .join(broadcast(cb), "j")
-      .select(col("vec_id"), col("j"),
+      score: (Column, Column) => Column, fallback: DataFrame,
+      subspaced: Boolean): DataFrame = {
+    val j = if (subspaced) Seq(col("j")) else Nil
+    val joined = if (subspaced) points.join(broadcast(cb), "j")
+      else points.crossJoin(broadcast(cb))
+    val members = joined
+      .select((col("vec_id") +: j) :+
         struct(score(col("sv"), col("cvec")).as("d"),
-          col("cid").as("cid"), col("sv").as("sv")).as("cand"))
-      .groupBy("vec_id", "j").agg(min(col("cand")).as("best"))
-      .select(col("j"), col("best.cid").as("cid"),
-        posexplode(col("best.sv")).as(Seq("pos", "v")))
-    val means = members.groupBy("j", "cid", "pos")
+          col("cid").as("cid"), col("sv").as("sv")).as("cand"): _*)
+      .groupBy(col("vec_id") +: j: _*).agg(min(col("cand")).as("best"))
+      .select(j :+ col("best.cid").as("cid") :+
+        posexplode(col("best.sv")).as(Seq("pos", "v")): _*)
+    val means = members.groupBy(j :+ col("cid") :+ col("pos"): _*)
       .agg(round((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
         .cast("double"), 6).as("m"))
-      .groupBy("j", "cid")
+      .groupBy(j :+ col("cid"): _*)
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
         .as("mvec"))
-    fallback.join(means, Seq("j", "cid"), "left")
-      .select(col("j"), col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+    // means is codebook-sized BY CONSTRUCTION (≤ one row per (j, cid))
+    // — broadcast it explicitly: Catalyst's size estimate for it is
+    // inflated by the upstream posexplode, so the fallback join would
+    // otherwise plan as a sort-merge join with two full exchanges over
+    // kilobytes of data.
+    val keys = if (subspaced) Seq("j", "cid") else Seq("cid")
+    fallback.join(broadcast(means), keys, "left")
+      .select(keys.map(col) :+
+        coalesce(col("mvec"), col("cvec")).as("cvec"): _*)
   }
 
   /** `rounds` Lloyd passes from `seed`. `fallbackToSeed` picks the
@@ -73,10 +90,10 @@ object Lloyd {
     */
   def train(points: DataFrame, seed: DataFrame,
       score: (Column, Column) => Column, rounds: Int,
-      fallbackToSeed: Boolean): DataFrame = {
+      fallbackToSeed: Boolean, subspaced: Boolean = true): DataFrame = {
     var cb = seed
     (0 until rounds).foreach { rnd =>
-      cb = step(points, cb, score, if (fallbackToSeed) seed else cb)
+      cb = step(points, cb, score, if (fallbackToSeed) seed else cb, subspaced)
       if (rnd < rounds - 1) cb = cb.localCheckpoint()
     }
     cb

@@ -76,6 +76,22 @@ object PerfProbe {
     scope4.release()
     spark.sharedState.cacheManager.clearCache()
 
+    // Graph family end-to-end (checkpoint/orientation cost tracking).
+    // min-of-3: single samples on this box swing ±0.4 s with no code
+    // change — the min is the comparable estimate (same as Bench).
+    for (g <- Seq("graph_pagerank", "graph_triangles")) {
+      val best = (1 to 3).map { _ =>
+        val sc = graft.ops.CacheScope.begin(spark)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(g)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        sc.release()
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }.min
+      println(f"[probe] $g%-28s $best%7.2f s (min of 3)")
+    }
+
     // sim_ann_ivf stage breakdown (k=16, nProbe=5, refine=1 — the
     // declared non-degenerate gate params)
     val embs = graft.Tables.embeddings(spark, sfDir)
@@ -85,10 +101,75 @@ object PerfProbe {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       s.count(); s
     }
-    val cents = time("ivf lloyd round") {
+    // A/B both ways — each form is codegen-warmed by its first run, so
+    // only the second pair of numbers is comparable.
+    def timeNewRound(label: String) = time(label) {
       val c = graft.ops.IvfIndex.refineCentroids(embs, seed, rounds = 1)
       c.count(); c
     }
+    def timeOldRound(label: String): Unit = time(label) {
+      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.graft.{native => gn}
+      val members = graft.Q.spreadBy(embs, "vec_id")
+        .crossJoin(broadcast(seed))
+        .select(col("vec_id"),
+          struct((-gn.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
+            col("cid").as("cid"), col("embedding").as("e")).as("cand"))
+        .groupBy("vec_id").agg(min(col("cand")).as("best"))
+        .select(col("best.cid").as("cid"),
+          posexplode(col("best.e")).as(Seq("pos", "v")))
+      val means = members.groupBy("cid", "pos")
+        .agg(round((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
+          .cast("double"), 6).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+          .as("mvec"))
+      seed.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .count()
+      ()
+    }
+    timeOldRound("ivf lloyd old #1 (cold)")
+    timeNewRound("ivf lloyd new #1 (cold)")
+    timeOldRound("ivf lloyd old #2 (warm)")
+    val cents = timeNewRound("ivf lloyd new #2 (warm)")
+    // Bisect: is the regression the j plumbing (grouping/join keys) or
+    // something else in the unified shape?
+    def variant(label: String, withJ: Boolean): Unit = time(label) {
+      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.graft.{native => gn}
+      val pts0 = graft.Q.spreadBy(embs, "vec_id")
+        .select(col("vec_id"), col("embedding").as("sv"))
+      val pts = if (withJ) pts0.withColumn("j", lit(0)) else pts0
+      val cb0 = seed
+      val cb = if (withJ) cb0.withColumn("j", lit(0)) else cb0
+      val joined = if (withJ) pts.join(broadcast(cb), "j")
+        else pts.crossJoin(broadcast(cb))
+      val gk = if (withJ) Seq(col("vec_id"), col("j")) else Seq(col("vec_id"))
+      val mk = if (withJ) Seq(col("j"), col("cid")) else Seq(col("cid"))
+      val members = joined
+        .select((Seq(col("vec_id"),
+          struct((-gn.cosine_similarity(col("sv"), col("cvec"))).as("d"),
+            col("cid").as("cid"), col("sv").as("sv")).as("cand"))
+          ++ (if (withJ) Seq(col("j")) else Nil)): _*)
+        .groupBy(gk: _*).agg(min(col("cand")).as("best"))
+        .select((mk.dropRight(1) :+ col("best.cid").as("cid")) :+
+          posexplode(col("best.sv")).as(Seq("pos", "v")): _*)
+      val means = members.groupBy((mk :+ col("pos")): _*)
+        .agg(round((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
+          .cast("double"), 6).as("m"))
+        .groupBy(mk: _*)
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+          .as("mvec"))
+      cb.join(broadcast(means), if (withJ) Seq("j", "cid") else Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .count()
+      ()
+    }
+    variant("ivf lloyd variant noJ #1", withJ = false)
+    variant("ivf lloyd variant noJ #2", withJ = false)
+    variant("ivf lloyd variant withJ #1", withJ = true)
+    variant("ivf lloyd variant withJ #2", withJ = true)
     val a = time("ivf assign (post-lloyd)") {
       val x = graft.ops.IvfIndex.assign(embs, k = 16, nProbe = 5, refine = 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
