@@ -54,7 +54,8 @@ object SparkEntry {
     _root_.graft.queries.Extra3.defs,
     _root_.graft.queries.Extra4.defs,
     _root_.graft.queries.Extra5.defs,
-    _root_.graft.queries.Extra6.defs
+    _root_.graft.queries.Extra6.defs,
+    _root_.graft.queries.Extra7.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)
