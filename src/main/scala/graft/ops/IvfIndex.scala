@@ -66,21 +66,41 @@ object IvfIndex {
   }
 
   /** Candidate pairs sharing at least one probed cell, with exact cosine.
-    * `broadcastReattach = false` switches the embedding re-attach to
-    * shuffle-merge keyed joins (the 100 TB path — see
-    * [[Sketches.reattachCosine]]).
+    *
+    * Dedup WITHOUT a distinct: a pair probing overlapping cell sets
+    * would match once per shared cell, and the old distinct over the
+    * joined pairs was the plan's dominant exchange (at nProbe=5 the
+    * candidate set approaches all-pairs on the fixtures — millions of
+    * skinny rows reshuffled just to dedup). Instead each side carries
+    * its sorted probed-cell array and a pair is EMITTED ONLY FROM ITS
+    * MINIMAL SHARED CELL (`cid = min(cells₁ ∩ cells₂)`) — exactly-once
+    * by construction, as a codegen'd filter on the pipelined join
+    * output, no second shuffle. The candidate set is identical to the
+    * distinct form.
+    *
+    * The joined rows stay SKINNY (id + the ≤nProbe-int cell array);
+    * embeddings re-attach only after the filter, broadcast or
+    * shuffle-merge per `broadcastReattach` ([[Sketches.reattachCosine]]
+    * — carrying the float arrays themselves through the cell join was
+    * measured 2× slower even locally).
     */
   def annPairs(embs: DataFrame, k: Int = 16, nProbe: Int = 2,
       broadcastReattach: Boolean = true, refine: Int = 1): DataFrame = {
-    // Assignment (k cosine evals per vector + the arg-top fold) feeds both
-    // sides of the cell self-join — persist the skinny (vec_id, cid,
-    // probe_rank) so it runs once.
-    val a = assign(embs, k, nProbe, refine)
+    // One row per vector: its probed cells, sorted. Feeds both sides of
+    // the self-join — persist so assignment (k cosine evals per vector
+    // + the arg-top fold) runs once.
+    val cells = assign(embs, k, nProbe, refine)
+      .groupBy("vec_id").agg(sort_array(collect_list(col("cid"))).as("cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = a.select(col("vec_id").as("id1"), col("cid"))
-    val r = a.select(col("vec_id").as("id2"), col("cid").as("cid2"))
+    val skinny = cells.select(col("vec_id"), col("cells"),
+      explode(col("cells")).as("cid"))
+    val l = skinny.select(col("vec_id").as("id1"), col("cells").as("cells1"),
+      col("cid"))
+    val r = skinny.select(col("vec_id").as("id2"), col("cells").as("cells2"),
+      col("cid").as("cid2"))
     val cands = l.join(r, col("cid") === col("cid2") && col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .filter(col("cid") === array_min(array_intersect(col("cells1"), col("cells2"))))
+      .select("id1", "id2")
     Sketches.reattachCosine(cands, embs, broadcastReattach)
   }
 }

@@ -175,11 +175,8 @@ object PerfProbe {
         .persist(StorageLevel.MEMORY_AND_DISK)
       x.count(); x
     }
-    time("ivf cell join + distinct") {
-      val l = a.select(col("vec_id").as("id1"), col("cid"))
-      val r = a.select(col("vec_id").as("id2"), col("cid").as("cid2"))
-      l.join(r, col("cid") === col("cid2") && col("id1") < col("id2"))
-        .select("id1", "id2").distinct().count()
+    time("ivf pairs (min-cell dedup)") {
+      graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = 5, refine = 1).count()
     }
     time("sim_ann_ivf end-to-end") {
       graft.SparkEntry.queries("sim_ann_ivf")(spark, sfDir).count()
