@@ -233,6 +233,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("lag\\(c#".r.findAllIn(p).size >= 7, p)
   }
 
+  test("sample_temperature never key-shuffles the corpus") {
+    val df = SparkEntry.queries("sample_temperature")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==").head
+    // thresholds arrive by broadcast; the documents scan streams into the
+    // join and the only hash exchanges carry per-language partial aggs
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+    assert(p.contains("partial_"), p) // two-phase rollup
+  }
+
+  test("text_surprisal: equi-join backbone, two-phase aggs, no cartesian") {
+    val p = planOf("text_surprisal")
+    // the only cross-shaped join allowed is the broadcast 1-row total
+    // (scalar attach); the vocab join itself must stay an equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("dedup_cross_source: LSH equi-join backbone, no nested loop on pairs") {
+    val p = planOf("dedup_cross_source")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("graph_triangles orients edges by degree, not id (bounded fan-out)") {
     val p = planOf("graph_triangles")
     // the orientation projection compares the two endpoint degrees —
