@@ -115,6 +115,33 @@ object Extra7 {
         .orderBy("source")
     },
 
+    // Deterministic per-group sampling — k docs per language, chosen by
+    // the k SMALLEST values of a deterministic integer hash (the
+    // order-statistics form of reservoir sampling, made reproducible:
+    // same corpus → same sample, any partitioning, any run). The inner
+    // mod keeps the multiply inside int64 for the FULL doc_id domain
+    // (the sample_split overflow lesson). Runs on the custom
+    // TopKPerGroupPlan bounded-heap operator — k rows of state per
+    // language, no per-group sort, no window — the same exec that
+    // serves ANN shortlisting; the oracle replays the selection as a
+    // rank window under the identical (h, doc_id) total order.
+    "sample_pergroup" -> Q(
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         ((doc_id % 2147483647) * 2654435761) % 1000000007 AS h
+        |  FROM read_parquet('{sfDir}/documents.parquet')),
+        |r AS (SELECT lang, doc_id, h,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |      FROM h)
+        |SELECT lang, doc_id, CAST(h AS BIGINT) AS h
+        |FROM r WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val h = T.documents(s, d).select(col("lang"), col("doc_id"),
+        (((col("doc_id") % 2147483647L) * 2654435761L) % 1000000007L).as("h"))
+      org.apache.spark.sql.graft.native.top_k_per_group(h, Seq("lang"),
+        Seq(col("h").asc, col("doc_id").asc), 10)
+        .orderBy("lang", "doc_id")
+    },
+
     // Cross-source contamination matrix — near-dup pairs BETWEEN
     // sources (the "how much of source A leaked into source B"
     // question every corpus audit asks; the diagonal is within-source

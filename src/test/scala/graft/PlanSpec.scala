@@ -233,6 +233,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("lag\\(c#".r.findAllIn(p).size >= 7, p)
   }
 
+  test("sample_pergroup runs on the bounded-heap operator, not a window") {
+    val p = planOf("sample_pergroup")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("sample_temperature never key-shuffles the corpus") {
     val df = SparkEntry.queries("sample_temperature")(spark, sf)
     df.collect()
