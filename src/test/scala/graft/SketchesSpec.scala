@@ -110,6 +110,18 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast(1L) == 1L && fast(24L) == 24L) // minima present, self-labeled
   }
 
+  test("edgeComponents on an empty pair graph returns an empty label table") {
+    import spark.implicits._
+    // A corpus with zero near-dups is the common case at high
+    // thresholds — keep_rep's singleton anti-join must then keep every
+    // document, which requires the label table to be empty, not to
+    // fail.
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(graft.ops.Components.edgeComponents(empty).count() == 0L)
+    assert(graft.ops.Components.edgeComponents(empty, localSolveMaxEdges = 0)
+      .count() == 0L)
+  }
+
   test("CacheScope.release frees every block a pipeline pinned (zero cached RDDs after)") {
     import spark.implicits._
     val scope = graft.ops.CacheScope.begin(spark)
