@@ -45,6 +45,7 @@ object Plans {
     "text_decontam" -> "decontamination: distinct benchmark grams broadcast into a LEFT SEMI probe of train grams",
     "pack_sequences" -> "sequence packing: running-sum window partitioned per source shard, never global",
     "scan_partition_prune" -> "Hive-layout partition pruning: the predicate becomes a PartitionFilter",
+    "scan_jdbc" -> "JDBC federation: key-range partitioned database scan (numPartitions=4)",
     "sample_temperature" -> "temperature sampling: broadcast thresholds, corpus never key-shuffled",
     "sample_pergroup" -> "deterministic per-group sample on the bounded-heap TopKPerGroup operator",
     "text_surprisal" -> "unigram surprisal: per-distinct-word ln, vocab equi-join, two-phase rollups",

@@ -233,6 +233,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("lag\\(c#".r.findAllIn(p).size >= 7, p)
   }
 
+  test("scan_jdbc reads the database as a partitioned scan, not one task") {
+    val p = planOf("scan_jdbc")
+    assert(p.contains("numPartitions=4"), p)
+  }
+
   test("sample_pergroup runs on the bounded-heap operator, not a window") {
     val p = planOf("sample_pergroup")
     assert(p.contains("TopKPerGroup"), p)
