@@ -61,6 +61,15 @@ object Q {
     df
   }
 
+  /** Per-JVM unique id (pid@host, sanitized) for staging paths and
+    * embedded-database names: stable within a process (a second pass
+    * overwrites rather than accretes), unique across processes so
+    * concurrent harness runs can't race on shared state.
+    */
+  def perJvmId: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+
   /** Hash-spread an input across the session's full shuffle parallelism,
     * keyed (not round-robin) so downstream keyed ops can reuse the
     * partitioning. The testdata parquet files are single-row-group, so

@@ -35,14 +35,20 @@ object PqIndex {
     * says array<float>). One tiny job per train/search entry point —
     * never per [[subvecs]] call, which runs several times per pipeline.
     */
-  private def embeddingDim(embs: DataFrame, m: Int): Int = {
-    val d = embs.select(size(col("embedding"))).limit(1).head().getInt(0)
-    require(d > 0 && d % m == 0,
-      s"PqIndex: m=$m must evenly divide the embedding dim d=$d " +
-        "(an uneven split would silently drop trailing dimensions " +
-        "from every vector in both training and search)")
-    d
-  }
+  private def embeddingDim(embs: DataFrame, m: Int): Int =
+    embs.select(size(col("embedding"))).limit(1).collect().headOption match {
+      case Some(row) =>
+        val d = row.getInt(0)
+        require(d > 0 && d % m == 0,
+          s"PqIndex: m=$m must evenly divide the embedding dim d=$d " +
+            "(an uneven split would silently drop trailing dimensions " +
+            "from every vector in both training and search)")
+        d
+      // Empty relation: no dimension to validate — return m (sub = 1)
+      // so every downstream stage is empty-in → empty-out, the
+      // pre-probe behavior.
+      case None => m
+    }
 
   /** (vec_id, j, sv): each vector exploded into its m subvectors.
     * `d` comes from [[embeddingDim]] — m | d already verified there.

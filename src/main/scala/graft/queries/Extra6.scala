@@ -23,11 +23,8 @@ object Extra6 {
     * so the second bench pass overwrites pass 1's staging rather than
     * accreting; stale dirs from dead JVMs are bounded by /tmp lifetime.
     */
-  private def stage(d: String, fmt: String): String = {
-    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-      .replaceAll("[^A-Za-z0-9]", "_")
-    s"/tmp/graft_fmt/$jvm/${fmt}_" + d.replaceAll("[^A-Za-z0-9]", "_")
-  }
+  private def stage(d: String, fmt: String): String =
+    s"/tmp/graft_fmt/${Q.perJvmId}/${fmt}_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
   val defs: Map[String, Q] = Map(
 

@@ -21,8 +21,13 @@ object Extra7 {
     // training runs, α = 0.5): per-language keep-rates ∝ sqrt(share),
     // so low-resource languages are up-weighted relative to their
     // corpus share. rate_l = min(1, (N/2)·sqrt(n_l) / (Σ√n · n_l)) —
-    // expected kept ≈ N/2 distributed ∝ √n_l. Admission is a
-    // deterministic integer hash of doc_id against the floor-quantized
+    // expected kept ≈ N/2 distributed ∝ √n_l. Determinism: each
+    // per-language sqrt is quantized ONCE to integer millionths and
+    // Σ√n is an EXACT BIGINT sum (a raw double sum would be
+    // merge-order-dependent — the non-associativity class the file
+    // header bans); the admission hash keeps its multiply inside int64
+    // for the full doc_id domain via the inner mod (the sample_split
+    // overflow lesson) and compares against the floor-quantized
     // millionths threshold: bit-identical in both engines, stable
     // under any partitioning (NOT rand() — resampling must be
     // reproducible). Scale shape: two tiny language-level aggregates
@@ -31,34 +36,37 @@ object Extra7 {
     "sample_temperature" -> Q(
       """WITH c AS (SELECT lang, COUNT(*) AS n
         |           FROM read_parquet('{sfDir}/documents.parquet') GROUP BY lang),
-        |t AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS s,
+        |t AS (SELECT CAST(SUM(CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS su,
         |             CAST(SUM(n) AS BIGINT) AS total FROM c),
         |r AS (SELECT lang, n,
         |        CAST(FLOOR(LEAST(
         |          (CAST(total AS DOUBLE) / 2) * sqrt(CAST(n AS DOUBLE))
-        |            / (s * CAST(n AS DOUBLE)), 1.0) * 1000000) AS BIGINT) AS thr
+        |            / ((CAST(su AS DOUBLE) / 1000000) * CAST(n AS DOUBLE)),
+        |          1.0) * 1000000) AS BIGINT) AS thr
         |      FROM c, t)
         |SELECT d.lang, CAST(MAX(r.n) AS BIGINT) AS n_docs, r.thr AS thr,
-        |       CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000000 < r.thr
+        |       CAST(SUM(CASE WHEN ((d.doc_id % 2147483647) * 2654435761) % 1000000 < r.thr
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM read_parquet('{sfDir}/documents.parquet') d
         |JOIN r ON d.lang = r.lang
         |GROUP BY d.lang, r.thr ORDER BY d.lang""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d).select("doc_id", "lang")
       val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-      val t = c.agg(sum(sqrt(col("n").cast("double"))).as("s"),
+      val t = c.agg(
+        sum(floor(sqrt(col("n").cast("double")) * 1000000).cast("long")).as("su"),
         sum("n").as("total"))
       val r = c.crossJoin(broadcast(t))
         .select(col("lang"), col("n"),
           expr("""cast(floor(least(
                  |  (cast(total as double) / 2) * sqrt(cast(n as double))
-                 |    / (s * cast(n as double)), 1.0D) * 1000000) as bigint)"""
+                 |    / ((cast(su as double) / 1000000) * cast(n as double)),
+                 |  1.0D) * 1000000) as bigint)"""
             .stripMargin).as("thr"))
       docs.join(broadcast(r), "lang")
         .groupBy("lang", "thr")
         .agg(max(col("n")).as("n_docs"),
-          sum(when((col("doc_id") * 2654435761L) % 1000000L < col("thr"), 1)
-            .otherwise(0)).as("n_kept"))
+          sum(when(((col("doc_id") % 2147483647L) * 2654435761L) % 1000000L
+            < col("thr"), 1).otherwise(0)).as("n_kept"))
         .select(col("lang"), col("n_docs"), col("thr"), col("n_kept"))
         .orderBy("lang")
     },
@@ -93,10 +101,17 @@ object Extra7 {
         |       CAST(SUM(CASE WHEN sum_u > n_tok * 9500000000 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_high
         |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // The exploded token stream feeds TWO branches (the frequency
+      // aggregation and the per-doc scoring join) whose exchange
+      // subtrees differ, so exchange reuse cannot dedup them — persist
+      // the skinny (source, doc_id, word) relation so the corpus is
+      // scanned and exploded once, the dedup_minhash single-scan
+      // discipline (CacheScope releases it).
       val w = T.documents(s, d)
         .select(col("source"), col("doc_id"),
           explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val f = w.groupBy("word").agg(count(lit(1)).as("nw"))
       val t = f.agg(sum("nw").as("ntot"))
       val u = f.crossJoin(broadcast(t))
@@ -131,17 +146,17 @@ object Extra7 {
         |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM read_parquet('{sfDir}/documents.parquet')
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-        .replaceAll("[^A-Za-z0-9]", "_")
       // per-JVM in-memory DB (the Extra6 staging-dir discipline): no
       // cross-process races, stable within a process so bench pass 2
       // overwrites pass 1.
-      val url = s"jdbc:derby:memory:graftscan_$jvm;create=true"
+      val url = s"jdbc:derby:memory:graftscan_${graft.Q.perJvmId};create=true"
       val docs = T.documents(s, d).select("doc_id", "lang", "n_chars")
       docs.write.mode("overwrite")
         .option("createTableColumnTypes", "lang VARCHAR(16)")
         .jdbc(url, "GRAFT_DOCS", new java.util.Properties())
-      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      // coalesce: max over an empty slice is null — bounds degrade to
+      // [0, 1) and the read returns empty instead of NPEing here.
+      val mx = docs.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
       s.read.format("jdbc")
         .option("url", url).option("dbtable", "GRAFT_DOCS")
         .option("partitionColumn", "doc_id")
