@@ -59,8 +59,14 @@ object AsOfJoin {
     // per-column carries would silently backfill a NULL value column from
     // an older row and let asof_ts disagree with the row the values came
     // from (not as-of semantics).
-    val r = right.select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
-      struct((rightVals.map(col) :+ col(rightTs).as("_asof_ts")): _*).as("_rrow"))
+    // NULL-ts right rows are dropped: "as of an unknown time" matches
+    // nothing, but the window sort would otherwise place them first
+    // (nulls-first asc) where they'd spuriously match every left row
+    // earlier than all real right rows. NULL-ts LEFT rows are masked to
+    // no-match after the scan (see below) for the same reason.
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+        struct((rightVals.map(col) :+ col(rightTs).as("_asof_ts")): _*).as("_rrow"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     // Right rows sort before left rows at equal timestamps (_side 0 < 1),
@@ -77,6 +83,10 @@ object AsOfJoin {
     val kept = unioned
       .withColumn("_rrow", last(col("_rrow"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+      // a left row with no event time has no "as of" point — no match
+      // (in the desc scan it sorts last and would otherwise carry the
+      // minimum-ts right row)
+      .withColumn("_rrow", when(col("_ts").isNull, lit(null)).otherwise(col("_rrow")))
     val bounded = toleranceMs match {
       case Some(t) =>
         // Too stale → no match at all: the entire attached row nulls out.
@@ -109,8 +119,11 @@ object AsOfJoin {
       .withColumn("_ts", col(leftTs))
       .select((col(key) +: leftCols.filterNot(_ == key).map(col)
         :+ col("_ts") :+ col("_side")): _*)
-    val r = right.select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
-      struct((rightVals.map(col) :+ col(rightTs).as("_asof_ts")): _*).as("_rrow"))
+    // NULL-ts rows: right ones dropped, left ones masked to no-match —
+    // same contract as the directional form above.
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+        struct((rightVals.map(col) :+ col(rightTs).as("_asof_ts")): _*).as("_rrow"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val wb = Window.partitionBy(key)
       .orderBy(col("_ts").asc, col("_side").asc, col("_rrow").asc)
@@ -127,8 +140,9 @@ object AsOfJoin {
       .withColumn("_fgap",
         unix_micros(col("_fw")("_asof_ts")) - unix_micros(col("_ts")))
       .withColumn("_rrow",
-        when(col("_bw").isNotNull &&
-          (col("_fw").isNull || col("_bgap") <= col("_fgap")), col("_bw"))
+        when(col("_ts").isNull, lit(null)) // unknown left time → no match
+          .when(col("_bw").isNotNull &&
+            (col("_fw").isNull || col("_bgap") <= col("_fgap")), col("_bw"))
           .otherwise(col("_fw")))
     picked.select((leftCols.map(col) ++ rightVals.map(v => col("_rrow")(v).as(v)) :+
       col("_rrow")("_asof_ts").as("asof_ts")): _*)

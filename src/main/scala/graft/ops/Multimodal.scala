@@ -81,6 +81,11 @@ object Multimodal {
     */
   def sampleFrames(withMeta: DataFrame, everyMs: Int): DataFrame =
     withMeta
+      // zero-duration media yields zero frames: the naive sequence(0,
+      // duration-1) is sequence(0, -1), which Spark rejects at runtime
+      // ("Illegal sequence boundaries") — one truncated clip would kill
+      // the whole job
+      .filter(col("meta.duration_ms") > 0)
       .withColumn("frame_ms", explode(
         sequence(lit(0), col("meta.duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("kind"), col("frame_ms"), col("bytes"))

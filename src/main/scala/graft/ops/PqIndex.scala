@@ -36,7 +36,8 @@ object PqIndex {
     * never per [[subvecs]] call, which runs several times per pipeline.
     */
   private def embeddingDim(embs: DataFrame, m: Int): Int =
-    embs.select(size(col("embedding"))).limit(1).collect().headOption match {
+    embs.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect().headOption match {
       case Some(row) =>
         val d = row.getInt(0)
         require(d > 0 && d % m == 0,
@@ -106,7 +107,10 @@ object PqIndex {
     val d = embeddingDim(embs, m) // one probe for the whole pipeline
     val cb = trainCodebooksD(embs, m, k, rounds, d)
     val codes = encodeD(graft.Q.spreadBy(embs, "vec_id"), cb, m, d)
-    val queries = embs.filter(col("vec_id") < nq)
+    // the nq LOWEST-id vectors, as documented — the same selection the
+    // codebook seed uses (a plain `vec_id < nq` filter silently returns
+    // nothing on corpora whose ids aren't 0-based contiguous)
+    val queries = embs.orderBy("vec_id").limit(nq)
     // query LUT: one row per (q, subspace, code) — nq·m·k rows, kilobytes
     val lut = subvecs(queries, m, d).select(col("vec_id").as("q_id"), col("j"), col("sv"))
       .join(broadcast(cb), "j")

@@ -29,24 +29,29 @@ object Sketches {
   /** Large prime < 2^31 for permutation arithmetic (fits 64-bit products). */
   private val P = 2147483647L
 
-  /** Deterministic permutation constants a_i (odd), b_i for MinHash. */
-  private def perm(i: Int): (Long, Long) =
-    ((2L * i + 1L) * 2654435761L % P, (i * 40503L + 2699L) % P)
-
   /** Word-`n`-gram shingles over a *pre-split* words column (array of
     * strings). Splitting must happen outside: a `split()` referenced
     * inside the lambda body re-executes per element → O(words²).
+    * Documents shorter than `n` words yield an EMPTY array: the naive
+    * `sequence(1, size - (n-1))` bound is the trap — Spark's
+    * sequence(1, 0) is the DESCENDING array [1, 0], whose i = 0 row
+    * makes element_at throw on every short document (fixtures never go
+    * below n words, so only a guard here keeps real corpora safe; the
+    * DuckDB oracles' range(1, 0) is already empty).
     */
   def shinglesOfWords(wordsCol: String, n: Int = 3): Column = {
     val parts = (0 until n)
       .map(j => s"element_at($wordsCol, i + $j)").mkString(", ")
     expr(
-      s"""array_distinct(transform(
-         |  sequence(1, greatest(size($wordsCol) - ${n - 1}, 0)),
-         |  i -> concat_ws(' ', $parts)))""".stripMargin)
+      s"""CASE WHEN size($wordsCol) >= $n THEN array_distinct(transform(
+         |  sequence(1, size($wordsCol) - ${n - 1}),
+         |  i -> concat_ws(' ', $parts)))
+         |ELSE array() END""".stripMargin)
   }
 
-  /** Word-`n`-gram shingles of a space-separated text column. */
+  /** Word-`n`-gram shingles of a space-separated text column. Short
+    * documents yield an empty array — see [[shinglesOfWords]].
+    */
   def shingles(textCol: String, n: Int = 3): Column = {
     // Bind the split once via a lambda argument (transform over a
     // 1-element wrapper), then build shingles from the bound words.
@@ -54,9 +59,10 @@ object Sketches {
       .map(j => s"element_at(w, i + $j)").mkString(", ")
     expr(
       s"""element_at(transform(array(split($textCol, ' ')), w ->
-         |  array_distinct(transform(
-         |    sequence(1, greatest(size(w) - ${n - 1}, 0)),
-         |    i -> concat_ws(' ', $parts)))), 1)""".stripMargin)
+         |  CASE WHEN size(w) >= $n THEN array_distinct(transform(
+         |    sequence(1, size(w) - ${n - 1}),
+         |    i -> concat_ws(' ', $parts)))
+         |  ELSE array() END), 1)""".stripMargin)
   }
 
   /** docs(doc_id, text) → (doc_id, hs array<long>): the distinct word-n-gram
@@ -112,6 +118,14 @@ object Sketches {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 64, bands: Int = 16, rows: Int = 4, shingleN: Int = 3): DataFrame = {
+    // bands·rows must tile the signature exactly: an over-long banding
+    // slices past the array, the trailing bands become [] for EVERY
+    // doc, and one empty-band bucket silently keys all n docs into a
+    // single quadratic join — a perf cliff with correct-looking output
+    // (exact verify still filters). Checked here where both are known;
+    // lshCandidates alone cannot see k.
+    require(bands * rows == k,
+      s"minhashNearDups: bands ($bands) * rows ($rows) must equal k ($k)")
     // The shingle relation feeds four plan branches (sig→band l/r, verify
     // a/b). Lambda-heavy subtrees defeat exchange-reuse canonicalization
     // across the self-join dedup, so materialize explicitly — the same
@@ -163,10 +177,13 @@ object Sketches {
     val l = banded.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("q"), col("qv"))
     val r = banded.select(col("doc_id").as("id2"), col("sh").as("sh2"),
       col("q").as("q2"), col("qv").as("qv2"))
+    // Filter BEFORE the distinct: hamming is a pure function of the
+    // pair, so pruning far pairs first shrinks the dedup exchange (the
+    // dominant shuffle under heavy band collisions) — same result set.
     l.join(r, col("q") === col("q2") && col("qv") === col("qv2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"), expr("bit_count(sh1 ^ sh2)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   private def cosineExprs(e1: String, e2: String): String = {

@@ -19,8 +19,15 @@ object TextAnalysis {
     "fr" -> Seq("scan", "spark", "join"),
     "zh" -> Seq("query", "small", "customer"))
 
+  /** SQL string literal with quotes doubled — marker/stopword lists are
+    * spliced into expr() text, so an apostrophe in a caller-supplied
+    * word must not terminate the literal (parse failure at best,
+    * expression injection at worst).
+    */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   private def score(textCol: String, markers: Seq[String]): Column = {
-    val arr = markers.map(m => s"'$m'").mkString(",")
+    val arr = markers.map(sqlLit).mkString(",")
     expr(s"size(array_intersect(array_distinct(split($textCol, ' ')), array($arr)))")
   }
 
@@ -51,7 +58,7 @@ object TextAnalysis {
       stopWords: Seq[String] = Seq("the", "a", "dup", "value", "table")): DataFrame = {
     val words = split(col(textCol), " ")
     val nWords = size(words)
-    val inList = stopWords.map(w => s"'$w'").mkString(",")
+    val inList = stopWords.map(sqlLit).mkString(",")
     val stopN = expr(s"size(filter(split($textCol, ' '), w -> w IN ($inList)))")
     val awl10 = (length(col(textCol)) - nWords + 1) * 10 / nWords // avg word len ×10
     val lengthPts = when(nWords >= 50 && nWords <= 2000, 40)

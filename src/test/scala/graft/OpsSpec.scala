@@ -121,6 +121,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("C", 500L, None)))       // no key match either way
   }
 
+  test("as-of join: NULL timestamps mean no match, never a spurious one") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // A null-ts quote would sort nulls-first in the backward scan and
+    // "match" every early trade; a null-ts trade would sort last in the
+    // forward scan and grab the earliest quote. Both must be no-match.
+    val quotes = Seq(("A", Option(ts(200)), 11.0), ("A", Option.empty[Timestamp], 99.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(("A", Option(ts(100)), 1L), ("A", Option(ts(300)), 2L),
+      ("A", Option.empty[Timestamp], 3L)).toDF("sym", "tts", "qty")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsOfJoin.joinAsOf(trades, quotes, "sym", "tts", "qts",
+        Seq("px"), direction = dir)
+        .collect()
+        .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .toMap
+      val want = dir match {
+        case "backward" => Map(1L -> None, 2L -> Some(11.0), 3L -> None)
+        case "forward" => Map(1L -> Some(11.0), 2L -> None, 3L -> None)
+        case _ => Map(1L -> Some(11.0), 2L -> Some(11.0), 3L -> None)
+      }
+      assert(got == want, s"direction=$dir")
+    }
+  }
+
   test("as-of join: duplicate right (key, ts) rows resolve to the greatest tuple in every direction") {
     import spark.implicits._
     def ts(s: Long) = new Timestamp(s * 1000L)
