@@ -51,22 +51,32 @@ object Bench {
     // pinned RDD blocks; the clearCache drops the plan-level entries so
     // nothing warns ("already cached") or silently substitutes. Both run
     // OUTSIDE the timed window.
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val scope = graft.ops.CacheScope.begin(spark)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      scope.release()
+      spark.sharedState.cacheManager.clearCache()
+      if (ok) dt else -1.0
+    }
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val scope = graft.ops.CacheScope.begin(spark)
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        scope.release()
-        spark.sharedState.cacheManager.clearCache()
-        name -> (if (ok) dt else -1.0)
-      }.toMap
+      SparkEntry.queries.keys.toSeq.sorted.map(n => n -> timeOne(n)).toMap
     val s1 = timeAll()
     val s2 = timeAll()
     def best(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
-    val results = s1.map { case (k, v) => k -> best(v, s2.getOrElse(k, -1.0)) }
+    val min2 = s1.map { case (k, v) => k -> best(v, s2.getOrElse(k, -1.0)) }
+    // Per-query min-of-N: N=2 for the sub-second bulk, N=3 above 1 s.
+    // The handful of >1 s queries carry nearly all of the
+    // round-over-round variance (driver runs on a contended box read
+    // 1.1-1.5x a clean pass), so one extra sample where it matters keeps
+    // BENCH_r{N} comparisons meaningful without re-running all 150.
+    val s3 = min2.filter { case (_, v) => v > 1.0 }.keys.toSeq.sorted
+      .map(n => n -> timeOne(n)).toMap
+    val results = min2.map { case (k, v) => k -> best(v, s3.getOrElse(k, -1.0)) }
     // Compact formatting (4 decimals, ~1.7 KB for 85 queries) and print
     // AFTER spark.stop(): round-1's full-double-repr line was clipped by
     // the driver's stdout tail window (BENCH_r01.json parsed: null).

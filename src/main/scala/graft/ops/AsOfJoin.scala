@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Orderable per Catalyst's ordering rules: atomics, arrays of
+    * orderable, structs of orderable — MapType (and UDTs without an
+    * ordering) are not.
+    */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType          => false
+      case ArrayType(e, _)     => orderable(e)
+      case StructType(fields)  => fields.forall(f => orderable(f.dataType))
+      case _: UserDefinedType[_] => false
+      case _                   => true
+    }
+  }
+
   /** @param left       rows to enrich
     * @param right      timeline to look up into
     * @param key        equi-key column name present on both sides
@@ -44,6 +59,18 @@ object AsOfJoin {
       direction: String = "backward"): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"joinAsOf: unknown direction '$direction'")
+    // The _rrow struct is part of the window SORT key (the deterministic
+    // same-timestamp tiebreak below), so every attached right column must
+    // be an orderable type — validated here with a named error instead of
+    // letting a MapType value column fail analysis deep inside the window.
+    rightVals.foreach { v =>
+      val dt = right.schema(v).dataType
+      require(orderable(dt),
+        s"joinAsOf: right value column '$v' has non-orderable type " +
+          s"${dt.simpleString} — it cannot join the deterministic " +
+          "same-timestamp tiebreak (drop it from rightVals or cast it " +
+          "to an orderable representation, e.g. map_entries)")
+    }
     if (direction == "nearest") {
       require(toleranceMs.isEmpty, "joinAsOf: tolerance+nearest not supported")
       return joinAsOfNearest(left, right, key, leftTs, rightTs, rightVals)

@@ -89,6 +89,14 @@ object Components {
     * the real cost on a small subgraph, so skipping the gate job is
     * worth one wasted bounded attempt in the rare too-large regime
     * (pipelines that KNOW they're big pass `localSolveMaxEdges = 0`).
+    * Retry cost of that abort on a real cluster: the marker failure is a
+    * TASK failure, so Spark re-runs the solving task
+    * `spark.task.maxFailures` (default 4) times — up to 4 bounded reads
+    * of ≤ `localSolveMaxEdges` edges each — before the job fails and the
+    * driver falls over. Acceptable for a rare regime (the reads are
+    * cache-local after attempt 1); clustered pipelines near the bound
+    * should pass `localSolveMaxEdges = 0` or gate on a driver-side count
+    * instead.
     * Union-find is symmetric per edge, so the solve consumes each
     * undirected pair once — the 2× symmetric relation is never built
     * on this path.
@@ -109,6 +117,9 @@ object Components {
         return labels
       } catch {
         case e: Throwable if isTooLarge(e) => () // fall through to iterative
+        case e: Throwable =>
+          ed.unpersist() // genuine failure: don't leak the cached blocks
+          throw e
       }
     }
     val nodes = ed.select(col("s").as("id"))

@@ -100,12 +100,19 @@ object Approx {
     // Ground-truth oracle (not a replay): DuckDB ranks ALL pairs by exact
     // cosine and takes the same (sim DESC, id1, id2) top-20. The hash gate
     // therefore asserts recall@20 = 100% — the strongest statement an ANN
-    // index can make. 28 OR-amplified 4-bit tables give miss-probability
-    // (1-p⁴)²⁸ < 1e-2 even at the weakest in-range sims (~0.44, p≈0.64);
-    // measured 20/20 at sf0.01 and sf0.1, with MARGIN: recall is already
-    // perfect one notch weaker at tables=23 (SketchesSpec headroom test),
-    // and candidate pairs are monotone in tables, so the declared config
-    // sits 5 tables above the edge rather than on it.
+    // index can make. The table count ADAPTS to corpus size, because the
+    // top-k oracle's demand does: on a small corpus the 20th-best pair
+    // sits further down the sim distribution (weakest in-range sim
+    // ~0.432 at N=500 vs ~0.44 at N=2000), and the (1-p^nbits)^tables
+    // miss bound needs more OR-tables at lower p — exactly where the
+    // extra tables cost nothing. Measured edges (AnnSweep, fine grid):
+    // sf0.001 needs 28, sf0.01 needs 23, sf0.1 needs ≤ 25 (parity-green);
+    // declared = edge + 2 tables of margin per tier: 30 when N ≤ 1000,
+    // 25 above (bench runs at sf0.1 → 25 — the round-6 flat 28 spent
+    // +0.5 s/bench buying margin only the small fixtures need). The
+    // SketchesSpec headroom test pins both tiers one notch weaker; the
+    // corpus count is one metadata-cheap job at plan build (the
+    // PqIndex.embeddingDim precedent).
     "sim_ann_lsh" -> Q(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |       CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS DECIMAL(18,4)) AS sim
@@ -114,7 +121,9 @@ object Approx {
         |ORDER BY sim DESC, id1, id2 LIMIT 20""".stripMargin) { (s, d) =>
       // ANN top-20 most-similar pairs via sign-LSH buckets — the scale
       // path replacing sim_cosine_topk's exact pair join.
-      Sketches.annPairs(T.embeddings(s, d), nbits = 4, tables = 28)
+      val embs = T.embeddings(s, d)
+      val tables = if (embs.count() <= 1000) 30 else 25
+      Sketches.annPairs(embs, nbits = 4, tables = tables)
         .orderBy(col("sim").desc, col("id1"), col("id2"))
         .limit(20)
     },
@@ -166,7 +175,8 @@ object Approx {
     // scoring, rerank touching only the shortlist).
     "sim_ann_pq" -> Q(
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
-        |           FROM read_parquet('{sfDir}/embeddings.parquet') WHERE vec_id < 8),
+        |           FROM read_parquet('{sfDir}/embeddings.parquet')
+        |           ORDER BY vec_id LIMIT 8),
         |p AS (SELECT q_id, x.vec_id AS nb_id,
         |        CAST(ROUND(list_cosine_similarity(qe, x.embedding), 4) AS DECIMAL(18,4)) AS sim
         |      FROM q JOIN read_parquet('{sfDir}/embeddings.parquet') x

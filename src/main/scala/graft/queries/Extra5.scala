@@ -385,7 +385,12 @@ object Extra5 {
     // fixtures max out at ~100). An unboundedly hot user belongs on the
     // streaming form, which carries O(1) state per user — parity with
     // this query is proven in StreamBatchParitySpec ("stateful vc*p
-    // counter").
+    // counter"). NOTE the guard is an EAGER aggregation at
+    // plan-construction time (merely building this query runs one
+    // counts-only Spark job — PlanSpec's all-queries loop and the
+    // PLANS.md dump pay it too); acceptable while plan builds are rare,
+    // and a deployment that constructs plans en masse would defer the
+    // check to first materialization.
     "seq_pattern" -> Q(
       """WITH s AS (
         |  SELECT user_id,
@@ -446,33 +451,36 @@ object Extra5 {
         (col("o_custkey") % 60).as("x"),
         ((col("o_custkey") + col("o_orderkey")) % 60).as("y"))
         .filter(col("x") =!= col("y"))
-      // The canonical edge list feeds the degree agg, the orientation
-      // join, and — via e — all three triangle-join sides (whose
-      // differing join keys defeat exchange reuse). Persist the skinny
-      // post-distinct relation so the orders scan + dedup shuffle run
-      // once, and the oriented list e so the three join sides read a
-      // materialized index (what a production triangle count builds
-      // first — measured best of the persist variants at sf0.1). The
-      // summary stats need no extra consumers at all: n_vertices =
-      // |deg| and n_edges = Σdegree div 2 fall out of the degree
-      // relation. CacheScope releases both persists.
       val eu = raw.select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Undirected degree of every vertex, joined back to both endpoints
-      // (keyed joins — the degree relation is |V|-sized and AQE
-      // broadcasts it when small; at scale it stays a co-partitioned
-      // hash join, never a driver collect).
-      val deg = eu.select(col("a").as("v")).union(eu.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-      val keyed = eu
-        .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
-      // Orient low-(degree, id) → high. a<b already holds, so the id
-      // tiebreak means "keep (a,b) unless b is strictly lower-degree".
-      val e = keyed.select(
-        when(col("db") < col("da"), col("b")).otherwise(col("a")).as("s"),
-        when(col("db") < col("da"), col("a")).otherwise(col("b")).as("t"))
+      // Melt each undirected edge into its two (endpoint, other) halves
+      // so the degree attach is ONE equi-join against the (v → dg)
+      // degree map instead of two endpoint joins (round 6 shipped two
+      // joins plus a persist of eu — pure fixed overhead on a small
+      // graph: within one plan Catalyst's ReusedExchange already shares
+      // the distinct shuffle between the melt's consumers, and only the
+      // oriented list e has multiple differently-keyed consumers worth a
+      // persist). The degree map is |V|-sized — AQE broadcasts it when
+      // small; at scale the attach stays a co-partitioned hash join on
+      // v, never a driver collect.
+      val melted = eu.select(explode(array(
+          struct(col("a").as("v"), col("b").as("o")),
+          struct(col("b").as("v"), col("a").as("o")))).as("h"))
+        .select(col("h.v").as("v"), col("h.o").as("o"))
+      val deg = melted.groupBy("v").agg(count(lit(1)).as("dg"))
+      // Orient low-(degree, id) → high: per edge keep the endpoint with
+      // the minimum (dg, v) as the source — min over the (dg, v, o)
+      // struct is a total order (degree ties fall back to the id, and
+      // a < b already holds), so the pick is deterministic and degree
+      // orientation caps out-degree at O(√m). The oriented list e feeds
+      // all three triangle-join sides (differing join keys defeat
+      // exchange reuse), so e is the one relation worth persisting —
+      // CacheScope releases it.
+      val e = melted.join(deg, "v")
+        .groupBy(least(col("v"), col("o")).as("a"),
+          greatest(col("v"), col("o")).as("b"))
+        .agg(min(struct(col("dg"), col("v"), col("o"))).as("m"))
+        .select(col("m.v").as("s"), col("m.o").as("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val e1 = e.select(col("s").as("s1"), col("t").as("t1"))
       val e2 = e.select(col("s").as("s2"), col("t").as("t2"))

@@ -43,7 +43,7 @@ object AnnSweep {
       // cands/all is the efficiency axis: an "ANN" config admitting ~all
       // pairs is brute force with extra steps — the sweep optimizes for
       // 20/20 recall (with a margin notch) at the LOWEST candidate frac.
-      for (nbits <- Seq(4, 6, 8); tables <- Seq(16, 24, 28, 32, 48, 64)) {
+      for (nbits <- Seq(4, 6, 8); tables <- Seq(16, 23, 24, 25, 26, 27, 28, 32)) {
         val t0 = System.nanoTime()
         val res = graft.ops.Sketches.annPairs(embs, nbits, tables)
         val (got, nc) = (top20(res), res.count())

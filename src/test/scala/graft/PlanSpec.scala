@@ -271,11 +271,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("graph_triangles orients edges by degree, not id (bounded fan-out)") {
     val p = planOf("graph_triangles")
-    // the orientation projection compares the two endpoint degrees —
-    // id-orientation (the unbounded-hub regression) would have no da/db
-    // comparison anywhere in the plan
-    assert("CASE WHEN \\(db#\\d+".r.findFirstIn(p).isDefined &&
-      p.contains("< da#"), p)
+    // the orientation picks each edge's source as the min-(dg, v, o)
+    // struct over the degree-attached melt — id-orientation (the
+    // unbounded-hub regression) would have no degree column feeding a
+    // min(struct(dg, ...)) aggregate anywhere in the plan
+    // (no no-cartesian pin here: the final 1-row stats × 1-row triangle
+    // count cross join is legitimate and its physical form is AQE's call)
+    assert("min\\(struct\\(dg".r.findFirstIn(p).isDefined, p)
   }
 
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {

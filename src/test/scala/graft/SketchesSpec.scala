@@ -189,19 +189,23 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ann gate headroom: recall@20 stays 20/20 at declared params AND one notch weaker") {
     // The sim_ann_lsh / sim_ann_ivf oracles assert ground-truth
-    // recall@20 = 100% at (nbits=4, tables=28) / (k=16, nProbe=5,
-    // refine=1). Those parameters were tuned on the fixtures — if a
-    // testdata regeneration ever pushed recall to the edge, the driver
-    // gate would fail as an opaque hash mismatch. This test keeps the
-    // gate self-diagnosing: recall must be perfect not just at the
-    // declared params but one notch WEAKER (tables=24, nProbe=4), i.e.
-    // the declared config has margin (candidate pairs are monotone in
-    // tables/nProbe, so declared ⊇ notch). Measured at r5 (AnnSweep):
-    // LSH needs tables≥23; IVF k=16/refine=1 is 20/20 at nProbe∈{4,5}
-    // on both SFs and 19/20 at nProbe=3 on sf0.01. k=16 (not 8) keeps
-    // the gate non-vacuous: nProbe ≥ k/2 would make any two probe sets
-    // overlap by pigeonhole — 100% candidate admission, recall
-    // guaranteed structurally instead of measured.
+    // recall@20 = 100% at (nbits=4, tables = 30 for N ≤ 1000 / 25
+    // above) / (k=16, nProbe=5, refine=1). Those parameters were tuned
+    // on the fixtures — if a testdata regeneration ever pushed recall to
+    // the edge, the driver gate would fail as an opaque hash mismatch.
+    // This test keeps the gate self-diagnosing: recall must be perfect
+    // not just at the declared params but one notch WEAKER, i.e. the
+    // declared config has margin (candidate pairs are monotone in
+    // tables/nProbe, so declared ⊇ notch). Measured edges (AnnSweep,
+    // fine grid, r7): sf0.001 needs tables=28, sf0.01 needs 23 — both
+    // LSH tiers are pinned below at (declared, edge): the small-corpus
+    // tier (30, 28) on sf0.001, the large-corpus tier (25, 23) on
+    // sf0.01 (whose N=500 also exercises it; sf0.1 is parity-green at
+    // 25). IVF k=16/refine=1 is 20/20 at nProbe∈{4,5} on both SFs and
+    // 19/20 at nProbe=3 on sf0.01. k=16 (not 8) keeps the gate
+    // non-vacuous: nProbe ≥ k/2 would make any two probe sets overlap
+    // by pigeonhole — 100% candidate admission, recall guaranteed
+    // structurally instead of measured.
     // If the weaker notch fails while the declared params pass, the
     // fixtures moved to the edge; retune via tools/AnnSweep.
     val d = "/root/testdata/sf0.01"
@@ -217,10 +221,30 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         round(org.apache.spark.sql.graft.native.cosine_similarity(
           col("e1"), col("e2")), 4).as("sim")))
     assert(truth.size == 20)
-    for ((tables, label) <- Seq(28 -> "declared", 24 -> "headroom")) {
+    for ((tables, label) <- Seq(25 -> "declared", 23 -> "headroom")) {
       val got = top20(Sketches.annPairs(embs, nbits = 4, tables = tables))
       assert((truth -- got).isEmpty,
         s"LSH $label (tables=$tables) missed ${(truth -- got).size}/20: ${truth -- got}")
+    }
+    // Small-corpus LSH tier on ITS binding fixture (sf0.001 is the one
+    // whose top-20 digs deepest into the sim distribution): declared 30,
+    // notch = the measured edge 28.
+    {
+      val d001 = "/root/testdata/sf0.001"
+      val e001 = graft.Tables.embeddings(spark, d001)
+        .select(col("vec_id"), col("embedding"))
+      val a001 = e001.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b001 = e001.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+      val truth001 = top20(a001.join(broadcast(b001), col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(org.apache.spark.sql.graft.native.cosine_similarity(
+            col("e1"), col("e2")), 4).as("sim")))
+      for ((tables, label) <- Seq(30 -> "declared", 28 -> "headroom")) {
+        val got = top20(Sketches.annPairs(
+          graft.Tables.embeddings(spark, d001), nbits = 4, tables = tables))
+        assert((truth001 -- got).isEmpty,
+          s"LSH small-tier $label (tables=$tables) missed ${(truth001 -- got).size}/20")
+      }
     }
     for ((nProbe, label) <- Seq(5 -> "declared", 4 -> "headroom")) {
       val got = top20(graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = nProbe,
