@@ -52,7 +52,10 @@ object Plans {
     "dedup_cross_source" -> "contamination matrix: LSH pair pipeline + source attach, no cartesian",
     "graph_triangles" -> "triangle counting: degree-oriented edge list, two-path join + closing-edge join",
     "sim_ann_pq" -> "PQ/ADC search: broadcast LUT join, exact-decimal ADC sum, bounded-heap shortlist, rerank only the shortlist",
-    "graph_pagerank" -> "PageRank: per-iteration rank-vector x edge-list join + keyed agg, all-integer arithmetic")
+    "graph_pagerank" -> "PageRank: per-iteration rank-vector x edge-list join + keyed agg, all-integer arithmetic",
+    "dedup_substring" -> "substring dedup: first-occurrence gram window (one shuffle), per-doc island merge",
+    "dedup_semantic" -> "SemDeDup: LSH candidate pairs + threshold + edges-only components + singleton anti-join",
+    "text_dockey" -> "URL canonicalization dedup keys: map-side parse/fold, one two-phase host rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -52,6 +52,20 @@ object AnnSweep {
           f"miss=${(truth -- got).size} cands=$nc%7d (${100.0 * nc / nAll}%5.1f%%) " +
           f"t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
+      // Threshold recall (the dedup_semantic gate shape): of the exact
+      // pairs at rounded cosine >= tau, how many appear among the LSH
+      // candidates? The gate needs 100% — sweep tau x tables for the edge.
+      for (tau <- Seq(0.40, 0.42, 0.44, 0.45); tables <- Seq(25, 30, 36, 48)) {
+        val exact = brute.filter(col("sim") >= tau)
+          .select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val cand = graft.ops.Sketches.annPairs(embs, 4, tables)
+          .filter(col("sim") >= tau)
+          .select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"THR tau=$tau tables=$tables%2d exact=${exact.size}%4d " +
+          f"miss=${(exact -- cand).size}%3d")
+      }
       // PQ: per-query top-10 EXACT match (rounded-sim total order) vs
       // brute force — containment demands the ADC shortlist covers the
       // true top-10 for every query.

@@ -269,6 +269,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), p)
   }
 
+  test("dedup_substring: one gram shuffle, no join back, no cartesian") {
+    val p = planOf("dedup_substring")
+    // first-occurrence is a window over the gram partition (min struct),
+    // not a groupBy+join-back; islands/rollup ride the doc_id exchange
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(gram#"), p)
+  }
+
+  test("dedup_semantic: LSH equi-join candidates, never all-pairs") {
+    val p = planOf("dedup_semantic")
+    // the candidate generator must stay a bucket equi-join — an
+    // all-pairs fallback would show a cartesian/NLJ over embeddings
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_dockey: map-side canonicalization, two-phase distinct agg") {
+    val p = planOf("text_dockey")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p) // never doc-keyed
+    assert(p.contains("partial_"), p) // distinct + count run two-phase
+  }
+
   test("graph_triangles orients edges by degree, not id (bounded fan-out)") {
     val p = planOf("graph_triangles")
     // the orientation picks each edge's source as the min-(dg, v, o)

@@ -213,6 +213,9 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     def top20(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.orderBy(col("sim").desc, col("id1"), col("id2")).limit(20)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def thrPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("sim") >= 0.44).select("id1", "id2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val e = embs.select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
     val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
@@ -245,12 +248,46 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert((truth001 -- got).isEmpty,
           s"LSH small-tier $label (tables=$tables) missed ${(truth001 -- got).size}/20")
       }
+      // dedup_semantic small tier on ITS binding fixture: τ=0.44
+      // recall-complete at declared 30 and notch 25 (measured clean).
+      val brute001 = a001.join(broadcast(b001), col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(org.apache.spark.sql.graft.native.cosine_similarity(
+            col("e1"), col("e2")), 4).as("sim"))
+      val exact001 = thrPairs(brute001)
+      assert(exact001.nonEmpty)
+      for ((tables, label) <- Seq(30 -> "declared", 25 -> "headroom")) {
+        val cand = thrPairs(Sketches.annPairs(
+          graft.Tables.embeddings(spark, d001), nbits = 4, tables = tables))
+        assert((exact001 -- cand).isEmpty,
+          s"semantic small-tier τ=0.44 $label (tables=$tables) missed ${(exact001 -- cand).size}")
+      }
     }
     for ((nProbe, label) <- Seq(5 -> "declared", 4 -> "headroom")) {
       val got = top20(graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = nProbe,
         refine = 1))
       assert((truth -- got).isEmpty,
         s"IVF $label (nProbe=$nProbe) missed ${(truth -- got).size}/20: ${truth -- got}")
+    }
+    // dedup_semantic's threshold-recall gate: every EXACT pair at
+    // rounded cosine ≥ 0.44 must appear among the LSH candidates, at
+    // the declared table tiers AND one notch weaker. Binding fixtures:
+    // sf0.001 for the small tier (declared 30, notch 25 — measured
+    // clean), sf0.01 for the large-tier params (declared 25, notch 23).
+    // τ = 0.42 would NOT pass at these table counts (AnnSweep THR grid)
+    // — 0.44 is a notch inside the reliable region, not on its edge.
+    {
+      val bruteT = a.join(broadcast(b), col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(org.apache.spark.sql.graft.native.cosine_similarity(
+            col("e1"), col("e2")), 4).as("sim"))
+      val exactT = thrPairs(bruteT)
+      assert(exactT.nonEmpty)
+      for ((tables, label) <- Seq(25 -> "declared", 23 -> "headroom")) {
+        val cand = thrPairs(Sketches.annPairs(embs, nbits = 4, tables = tables))
+        assert((exactT -- cand).isEmpty,
+          s"semantic τ=0.44 $label (tables=$tables) missed ${(exactT -- cand).size}")
+      }
     }
     // PQ (sim_ann_pq): per-query top-10 containment at the declared
     // shortlist (55% of N) AND one notch weaker (50% — measured perfect
