@@ -262,6 +262,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     UdpFlowSource.clear(key)
   }
 
+  test("crash recovery: ungraceful mid-batch failure, rotating sink stays exactly-once") {
+    // The last untested nf2pq operating-model property: a collector that
+    // DIES mid-write must neither duplicate nor lose flows after restart.
+    // Batch 2 is poisoned — a task-level throw while the ROTATED parquet
+    // sink (date/hour partitions) is mid-batch — so its file-sink
+    // transaction never commits; the restart replays the batch from the
+    // checkpointed source offsets and commits it exactly once.
+    import spark.implicits._
+    val key = "0.0.0.0:9959"
+    UdpFlowSource.clear(key)
+    val out = tmp("crash-out")
+    val ckpt = tmp("crash-ckpt")
+    def packets() = spark.readStream.format("udp-flows")
+      .option("port", "9959").option("socket", "false").load()
+    // batch 1: clean, committed
+    (0 until 3).foreach(i =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, "10.9.9.4", v5Packet(8000 + i)))
+    val q1 = FlowPipeline.startParquetSink(FlowPipeline.decode(packets()),
+      out, ckpt, interval = "1 seconds")
+    q1.processAllAvailable(); q1.stop()
+    // batch 2: the decode→sink pipeline crashes ON the second new row —
+    // after the task already processed 8003, i.e. genuinely mid-batch.
+    (3 until 5).foreach(i =>
+      UdpFlowSource.inject(key, 1700000000000000L + i, "10.9.9.4", v5Packet(8000 + i)))
+    val poisoned = FlowPipeline.decode(packets()).map { r =>
+      if (r.src_port == 8004)
+        throw new RuntimeException("poison: simulated mid-batch crash")
+      r
+    }
+    val q2 = FlowPipeline.startParquetSink(poisoned, out, ckpt, interval = "1 seconds")
+    val crashed =
+      try { q2.processAllAvailable(); false }
+      catch { case _: Throwable => true }
+    assert(crashed, "poisoned batch should have failed the query")
+    try q2.stop() catch { case _: Throwable => () }
+    // Mid-crash invariant: only batch 1 is visible through the sink's
+    // _spark_metadata commit log, even if the aborted task left orphan
+    // part-files in the partition directories.
+    val mid = spark.read.parquet(out).select("src_port")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(mid == Seq(8000, 8001, 8002), s"uncommitted batch leaked: $mid")
+    // restart the CLEAN pipeline on the same checkpoint: batch 2 replays
+    val q3 = FlowPipeline.startParquetSink(FlowPipeline.decode(packets()),
+      out, ckpt, interval = "1 seconds")
+    q3.processAllAvailable(); q3.stop()
+    val ports2 = spark.read.parquet(out).select("src_port")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ports2 == Seq(8000, 8001, 8002, 8003, 8004),
+      s"expected exactly-once recovery, got $ports2") // no dups, no loss
+    UdpFlowSource.clear(key)
+  }
+
   test("FlowApp: conf parses, assembles listeners→decode→parquet, rows land") {
     import graft.streaming.FlowApp
     val conf = FlowApp.parseConfig(
