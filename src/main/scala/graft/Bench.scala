@@ -62,8 +62,14 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       if (ok) dt else -1.0
     }
+    // Local-iteration filter (comma-separated names); the driver never
+    // sets it → full board.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.keys.toSeq.sorted.map(n => n -> timeOne(n)).toMap
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+        .map(n => n -> timeOne(n)).toMap
     val s1 = timeAll()
     val s2 = timeAll()
     def best(a: Double, b: Double): Double =

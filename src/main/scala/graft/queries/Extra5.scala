@@ -488,9 +488,14 @@ object Extra5 {
       val tri = e1.join(e2, col("t1") === col("s2"))
         .join(e3, col("s3") === col("s1") && col("t3") === col("t2"))
         .agg(count(lit(1)).as("n_triangles"))
-      val stats = deg.agg(
-        expr("cast(sum(dg) div 2 as bigint)").as("n_edges"),
-        count(lit(1)).as("n_vertices"))
+      // Summary stats from the PERSISTED oriented list (one agg over
+      // cached skinny rows), not from deg — the degree branch would
+      // recompute the orders scan + distinct for a count the edge list
+      // already carries. Orientation is a bijection on undirected edges,
+      // so |e| = n_edges and its endpoint set is the vertex set.
+      val stats = e.select(explode(array(col("s"), col("t"))).as("v"))
+        .agg(expr("cast(count(1) div 2 as bigint)").as("n_edges"),
+          countDistinct(col("v")).as("n_vertices"))
       stats.crossJoin(tri)
     },
 
