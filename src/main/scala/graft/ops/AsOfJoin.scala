@@ -22,18 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Orderable per Catalyst's ordering rules: atomics, arrays of
-    * orderable, structs of orderable — MapType (and UDTs without an
-    * ordering) are not.
+  /** Orderable per Catalyst's ordering rules (RowOrdering.isOrderable):
+    * atomics, arrays of orderable, structs of orderable; a UDT is
+    * ordered by its sqlType; MapType and CalendarIntervalType are not.
     */
   private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
-      case _: MapType          => false
-      case ArrayType(e, _)     => orderable(e)
-      case StructType(fields)  => fields.forall(f => orderable(f.dataType))
-      case _: UserDefinedType[_] => false
-      case _                   => true
+      case _: MapType              => false
+      case CalendarIntervalType    => false
+      case ArrayType(e, _)         => orderable(e)
+      case StructType(fields)      => fields.forall(f => orderable(f.dataType))
+      case u: UserDefinedType[_]   => orderable(u.sqlType)
+      case _                       => true
     }
   }
 

@@ -277,7 +277,13 @@ object Components {
       .toDF("id", "rep")
       .select(col("id").cast(idType).as("id"), col("rep").cast(idType).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    uf.count() // materialize before the caller unpersists the pair blocks
+    // Materialize before the caller unpersists the pair blocks; on ANY
+    // failure (too-large marker or genuine) release the half-built cache
+    // entry — otherwise a later equivalent plan would get the dead
+    // InMemoryRelation substituted in (the edgeComponents leak, one
+    // level deeper).
+    try uf.count()
+    catch { case e: Throwable => uf.unpersist(); throw e }
     uf
   }
 }

@@ -29,6 +29,21 @@ object Sketches {
   /** Large prime < 2^31 for permutation arithmetic (fits 64-bit products). */
   private val P = 2147483647L
 
+  /** Declared sign-LSH table tier for the ANN/semantic-dedup gates
+    * (sim_ann_lsh, dedup_semantic), keyed by corpus size: a top-k /
+    * low-τ oracle digs deeper into the similarity distribution on a
+    * SMALL corpus (the 20th-best pair sits at lower cosine → lower
+    * per-table collision probability), so small corpora need MORE
+    * OR-tables — exactly where they cost nothing. Values are measured
+    * edge + 2 margin per tier, where the edge is the max over BOTH
+    * gates (AnnSweep fine/THR grids, r7: small tier — top-20 edge 28 on
+    * sf0.001; large tier — τ=0.44 edge 24 on sf0.1, top-20 edge ≤ 23);
+    * SketchesSpec pins each tier on its binding fixture at declared AND
+    * one notch weaker. ONE definition so the two gated queries cannot
+    * diverge.
+    */
+  def lshTablesFor(corpusSize: Long): Int = if (corpusSize <= 1000) 30 else 26
+
   /** Word-`n`-gram shingles over a *pre-split* words column (array of
     * strings). Splitting must happen outside: a `split()` referenced
     * inside the lambda body re-executes per element → O(words²).

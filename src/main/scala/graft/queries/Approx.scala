@@ -105,14 +105,15 @@ object Approx {
     // sits further down the sim distribution (weakest in-range sim
     // ~0.432 at N=500 vs ~0.44 at N=2000), and the (1-p^nbits)^tables
     // miss bound needs more OR-tables at lower p — exactly where the
-    // extra tables cost nothing. Measured edges (AnnSweep, fine grid):
-    // sf0.001 needs 28, sf0.01 needs 23, sf0.1 needs ≤ 25 (parity-green);
-    // declared = edge + 2 tables of margin per tier: 30 when N ≤ 1000,
-    // 25 above (bench runs at sf0.1 → 25 — the round-6 flat 28 spent
-    // +0.5 s/bench buying margin only the small fixtures need). The
-    // SketchesSpec headroom test pins both tiers one notch weaker; the
-    // corpus count is one metadata-cheap job at plan build (the
-    // PqIndex.embeddingDim precedent).
+    // extra tables cost nothing. Tiering lives in Sketches.lshTablesFor
+    // (shared with dedup_semantic, whose τ=0.44 gate sets the large
+    // tier's edge): declared = measured edge + 2 per tier — 30 when
+    // N ≤ 1000 (top-20 edge 28 on sf0.001), 26 above (τ=0.44 edge 24 on
+    // sf0.1; top-20 needs only ≤ 23 there). The round-6 flat 28 spent
+    // +0.5 s/bench buying margin only the small fixtures need. The
+    // SketchesSpec headroom test pins each tier on its binding fixture
+    // one notch weaker; the corpus count is one metadata-cheap job at
+    // plan build (the PqIndex.embeddingDim precedent).
     "sim_ann_lsh" -> Q(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |       CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS DECIMAL(18,4)) AS sim
@@ -122,7 +123,7 @@ object Approx {
       // ANN top-20 most-similar pairs via sign-LSH buckets — the scale
       // path replacing sim_cosine_topk's exact pair join.
       val embs = T.embeddings(s, d)
-      val tables = if (embs.count() <= 1000) 30 else 25
+      val tables = Sketches.lshTablesFor(embs.count())
       Sketches.annPairs(embs, nbits = 4, tables = tables)
         .orderBy(col("sim").desc, col("id1"), col("id2"))
         .limit(20)

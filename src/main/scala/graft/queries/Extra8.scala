@@ -121,13 +121,15 @@ object Extra8 {
     // Ground-truth oracle: DuckDB computes the EXACT ≥ 0.44 pair set by
     // brute force and closes it transitively with a recursive CTE — a
     // hash fail means the LSH candidates dropped a true near-dup pair or
-    // the clustering mislabeled a component. τ = 0.44 with the
-    // sim_ann_lsh table tiers (30 when N ≤ 1000, 25 above) is measured
-    // recall-complete with margin on ALL THREE fixtures (AnnSweep THR
-    // grid, r7: zero misses at tables=25 everywhere at τ=0.44, while
-    // τ=0.42 still misses at 25/30 — the threshold sits a notch inside
-    // the reliable region; SketchesSpec pins the declared and notch
-    // configs). On real corpora SemDeDup runs at τ ≈ 0.95+, where
+    // the clustering mislabeled a component. τ = 0.44 with the shared
+    // Sketches.lshTablesFor tiers (30 when N ≤ 1000, 26 above) is
+    // measured recall-complete with margin on ALL THREE fixtures
+    // (AnnSweep THR grid, r7: the τ=0.44 edge is 24 tables on sf0.1 —
+    // it, not sim_ann_lsh's top-20, sets the large tier — while τ=0.42
+    // still misses at 30 — the threshold sits a notch inside the
+    // reliable region; SketchesSpec pins the declared and notch configs
+    // on each tier's binding fixture). On real corpora SemDeDup runs at
+    // τ ≈ 0.95+, where
     // per-table collision probability is far higher (p⁴ ≈ 0.65 vs 0.17
     // here) — the random-embedding fixture is the HARD case for the
     // candidate generator, not the easy one.
@@ -147,7 +149,7 @@ object Extra8 {
         |SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM lab GROUP BY rep ORDER BY keep_id""".stripMargin) { (s, d) =>
       val embs = T.embeddings(s, d)
-      val tables = if (embs.count() <= 1000) 30 else 25
+      val tables = graft.ops.Sketches.lshTablesFor(embs.count())
       val pairs = graft.ops.Sketches.annPairs(embs, nbits = 4, tables = tables)
         .filter(col("sim") >= 0.44)
         .select("id1", "id2")

@@ -54,17 +54,25 @@ object AnnSweep {
       }
       // Threshold recall (the dedup_semantic gate shape): of the exact
       // pairs at rounded cosine >= tau, how many appear among the LSH
-      // candidates? The gate needs 100% — sweep tau x tables for the edge.
-      for (tau <- Seq(0.40, 0.42, 0.44, 0.45); tables <- Seq(25, 30, 36, 48)) {
-        val exact = brute.filter(col("sim") >= tau)
+      // candidates? The gate needs 100% — sweep tau x tables for the
+      // edge. One brute collect per tau and ONE annPairs run per tables
+      // value (tau is only a post-filter on the exact side; candidate
+      // membership is tau-independent).
+      val taus = Seq(0.40, 0.42, 0.44, 0.45)
+      val exactByTau = taus.map { tau =>
+        tau -> brute.filter(col("sim") >= tau)
           .select("id1", "id2").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }.toMap
+      for (tables <- Seq(23, 24, 25, 26, 27, 28, 30, 36)) {
         val cand = graft.ops.Sketches.annPairs(embs, 4, tables)
-          .filter(col("sim") >= tau)
           .select("id1", "id2").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        println(f"THR tau=$tau tables=$tables%2d exact=${exact.size}%4d " +
-          f"miss=${(exact -- cand).size}%3d")
+        for (tau <- taus) {
+          val exact = exactByTau(tau)
+          println(f"THR tau=$tau tables=$tables%2d exact=${exact.size}%4d " +
+            f"miss=${(exact -- cand).size}%3d")
+        }
       }
       // PQ: per-query top-10 EXACT match (rounded-sim total order) vs
       // brute force — containment demands the ADC shortlist covers the
