@@ -55,7 +55,8 @@ object Plans {
     "graph_pagerank" -> "PageRank: per-iteration rank-vector x edge-list join + keyed agg, all-integer arithmetic",
     "dedup_substring" -> "substring dedup: first-occurrence gram window (one shuffle), per-doc island merge",
     "dedup_semantic" -> "SemDeDup: LSH candidate pairs + threshold + edges-only components + singleton anti-join",
-    "text_dockey" -> "URL canonicalization dedup keys: map-side parse/fold, one two-phase host rollup")
+    "text_dockey" -> "URL canonicalization dedup keys: map-side parse/fold, one two-phase host rollup",
+    "sample_quality" -> "per-doc importance sampling: map-side diversity score + hash admission, one source rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.{Q, Tables => T}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 additions (SURVEY §2.11g): the two dedup families the board
@@ -65,50 +64,10 @@ object Extra8 {
         |       COALESCE(agg.n_dup, 0) AS n_dup, COALESCE(agg.n_removed, 0) AS n_removed
         |FROM g0 LEFT JOIN agg ON g0.doc_id = agg.doc_id
         |ORDER BY 1""".stripMargin) { (s, d) =>
-      // spreadBy parallelizes the window build off the single-split
-      // input AND leaves a doc_id-keyed exchange both consumers (the
-      // gram explode and the final per-doc join) reuse.
-      val g0 = graft.Q.spreadBy(
-        T.documents(s, d)
-          .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("ws")),
-        "doc_id")
-        .select(col("doc_id"), greatest(size(col("ws")) - 9, lit(0)).as("n_win"),
-          col("ws"))
-      // sequence(1, 0) is the DESCENDING [1, 0] (the Sketches shingle
-      // trap) — the n_win >= 1 filter keeps the transform total.
-      val g = g0.filter(col("n_win") >= 1)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, n_win),
-            |  i -> struct(i as off, concat_ws(' ', slice(ws, i, 10)) as gram))"""
-            .stripMargin)).as("h"))
-        .select(col("doc_id"), col("h.off").as("off"), col("h.gram").as("gram"))
-      // Global first occurrence per gram: min (doc_id, off) struct over
-      // the gram partition — no join back, the window carries it.
-      val first = min(struct(col("doc_id"), col("off")))
-        .over(Window.partitionBy("gram"))
-      val dup = g.withColumn("first", first)
-        .filter(!(col("doc_id") === col("first.doc_id")
-          && col("off") === col("first.off")))
-        .select(col("doc_id"), col("off"), (col("off") + 9).as("fin"))
-      // Island merge of the duplicated [off, fin] intervals per doc:
-      // a window starts a new island iff it begins past everything seen.
-      val wDoc = Window.partitionBy("doc_id").orderBy("off")
-      val prevMax = max(col("fin"))
-        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
-      val isl = dup
-        .withColumn("is_new",
-          when(col("off") > coalesce(prevMax, lit(-1)), 1).otherwise(0))
-        .withColumn("isl_id", sum(col("is_new"))
-          .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val agg = isl.groupBy("doc_id", "isl_id")
-        .agg((max("fin") - min("off") + 1).as("covered"), count(lit(1)).as("n_occ"))
-        .groupBy("doc_id")
-        .agg(sum("n_occ").as("n_dup"), sum("covered").as("n_removed"))
-      g0.select(col("doc_id"), col("n_win").cast("long").as("n_win"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_win"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      // Pipeline lives in ops/SubstringDedup (randomized brute-force
+      // equivalence in OpsSpec, scaling probe in PerfProbe).
+      graft.ops.SubstringDedup
+        .windowDupStats(T.documents(s, d).select("doc_id", "text"), k = 10)
         .orderBy("doc_id")
     },
 
@@ -163,6 +122,55 @@ object Extra8 {
         .join(labels, col("vec_id") === col("id"), "left_anti")
         .select(col("vec_id").as("keep_id"), lit(1L).as("n_vecs"))
       clustered.union(singles).orderBy("keep_id")
+    },
+
+    // Per-document importance sampling by a quality signal — the soft
+    // quality-filtering step (FineWeb/Gopher shape: don't hard-drop
+    // mid-quality docs, admit them with probability ∝ score). Distinct
+    // mechanism from sample_temperature's per-GROUP rates: here every
+    // document carries its own continuous keep-probability — lexical
+    // diversity (distinct words / words) quantized to integer millionths
+    // — compared against the same overflow-safe deterministic doc_id
+    // hash (never rand(); resampling must be reproducible). Per source:
+    // docs, kept docs, total score mass, kept token count — the numbers
+    // a mixture planner needs. Scale shape: pure map-side scoring, one
+    // two-phase rollup on source; the corpus is scanned once and never
+    // key-shuffled.
+    "sample_quality" -> Q(
+      """WITH w AS (
+        |  SELECT source, doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM read_parquet('{sfDir}/documents.parquet')),
+        |s AS (
+        |  SELECT source, doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |         (CAST(len(list_distinct(ws)) AS BIGINT) * 1000000) // greatest(len(ws), 1) AS score
+        |  FROM w),
+        |k AS (
+        |  SELECT source, n_words, score,
+        |         CASE WHEN ((doc_id % 2147483647) * 2654435761) % 1000000 < score
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       CAST(SUM(score) AS BIGINT) AS sum_score,
+        |       CAST(SUM(kept * n_words) AS BIGINT) AS kept_words
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val scored = T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        .select(col("source"), col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          // distinct-word count cast BEFORE the multiply: int * 10^6
+          // overflows 32 bits past ~2k distinct words (the sample_split
+          // overflow lesson, applied to scores instead of hashes)
+          expr("""cast(size(array_distinct(ws)) as bigint) * 1000000
+                 |  div greatest(size(ws), 1)""".stripMargin).as("score"))
+      val kept = (((col("doc_id") % 2147483647L) * 2654435761L) % 1000000L) <
+        col("score")
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum("score").as("sum_score"),
+          sum(when(kept, col("n_words")).otherwise(0L)).as("kept_words"))
+        .orderBy("source")
     },
 
     // URL/host canonicalization dedup keys — the crawl-corpus document

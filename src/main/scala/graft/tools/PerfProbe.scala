@@ -220,6 +220,18 @@ object PerfProbe {
       }
       scope2b.release()
       spark.sharedState.cacheManager.clearCache()
+      // Substring-dedup core (dedup_substring's window + first-occurrence
+      // stages). The suffix-perturbed replicas are ADVERSARIAL here: a
+      // replica shares almost every 10-word window with its original, so
+      // at x8 nearly every window occurrence is a duplicate (gram groups
+      // of 8). Cost must stay ~linear regardless - the first-occurrence
+      // pass is one sort-window per gram partition, never a pair join.
+      val scope2c = graft.ops.CacheScope.begin(spark)
+      time(s"scale x$n: substring dedup stats") {
+        graft.ops.SubstringDedup.windowDupStats(docsX(n), k = 10).count()
+      }
+      scope2c.release()
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -320,4 +320,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
       again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
+
+  test("substring dedup stats match an in-memory brute force on random docs") {
+    // Beyond-fixture pin for dedup_substring's machinery: random word
+    // soup over a 5-word vocabulary (dense window collisions, docs both
+    // shorter and longer than the window), Spark pipeline vs a plain
+    // Scala reimplementation of the SEMANTICS — window set, global
+    // first-occurrence under (doc_id, off), per-doc interval union.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val k = 4
+    val docs = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(19) // 2..20 words; < k → zero windows
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    final case class Occ(doc: Long, off: Int, gram: String)
+    val occs = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (0 to ws.length - k).map(i => Occ(id, i + 1, ws.slice(i, i + k).mkString(" ")))
+    }
+    val firstByGram = occs.groupBy(_.gram)
+      .map { case (g, os) => g -> os.minBy(o => (o.doc, o.off)) }
+    val dups = occs.filterNot(o => firstByGram(o.gram) == o)
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val nWin = math.max(ws.length - (k - 1), 0)
+      val ivs = dups.filter(_.doc == id).map(o => (o.off, o.off + k - 1)).sortBy(_._1)
+      var covered = 0; var curS = 0; var curE = -1
+      for ((s0, e0) <- ivs) {
+        if (s0 > curE) { if (curE >= curS) covered += curE - curS + 1; curS = s0; curE = e0 }
+        else curE = math.max(curE, e0)
+      }
+      if (curE >= curS) covered += curE - curS + 1
+      (id, nWin.toLong, ivs.size.toLong, covered.toLong)
+    }.toSet
+    assert(dups.nonEmpty && expected.exists(_._4 > 0)) // non-vacuous fixture
+    val got = graft.ops.SubstringDedup
+      .windowDupStats(docs.toDF("doc_id", "text"), k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == docs.size) // one row per doc, including short ones
+    assert(got.toSet == expected)
+  }
 }

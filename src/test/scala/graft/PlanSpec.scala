@@ -291,6 +291,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), p) // distinct + count run two-phase
   }
 
+  test("sample_quality: map-side scoring, corpus never key-shuffled") {
+    val p = planOf("sample_quality")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p) // never doc-keyed
+    assert(p.contains("partial_"), p) // source rollup runs two-phase
+  }
+
   test("graph_triangles orients edges by degree, not id (bounded fan-out)") {
     val p = planOf("graph_triangles")
     // the orientation picks each edge's source as the min-(dg, v, o)
