@@ -91,12 +91,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // min_of documents the sampling discipline (VERDICT r6 task 6):
+    // every query is the min of 2 passes, queries over 1 s get a third.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_of":"2, 3 if >1s","queries":$qs,"sf":"$sfDir"}""")
     // The per-query line above outgrew the driver's stdout tail window at
     // 118 queries (the window keeps line TAILS, so the leading total was
     // clipped — BENCH_r01..r04 all parsed null). This final compact line
     // is what the driver actually gets to parse; it always fits.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"min_of":"2, 3 if >1s","sf":"$sfDir"}""")
     System.out.flush()
   }
 }
