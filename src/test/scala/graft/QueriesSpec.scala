@@ -70,7 +70,10 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // custom exec, sketches and text ops.
     val sample = Seq("agg_pricing", "agg_corr", "agg_median", "join_inner",
       "win_rank", "win_sessionize", "set_except_all", "dedup_exact",
-      "text_tfidf", "fn_ip", "stream_tumbling", "topk_group_exec")
+      "text_tfidf", "fn_ip", "stream_tumbling", "topk_group_exec",
+      // r7 machinery: gram window + island merge, LSH→components,
+      // URL canonicalization rollup, per-doc hash admission
+      "dedup_substring", "dedup_semantic", "text_dockey", "sample_quality")
     val s7 = spark.newSession()
     s7.conf.set("spark.sql.shuffle.partitions", "7")
     val diverged = sample.flatMap { name =>
