@@ -116,7 +116,14 @@ object FlowApp {
       config: Map[String, Map[String, String]]): Seq[StreamingQuery] = {
     import org.apache.spark.sql.functions.{col, date_format}
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val flows = FlowPipeline.decode(packetStream(spark, config))
+    // Collector mode: templates outlive the micro-batch (see
+    // FlowPipeline.TemplateStore) — scoped by the listener endpoints so
+    // two FlowApps on different ports keep separate template worlds.
+    val scope = "flowapp:" + config.collect {
+      case (name, kv) if name.startsWith("listener.") || name == "listener" =>
+        kv.getOrElse("port", "?")
+    }.toSeq.sorted.mkString(",")
+    val flows = FlowPipeline.decode(packetStream(spark, config), Some(scope))
     (config.get("parquet"), config.get("clickhouse")) match {
       case (Some(p), Some(c)) =>
         val dir = req(p, "parquet", "dir")

@@ -16,6 +16,48 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   */
 object FlowPipeline {
 
+  /** Cross-micro-batch template cache, the collector operating model a
+    * per-batch decode cannot reproduce: a v9/IPFIX exporter sends its
+    * templates PERIODICALLY (not per packet), so data records routinely
+    * arrive in a later micro-batch than the template that describes
+    * them. The reference keeps templates for the collector process
+    * lifetime; the Spark-native equivalent is this per-EXECUTOR store
+    * (exporters are sticky to a listener/partition, so an exporter's
+    * template and data packets decode on the same executor — the same
+    * co-location the reference's per-listener threads assume).
+    *
+    * Scoped by caller-chosen name so concurrent pipelines/tests cannot
+    * cross-pollinate. Honest recovery caveat (shared with the
+    * reference): after a JVM restart the store is empty, so replayed or
+    * fresh data records decode as data-before-template errors until the
+    * exporter re-sends its templates — which the protocol's periodic
+    * template refresh guarantees it will.
+    */
+  object TemplateStore {
+    private val scopes = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[
+        NetFlowCodec.TemplateKey, NetFlowCodec.Template]]()
+    private def cache(scope: String) =
+      scopes.computeIfAbsent(scope,
+        _ => new java.util.concurrent.ConcurrentHashMap())
+    def snapshot(scope: String): Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template] = {
+      import scala.jdk.CollectionConverters._
+      cache(scope).asScala.toMap
+    }
+    /** Write back templates that are new or changed vs `before` —
+      * templates are immutable values, so put is idempotent and
+      * last-writer-wins matches the protocol (a re-sent template
+      * replaces its predecessor).
+      */
+    def record(scope: String,
+        now: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template],
+        before: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template]): Unit =
+      now.foreach { case (k, v) =>
+        if (!before.get(k).contains(v)) cache(scope).put(k, v)
+      }
+    def clear(scope: String): Unit = { scopes.remove(scope); () }
+  }
+
   /** Decode raw packet rows (recv_ts, peer, payload) into flow records.
     *
     * Template state lives per executor-partition (the decoder threads an
@@ -24,6 +66,12 @@ object FlowPipeline {
     * so templates and their data records co-locate — same assumption the
     * reference's per-listener threads make. mapPartitions is justified
     * here (SURVEY §2.10: imperative per-partition logic with local state).
+    *
+    * `templateScope`: None (default) keeps the stage PURE — template
+    * state starts empty every batch/run, results are a function of the
+    * input alone (what the batch/replay tests rely on). Some(scope)
+    * additionally seeds from and writes back to [[TemplateStore]], the
+    * streaming-collector mode where templates outlive the micro-batch.
     */
   /** One decode pass extracting a view of each packet's DecodeResult —
     * shared by [[decode]] and [[decodeOptions]] so the template-threading
@@ -32,18 +80,23 @@ object FlowPipeline {
     * model, one source instantiation per query — but options sets are a
     * vanishingly small fraction of collector traffic.)
     */
-  private def decodeStage[T](packets: DataFrame)(
+  private def decodeStage[T](packets: DataFrame,
+      templateScope: Option[String])(
       extract: NetFlowCodec.DecodeResult => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     val spark = packets.sparkSession
     import spark.implicits._
+    val scope = templateScope // capture the string, not the outer class
     packets.select(col("recv_ts"), col("peer"), col("payload"))
       .as[(Timestamp, String, Array[Byte])]
       .mapPartitions { it =>
-        var templates = Map.empty[NetFlowCodec.TemplateKey, NetFlowCodec.Template]
+        var templates = scope.map(TemplateStore.snapshot)
+          .getOrElse(Map.empty[NetFlowCodec.TemplateKey, NetFlowCodec.Template])
         it.flatMap { case (recvTs, peer, payload) =>
           val us = recvTs.getTime * 1000L + (recvTs.getNanos / 1000L) % 1000L
           val res = NetFlowCodec.decode(peer, us, payload, templates)
+          if (res.templates ne templates)
+            scope.foreach(TemplateStore.record(_, res.templates, templates))
           templates = res.templates
           extract(res)
         }
@@ -51,21 +104,34 @@ object FlowPipeline {
   }
 
   def decode(packets: DataFrame): Dataset[FlowRecord] =
-    decodeStage(packets)(_.records)(Encoders.product[FlowRecord])
+    decode(packets, templateScope = None)
+
+  def decode(packets: DataFrame,
+      templateScope: Option[String]): Dataset[FlowRecord] =
+    decodeStage(packets, templateScope)(_.records)(Encoders.product[FlowRecord])
 
   /** Options metadata stream (sampling config, exporter stats) decoded
     * from the same raw packets — template state threaded per partition
     * exactly like [[decode]].
     */
   def decodeOptions(packets: DataFrame): Dataset[NetFlowCodec.OptionsRecord] =
-    decodeStage(packets)(_.options)(Encoders.product[NetFlowCodec.OptionsRecord])
+    decodeOptions(packets, templateScope = None)
+
+  def decodeOptions(packets: DataFrame,
+      templateScope: Option[String]): Dataset[NetFlowCodec.OptionsRecord] =
+    decodeStage(packets, templateScope)(_.options)(
+      Encoders.product[NetFlowCodec.OptionsRecord])
 
   /** Decode-error stream — malformed packets, data before template,
     * truncated sets. A collector that silently drops these is
     * undebuggable; route this to a metrics sink or log table.
     */
   def decodeErrors(packets: DataFrame): Dataset[String] =
-    decodeStage(packets)(_.errors)(Encoders.STRING)
+    decodeErrors(packets, templateScope = None)
+
+  def decodeErrors(packets: DataFrame,
+      templateScope: Option[String]): Dataset[String] =
+    decodeStage(packets, templateScope)(_.errors)(Encoders.STRING)
 
   /** De-sample flow counters with each exporter's advertised packet-
     * sampling interval (options IE 34 / IPFIX 305): bytes/packets × N for

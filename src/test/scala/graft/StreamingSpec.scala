@@ -394,6 +394,79 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     pkt.array()
   }
 
+  /** v9 packet carrying ONLY template 260 (srcPort 7/2B + octets 1/4B). */
+  private def v9TemplateOnly(): Array[Byte] = {
+    val t = ByteBuffer.allocate(4 + 4 + 8).order(ByteOrder.BIG_ENDIAN)
+    t.putShort(0).putShort(16.toShort).putShort(260.toShort).putShort(2.toShort)
+      .putShort(7.toShort).putShort(2.toShort).putShort(1.toShort).putShort(4.toShort)
+    val pkt = ByteBuffer.allocate(20 + 16).order(ByteOrder.BIG_ENDIAN)
+    pkt.putShort(9).putShort(1).putInt(1000).putInt(1700000000).putInt(1).putInt(7)
+    pkt.put(t.array())
+    pkt.array()
+  }
+
+  /** v9 packet carrying ONLY a data record for template 260. */
+  private def v9DataOnly(srcPort: Int, bytes: Int): Array[Byte] = {
+    val d = ByteBuffer.allocate(4 + 6).order(ByteOrder.BIG_ENDIAN)
+    d.putShort(260.toShort).putShort(10.toShort)
+      .putShort(srcPort.toShort).putInt(bytes)
+    val pkt = ByteBuffer.allocate(20 + 10).order(ByteOrder.BIG_ENDIAN)
+    pkt.putShort(9).putShort(1).putInt(1000).putInt(1700000000).putInt(2).putInt(7)
+    pkt.put(d.array())
+    pkt.array()
+  }
+
+  test("v9 templates persist across micro-batches (collector template cache)") {
+    // The collector operating model: exporters send templates
+    // PERIODICALLY, so a data record routinely lands in a later
+    // micro-batch than its template. Without the TemplateStore scope the
+    // per-batch decode must drop it (pure mode — the batch/replay
+    // contract); with the scope it decodes, matching a real collector's
+    // process-lifetime template cache.
+    import spark.implicits._
+    // One endpoint per query (the source forbids two streams on one
+    // endpoint — last-wins eviction): cached mode on 9958, pure on 9957,
+    // identical injections.
+    val scope = "test-tmpl:9958"
+    val kC = "0.0.0.0:9958"
+    val kP = "0.0.0.0:9957"
+    UdpFlowSource.clear(kC); UdpFlowSource.clear(kP)
+    FlowPipeline.TemplateStore.clear(scope)
+    def packets(port: Int) = spark.readStream.format("udp-flows")
+      .option("port", port.toString).option("socket", "false").load()
+    val cached = FlowPipeline.decode(packets(9958), Some(scope))
+      .toDF().writeStream.format("memory").queryName("tmpl_cached")
+      .outputMode(OutputMode.Append()).start()
+    val pure = FlowPipeline.decode(packets(9957))
+      .toDF().writeStream.format("memory").queryName("tmpl_pure")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: the template, alone
+      UdpFlowSource.inject(kC, 1700000000000000L, "10.9.9.3", v9TemplateOnly())
+      UdpFlowSource.inject(kP, 1700000000000000L, "10.9.9.3", v9TemplateOnly())
+      cached.processAllAvailable(); pure.processAllAvailable()
+      // batch 2: a data record for it — no template in this batch
+      UdpFlowSource.inject(kC, 1700000000000001L, "10.9.9.3", v9DataOnly(9100, 77))
+      UdpFlowSource.inject(kP, 1700000000000001L, "10.9.9.3", v9DataOnly(9100, 77))
+      cached.processAllAvailable(); pure.processAllAvailable()
+      val got = spark.sql("SELECT src_port, bytes FROM tmpl_cached").collect()
+      assert(got.length == 1 && got.head.getInt(0) == 9100
+        && got.head.getLong(1) == 77L,
+        s"cached decode missed the cross-batch data record: ${got.toSeq}")
+      // pure mode must NOT decode it (template state is per-batch) — and
+      // the error stream names the reason
+      assert(spark.sql("SELECT * FROM tmpl_pure").count() == 0)
+      val errs = FlowPipeline.decodeErrors(
+        Seq((new Timestamp(1700000000001L), "10.9.9.3", v9DataOnly(9100, 77)))
+          .toDF("recv_ts", "peer", "payload")).collect()
+      assert(errs.exists(_.toLowerCase.contains("template")), errs.toSeq)
+    } finally {
+      cached.stop(); pure.stop()
+      FlowPipeline.TemplateStore.clear(scope)
+      UdpFlowSource.clear(kC); UdpFlowSource.clear(kP)
+    }
+  }
+
   test("capstone: decode → de-sample → top-talkers via the custom TopK operator") {
     // The composed nf2pq-and-beyond pipeline in one pass: v9 packets
     // carrying sampling options, flows de-sampled per exporter, then the
