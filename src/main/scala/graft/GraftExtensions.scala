@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.bloomJoin.enabled=true turns it on). PreCBO = after the
     // operator-optimization fixed point, once per optimization.
     e.injectPreCBORule(org.apache.spark.sql.graft.BloomJoinRule)
+    // Automatic band join: abs(l - r) <= eps with no equi-key becomes a
+    // floor-bucket hash join (conf-gated off by default;
+    // spark.graft.bandJoin.enabled=true turns it on).
+    e.injectPreCBORule(org.apache.spark.sql.graft.BandJoinRule)
   }
 }

@@ -126,6 +126,15 @@ object native {
       spark.experimental.extraOptimizations = have :+ BloomJoinRule(spark)
   }
 
+  /** Attach [[BandJoinRule]] to a LIVE session — same bridge as
+    * [[attachBloomJoinRule]]. Idempotent.
+    */
+  def attachBandJoinRule(spark: SparkSession): Unit = native.synchronized {
+    val have = spark.experimental.extraOptimizations
+    if (!have.exists(_.isInstanceOf[BandJoinRule]))
+      spark.experimental.extraOptimizations = have :+ BandJoinRule(spark)
+  }
+
   /** Register `cosine_similarity` for SQL text in an existing session.
     * (New sessions can instead use `spark.sql.extensions=graft.GraftExtensions`.)
     */
