@@ -61,6 +61,20 @@ object Q {
     df
   }
 
+  /** The deterministic sampling-admission hash, shared by every
+    * hash-admission query (sample_temperature, sample_pergroup,
+    * sample_quality): Knuth multiplicative over the id with an INNER mod
+    * keeping the multiply inside int64 for the full long domain (the
+    * sample_split overflow lesson — a plain id·2654435761 wraps above
+    * ~3.5e9, silently in Spark, loudly in DuckDB). Oracles must inline
+    * the identical SQL text: `((id % 2147483647) * 2654435761) % m`.
+    * One definition on the Spark side so a future fix lands once.
+    */
+  def admissionHash(id: Column, m: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    ((id % lit(2147483647L)) * lit(2654435761L)) % lit(m)
+  }
+
   /** Per-JVM unique id (pid@host, sanitized) for staging paths and
     * embedded-database names: stable within a process (a second pass
     * overwrites rather than accretes), unique across processes so

@@ -65,7 +65,7 @@ object Extra7 {
       docs.join(broadcast(r), "lang")
         .groupBy("lang", "thr")
         .agg(max(col("n")).as("n_docs"),
-          sum(when(((col("doc_id") % 2147483647L) * 2654435761L) % 1000000L
+          sum(when(graft.Q.admissionHash(col("doc_id"), 1000000L)
             < col("thr"), 1).otherwise(0)).as("n_kept"))
         .select(col("lang"), col("n_docs"), col("thr"), col("n_kept"))
         .orderBy("lang")
@@ -190,7 +190,7 @@ object Extra7 {
         |SELECT lang, doc_id, CAST(h AS BIGINT) AS h
         |FROM r WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
       val h = T.documents(s, d).select(col("lang"), col("doc_id"),
-        (((col("doc_id") % 2147483647L) * 2654435761L) % 1000000007L).as("h"))
+        graft.Q.admissionHash(col("doc_id"), 1000000007L).as("h"))
       org.apache.spark.sql.graft.native.top_k_per_group(h, Seq("lang"),
         Seq(col("h").asc, col("doc_id").asc), 10)
         .orderBy("lang", "doc_id")

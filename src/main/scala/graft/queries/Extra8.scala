@@ -163,8 +163,7 @@ object Extra8 {
           // overflow lesson, applied to scores instead of hashes)
           expr("""cast(size(array_distinct(ws)) as bigint) * 1000000
                  |  div greatest(size(ws), 1)""".stripMargin).as("score"))
-      val kept = (((col("doc_id") % 2147483647L) * 2654435761L) % 1000000L) <
-        col("score")
+      val kept = graft.Q.admissionHash(col("doc_id"), 1000000L) < col("score")
       scored.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(kept, 1L).otherwise(0L)).as("n_kept"),

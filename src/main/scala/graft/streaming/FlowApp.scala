@@ -117,11 +117,14 @@ object FlowApp {
     import org.apache.spark.sql.functions.{col, date_format}
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // Collector mode: templates outlive the micro-batch (see
-    // FlowPipeline.TemplateStore) — scoped by the listener endpoints so
-    // two FlowApps on different ports keep separate template worlds.
+    // FlowPipeline.TemplateStore) — scoped by the listener ENDPOINTS
+    // (host:port with the SAME defaults UdpFlowSource applies —
+    // UdpFlowSource.scala:123) so two FlowApps on different endpoints
+    // keep separate template worlds and a defaulted option cannot make
+    // two distinct endpoints collide on one scope.
     val scope = "flowapp:" + config.collect {
       case (name, kv) if name.startsWith("listener.") || name == "listener" =>
-        kv.getOrElse("port", "?")
+        kv.getOrElse("host", "0.0.0.0") + ":" + kv.getOrElse("port", "2055")
     }.toSeq.sorted.mkString(",")
     val flows = FlowPipeline.decode(packetStream(spark, config), Some(scope))
     (config.get("parquet"), config.get("clickhouse")) match {

@@ -34,15 +34,30 @@ object FlowPipeline {
     * template refresh guarantees it will.
     */
   object TemplateStore {
-    private val scopes = new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.concurrent.ConcurrentHashMap[
-        NetFlowCodec.TemplateKey, NetFlowCodec.Template]]()
-    private def cache(scope: String) =
-      scopes.computeIfAbsent(scope,
-        _ => new java.util.concurrent.ConcurrentHashMap())
+    /** Per-scope entry cap — the spoof-flood bound. TemplateKey embeds
+      * the exporter's (unauthenticated, spoofable) UDP source address,
+      * so an attacker spraying template packets from random spoofed
+      * sources would otherwise grow executor heap without limit where a
+      * real collector expires templates. LRU past the cap: churned and
+      * spoofed exporters age out, live exporters stay hot (every lookup
+      * refreshes recency); 2¹⁶ entries ≈ a few MB, far above any
+      * legitimate exporter fleet.
+      */
+    @volatile var maxEntriesPerScope: Int = 1 << 16
+    private final class Lru extends java.util.LinkedHashMap[
+        NetFlowCodec.TemplateKey, NetFlowCodec.Template](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[NetFlowCodec.TemplateKey, NetFlowCodec.Template])
+          : Boolean = size() > maxEntriesPerScope
+    }
+    private val scopes =
+      new java.util.concurrent.ConcurrentHashMap[String, Lru]()
+    private def cache(scope: String): Lru =
+      scopes.computeIfAbsent(scope, _ => new Lru)
     def snapshot(scope: String): Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template] = {
       import scala.jdk.CollectionConverters._
-      cache(scope).asScala.toMap
+      val c = cache(scope)
+      c.synchronized { c.asScala.toMap }
     }
     /** Write back templates that are new or changed vs `before` —
       * templates are immutable values, so put is idempotent and
@@ -51,10 +66,12 @@ object FlowPipeline {
       */
     def record(scope: String,
         now: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template],
-        before: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template]): Unit =
+        before: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template]): Unit = {
+      val c = cache(scope)
       now.foreach { case (k, v) =>
-        if (!before.get(k).contains(v)) cache(scope).put(k, v)
+        if (!before.get(k).contains(v)) c.synchronized { c.put(k, v); () }
       }
+    }
     def clear(scope: String): Unit = { scopes.remove(scope); () }
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegralType, LongType, NumericType}
 
 /** Automatic band join (the second injected engine Rule next to
   * [[BloomJoinRule]]; the declared `join_band` query is the hand-built
@@ -30,21 +30,25 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   *
   * |x − y| ≤ ε ⟹ floor(x/ε) − floor(y/ε) ∈ {−1, 0, 1}, so the bucket
   * join admits a superset of the band and the kept predicate is exact —
-  * result-invisible by construction. The ±1 cover is sound as long as
-  * the double quotient `value / ε` is exact to better than one unit,
-  * i.e. |value|/ε ≪ 2⁵², far beyond any scale where a double band
-  * comparison is itself meaningful. At 100 TB the rewrite turns an
-  * O(n·m) comparison into a hash join with 3× replication of the small
-  * side only — the same trade the hand-built `join_band` makes.
+  * result-invisible by construction. Bucket arithmetic is TYPE-DRIVEN
+  * to keep that claim provable: integral columns with an integral ε use
+  * exact long floor division (no precision cliff at epoch-microsecond
+  * magnitudes); float/double columns use the double quotient, whose ±1
+  * cover is sound while |value|/ε ≪ 2⁵² — beyond which a double band
+  * comparison is itself meaningless. Decimal columns and integral
+  * columns under a fractional ε are DECLINED rather than risked. At
+  * 100 TB the rewrite turns an O(n·m) comparison into a hash join with
+  * 3× replication of the small side only — the same trade the
+  * hand-built `join_band` makes.
   *
   * Eligibility (conf-gated, `spark.graft.bandJoin.*`):
   *   - Inner join whose condition has NO cross-side equality conjunct
   *     (with one, Spark already hash-joins — and the rewrite's own
   *     equality makes the rule idempotent under fixed-point batches);
   *   - a conjunct of shape `abs(a − b) <= ε` / `< ε` (either argument
-  *     order, either comparison direction) with `a`, `b` numeric,
-  *     deterministic, and referencing opposite sides, ε a positive
-  *     finite numeric literal;
+  *     order, either comparison direction) with `a`, `b` deterministic,
+  *     referencing opposite sides, both integral (with integral ε) or
+  *     both float/double, ε a positive finite numeric literal;
   *   - the exploded side's size estimate is ≤ `maxExplodeSize` (the 3×
   *     replication must be affordable).
   */
@@ -95,8 +99,25 @@ case class BandJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  private def bucket(e: Expression, eps: Double): Expression =
+  /** Fractional-input bucket: floor of the double quotient. Sound while
+    * |value|/ε ≪ 2⁵² (see class doc) — which is why this path is gated
+    * to float/double inputs, where a band comparison beyond that
+    * magnitude is itself meaningless.
+    */
+  private def bucketDouble(e: Expression, eps: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(eps)))
+
+  /** Integral-input bucket: EXACT floor division in long arithmetic —
+    * (x − pmod(x, ε)) div ε (pmod's non-negative remainder turns the
+    * truncating div into a true floor for negatives). No rounding at
+    * any magnitude, so the {−1, 0, +1} cover is exact where the double
+    * path's soundness bound would not hold (e.g. epoch-microsecond
+    * columns).
+    */
+  private def bucketLong(e: Expression, epsL: Long): Expression = {
+    val x = Cast(e, LongType)
+    IntegralDivide(Subtract(x, Pmod(x, Literal(epsL))), Literal(epsL))
+  }
 
   private def rewrite(j: Join): Option[LogicalPlan] = {
     if (j.joinType != Inner || j.condition.isEmpty) return None
@@ -133,19 +154,36 @@ case class BandJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     })
     band.flatMap { case (leftExpr, rightExpr, eps) =>
+      // Type-driven bucket arithmetic: integral inputs with an integral
+      // ε get the EXACT long floor-div (no precision cliff at epoch
+      // magnitudes); float/double inputs get the double quotient (sound
+      // within the documented bound). Anything else — decimals, or
+      // integral columns under a fractional ε — is declined rather than
+      // risked: the rewrite must be provably result-invisible.
+      val integral = leftExpr.dataType.isInstanceOf[IntegralType] &&
+        rightExpr.dataType.isInstanceOf[IntegralType]
+      val fractional =
+        (leftExpr.dataType == DoubleType || leftExpr.dataType == FloatType) &&
+        (rightExpr.dataType == DoubleType || rightExpr.dataType == FloatType)
+      val bucketOf: Option[Expression => Expression] =
+        if (integral && eps >= 1 && eps == math.floor(eps) && eps <= Long.MaxValue.toDouble)
+          Some(bucketLong(_, eps.toLong))
+        else if (fractional) Some(bucketDouble(_, eps))
+        else None
       val explodeRight = j.right.stats.sizeInBytes <= j.left.stats.sizeInBytes
       val (small, smallExpr, bigExpr) =
         if (explodeRight) (j.right, rightExpr, leftExpr)
         else (j.left, leftExpr, rightExpr)
-      if (small.stats.sizeInBytes > maxExplodeBytes) None
+      if (small.stats.sizeInBytes > maxExplodeBytes || bucketOf.isEmpty) None
       else {
-        val bk = bucket(smallExpr, eps)
+        val bucket = bucketOf.get
+        val bk = bucket(smallExpr)
         val gen = Explode(CreateArray(Seq(
           Subtract(bk, Literal(1L)), bk, Add(bk, Literal(1L)))))
         val bkAttr = AttributeReference("graft_band_bucket", LongType)()
         val exploded = Generate(gen, unrequiredChildIndex = Nil, outer = false,
           qualifier = None, generatorOutput = Seq(bkAttr), child = small)
-        val newCond = And(j.condition.get, EqualTo(bucket(bigExpr, eps), bkAttr))
+        val newCond = And(j.condition.get, EqualTo(bucket(bigExpr), bkAttr))
         val newJoin =
           if (explodeRight) j.copy(right = exploded, condition = Some(newCond))
           else j.copy(left = exploded, condition = Some(newCond))

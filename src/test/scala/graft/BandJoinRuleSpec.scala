@@ -69,6 +69,37 @@ class BandJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("integral band columns bucket in EXACT long arithmetic (epoch-scale safe)") {
+    withRule("spark.graft.bandJoin.enabled" -> "true") {
+      import spark.implicits._
+      // epoch-microsecond magnitudes where the DOUBLE quotient rounds by
+      // far more than one bucket unit — the double path would drop true
+      // pairs here; the integral path must not.
+      val base = 1700000000000000L
+      val a = (0 until 40).map(i => base + i * 7L).toDF("ta")
+      val b = (0 until 40).map(i => base + i * 5L + 2L).toDF("tb")
+      def run(): Seq[org.apache.spark.sql.Row] =
+        a.join(b, abs(col("ta") - col("tb")) <= 3L)
+          .orderBy("ta", "tb").collect().toSeq
+      val on = run()
+      spark.conf.set("spark.graft.bandJoin.enabled", "false")
+      val off = run()
+      spark.conf.set("spark.graft.bandJoin.enabled", "true")
+      assert(on == off && on.nonEmpty, s"on=${on.size} off=${off.size}")
+      // and the rewrite actually fired via the exact integer bucket
+      val opt = a.join(b, abs(col("ta") - col("tb")) <= 3L)
+        .queryExecution.optimizedPlan.toString()
+      assert(opt.contains("graft_band_bucket"), opt)
+      assert(opt.contains("pmod("), opt) // the exact floor-div, not a double quotient
+      // decimal inputs are DECLINED (no provably exact bucket): untouched
+      val dec = a.select(col("ta").cast("decimal(22,2)").as("da"))
+        .join(b.select(col("tb").cast("decimal(22,2)").as("db")),
+          abs(col("da") - col("db")) <= lit(java.math.BigDecimal.valueOf(3)))
+        .queryExecution.optimizedPlan.toString()
+      assert(!dec.contains("graft_band_bucket"), dec)
+    }
+  }
+
   test("idempotent: re-optimization never stacks a second bucket join") {
     withRule("spark.graft.bandJoin.enabled" -> "true") {
       val optimized = plainBand().queryExecution.optimizedPlan
