@@ -70,7 +70,17 @@ object Bench {
       SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.contains(n)))
         .map(n => n -> timeOne(n)).toMap
+    // Ambient-load calibration (VERDICT r7 task 6): the driver's box is
+    // sometimes loaded, inflating every query uniformly (r7 measured a
+    // uniform 1.26× vs the builder's run on the identical tree). Re-time
+    // one fixed cheap query — the flagship agg_pricing — at bench start,
+    // middle, and end, and emit the three samples as calib_sec so a
+    // reader can noise-normalize the total against any other round's
+    // calibration. Calibration runs are NOT part of the total.
+    def calib(): Double = timeOne("agg_pricing")
+    val calib0 = calib()
     val s1 = timeAll()
+    val calib1 = calib()
     val s2 = timeAll()
     def best(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
@@ -83,6 +93,7 @@ object Bench {
     val s3 = min2.filter { case (_, v) => v > 1.0 }.keys.toSeq.sorted
       .map(n => n -> timeOne(n)).toMap
     val results = min2.map { case (k, v) => k -> best(v, s3.getOrElse(k, -1.0)) }
+    val calib2 = calib()
     // Compact formatting (4 decimals, ~1.7 KB for 85 queries) and print
     // AFTER spark.stop(): round-1's full-double-repr line was clipped by
     // the driver's stdout tail window (BENCH_r01.json parsed: null).
@@ -91,14 +102,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
+    // calib_sec: three timings of the fixed flagship probe (start /
+    // mid / end of the bench) for ambient-load normalization. "only":
+    // present IFF SPARK_GRAFT_ONLY filtered the board — a partial run
+    // must be distinguishable from a full one without inspecting
+    // n_queries (ADVICE r7).
+    val calibJson = s""","calib_sec":[${f(calib0)},${f(calib1)},${f(calib2)}]"""
+    val onlyJson = only.map(s =>
+      s""","only":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
     // min_of documents the sampling discipline (VERDICT r6 task 6):
     // every query is the min of 2 passes, queries over 1 s get a third.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_of":"2, 3 if >1s","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_of":"2, 3 if >1s"$calibJson$onlyJson,"queries":$qs,"sf":"$sfDir"}""")
     // The per-query line above outgrew the driver's stdout tail window at
     // 118 queries (the window keeps line TAILS, so the leading total was
     // clipped — BENCH_r01..r04 all parsed null). This final compact line
     // is what the driver actually gets to parse; it always fits.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"min_of":"2, 3 if >1s","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"min_of":"2, 3 if >1s"$calibJson$onlyJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

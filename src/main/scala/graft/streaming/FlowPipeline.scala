@@ -39,9 +39,14 @@ object FlowPipeline {
       * so an attacker spraying template packets from random spoofed
       * sources would otherwise grow executor heap without limit where a
       * real collector expires templates. LRU past the cap: churned and
-      * spoofed exporters age out, live exporters stay hot (every lookup
-      * refreshes recency); 2¹⁶ entries ≈ a few MB, far above any
-      * legitimate exporter fleet.
+      * spoofed exporters age out; [[record]] refreshes recency for EVERY
+      * template in the decoder's live map (not just changed ones), so a
+      * stable exporter stays hot as long as its partition sees any
+      * template activity at all. The residual window: a batch with ZERO
+      * template changes calls record() never, so recency then rests on
+      * the protocol's periodic template re-sends — which also re-warm
+      * the store after a genuine eviction. 2¹⁶ entries ≈ a few MB, far
+      * above any legitimate exporter fleet.
       */
     @volatile var maxEntriesPerScope: Int = 1 << 16
     private final class Lru extends java.util.LinkedHashMap[
@@ -59,18 +64,26 @@ object FlowPipeline {
       val c = cache(scope)
       c.synchronized { c.asScala.toMap }
     }
-    /** Write back templates that are new or changed vs `before` —
-      * templates are immutable values, so put is idempotent and
-      * last-writer-wins matches the protocol (a re-sent template
-      * replaces its predecessor).
+    /** Write back templates that are new or changed vs `before`, and
+      * refresh access-order recency for every key in `now` — without the
+      * unconditional touch, a stable live exporter's entry (inserted
+      * once, then read only via partition-start snapshots, which do not
+      * count as LRU access) would sit coldest and be evicted FIRST under
+      * the exact spoof flood the cap defends against. Templates are
+      * immutable values, so put is idempotent and last-writer-wins
+      * matches the protocol (a re-sent template replaces its
+      * predecessor).
       */
     def record(scope: String,
         now: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template],
         before: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template]): Unit = {
       val c = cache(scope)
-      now.foreach { case (k, v) =>
-        if (!before.get(k).contains(v)) c.synchronized { c.put(k, v); () }
-      }
+      // Unconditional put: counts as access in access-order mode (keeps
+      // live templates hot) AND re-inserts an entry evicted between the
+      // partition's snapshot and this write-back. `before` is kept in the
+      // signature for callers' delta reasoning but no longer gates the put.
+      c.synchronized { now.foreach { case (k, v) => c.put(k, v) } }
+      ()
     }
     def clear(scope: String): Unit = { scopes.remove(scope); () }
   }

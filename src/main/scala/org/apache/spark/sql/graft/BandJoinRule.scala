@@ -34,8 +34,12 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegralType, LongType
   * to keep that claim provable: integral columns with an integral ε use
   * exact long floor division (no precision cliff at epoch-microsecond
   * magnitudes); float/double columns use the double quotient, whose ±1
-  * cover is sound while |value|/ε ≪ 2⁵² — beyond which a double band
-  * comparison is itself meaningless. Decimal columns and integral
+  * cover is sound while |value|/ε < 2⁵² exactly — in the grey zone
+  * |value|/ε ∈ [2⁵², 2⁵³) the fp floor can err by MORE than one bucket
+  * (matching rows silently dropped) even though value spacing there
+  * (ulp ≤ 2ε) still leaves the band predicate itself discriminating;
+  * only past 2⁵³ is the comparison degenerate too. Decimal columns and
+  * integral
   * columns under a fractional ε are DECLINED rather than risked. At
   * 100 TB the rewrite turns an O(n·m) comparison into a hash join with
   * 3× replication of the small side only — the same trade the

@@ -191,7 +191,7 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The sim_ann_lsh / sim_ann_ivf / dedup_semantic oracles assert
     // ground-truth recall (top-20 / τ=0.44 threshold) = 100% at the
     // declared params: LSH tables = Sketches.lshTablesFor (30 when
-    // N ≤ 1000, 25 above), IVF (k=16, nProbe=5, refine=1). Those
+    // N ≤ 1000, 26 above), IVF (k=16, nProbe=5, refine=1). Those
     // parameters were tuned on the fixtures — if a testdata regeneration
     // ever pushed recall to the edge, the driver gate would fail as an
     // opaque hash mismatch. This test keeps the gate self-diagnosing:
