@@ -56,7 +56,8 @@ object Plans {
     "dedup_substring" -> "substring dedup: first-occurrence gram window (one shuffle), per-doc island merge",
     "dedup_semantic" -> "SemDeDup: LSH candidate pairs + threshold + edges-only components + singleton anti-join",
     "text_dockey" -> "URL canonicalization dedup keys: map-side parse/fold, one two-phase host rollup",
-    "sample_quality" -> "per-doc importance sampling: map-side diversity score + hash admission, one source rollup")
+    "sample_quality" -> "per-doc importance sampling: map-side diversity score + hash admission, one source rollup",
+    "dedup_incremental" -> "incremental dedup: asymmetric new-batch x corpus LSH band probe + 8-byte-digest exact layer; corpus never self-joined")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -25,6 +25,40 @@ object Q {
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 
+  /** Row count of a parquet file (or flat directory of .parquet files)
+    * from FOOTER METADATA only — a driver-side footer read, NOT a Spark
+    * job. Used by plan-SHAPE decisions that need the corpus size at plan
+    * build (the sign-LSH tier pick): `df.count()` there launches an
+    * eager job per constructed plan, which breaks the "constructing a
+    * query runs nothing" contract PlanSpec pins. Memoized per path —
+    * the fixtures are immutable for a session, and the bench constructs
+    * each query repeatedly. At cluster scale a million-file table would
+    * make a serial driver-side footer walk the bottleneck — there the
+    * catalog's statistics (ANALYZE TABLE) are the right source; this
+    * helper is the path-based equivalent for bare parquet dirs, and
+    * still strictly cheaper than the count() job it replaces (footers
+    * only, no task scheduling).
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long =
+    rowCountCache.computeIfAbsent(path, { p =>
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+        else Seq(hp)
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Admission guard for the declared quadratic correctness baselines
     * (sim_cosine_topk, dedup_embedding — all-pairs joins kept deliberately
     * as ground-truth references next to their ANN scale paths): refuse an

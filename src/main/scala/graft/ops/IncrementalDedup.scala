@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental (delta) dedup: classify a NEW batch of documents against a
+  * STANDING corpus — the operating mode a real 100 TB pipeline runs in.
+  * Nobody re-dedups the world per ingest; the daily batch is checked
+  * against the corpus, and only novel documents are admitted.
+  *
+  * Each new document is flagged:
+  *   - `exact` — its text equals some corpus document's text;
+  *   - `near`  — not exact, but word-n-gram Jaccard ≥ `threshold`
+  *     against some corpus document;
+  *   - `novel` — neither.
+  *
+  * Scale shape (the whole point of the operator):
+  *   - The CORPUS side is NEVER self-joined — LSH bands of the new batch
+  *     probe LSH bands of the corpus (an asymmetric equi-join), so cost
+  *     is O(|new| · collisions), not O(|corpus|²). With |new| ≪ |corpus|
+  *     (the daily-delta regime) the corpus-side band relation is the
+  *     thing you'd persist as a table between runs — it only needs
+  *     appending as the corpus grows.
+  *   - The exact layer joins on an 8-byte xxhash64 digest with a
+  *     text-equality residual inside the hash bucket: the shuffle key is
+  *     fixed-width, and full texts are only compared on digest collision.
+  *   - Near-dup candidates are skinny (new_id, corpus_id) pairs; the
+  *     exact-Jaccard verify re-attaches the hashed-shingle arrays to
+  *     candidates only (the [[Sketches.minhashNearDups]] discipline —
+  *     never all-pairs).
+  *
+  * Same recall contract as `dedup_minhash`: the LSH candidate generator
+  * is measured recall-complete at `threshold` = 0.5 on the fixtures
+  * (new×corpus pairs are a subset of the all-pairs set the symmetric
+  * sweep validated), and the driver's ground-truth oracle (exact
+  * inverted-index Jaccard restricted to new×corpus) would fail the hash
+  * gate if a true near-dup pair were ever dropped.
+  */
+object IncrementalDedup {
+
+  /** Per-document classification: (doc_id, source, cls) for every row of
+    * `fresh`, with cls ∈ {'exact', 'near', 'novel'} (priority: exact >
+    * near — an exact dup is trivially Jaccard-1 but reports as 'exact').
+    *
+    * `fresh` / `corpus`: (doc_id, text, source) with globally unique
+    * doc_ids across both sides.
+    */
+  def classify(fresh: DataFrame, corpus: DataFrame, threshold: Double = 0.5,
+      k: Int = 64, bands: Int = 16, rows: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    require(bands * rows == k,
+      s"IncrementalDedup: bands ($bands) * rows ($rows) must equal k ($k)")
+
+    // ---- exact layer: digest equi-join, text-equality residual.
+    val exactIds = fresh
+      .select(col("doc_id"), xxhash64(col("text")).as("h"), col("text"))
+      .join(corpus.select(xxhash64(col("text")).as("ch"),
+          col("text").as("ctext")),
+        col("h") === col("ch") && col("text") === col("ctext"), "left_semi")
+      .select(col("doc_id"))
+
+    // ---- near layer: asymmetric LSH probe. Both shingle relations are
+    // branched twice (banding + verify), so persist the skinny
+    // (doc_id, array<long>) rows once each.
+    val hf = Sketches.hashedShingles(fresh.select("doc_id", "text"), shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hc = Sketches.hashedShingles(corpus.select("doc_id", "text"), shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bf = Sketches.bandedSigs(Sketches.signaturesOf(hf, k), bands, rows)
+      .select(col("doc_id").as("fid"), col("band"), col("bsig"))
+    val bc = Sketches.bandedSigs(Sketches.signaturesOf(hc, k), bands, rows)
+      .select(col("doc_id").as("cid"), col("band").as("band2"),
+        col("bsig").as("bsig2"))
+    // new-batch bands probe corpus bands: the ONLY pair-generating join,
+    // and the corpus appears on exactly one side of it.
+    val cands = bf.join(bc,
+        col("band") === col("band2") && col("bsig") <=> col("bsig2"))
+      .select("fid", "cid").distinct()
+    val nearIds = cands
+      .join(hf.select(col("doc_id").as("fid"), col("hs").as("g1")), "fid")
+      .join(hc.select(col("doc_id").as("cid"), col("hs").as("g2")), "cid")
+      .filter(size(array_intersect(col("g1"), col("g2"))) >=
+        (size(col("g1")) + size(col("g2"))
+          - size(array_intersect(col("g1"), col("g2")))) * threshold)
+      .select(col("fid").as("doc_id")).distinct()
+
+    // ---- classification: two broadcast-sized flag attaches (the flagged
+    // subsets are ≤ |new batch|; at the daily-delta regime they are tiny
+    // next to the corpus — and they never touch the corpus again).
+    fresh.select(col("doc_id"), col("source"))
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("is_exact"), lit("exact"))
+          .when(col("is_near"), lit("near"))
+          .otherwise(lit("novel")).as("cls"))
+  }
+}

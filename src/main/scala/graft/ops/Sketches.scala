@@ -29,20 +29,81 @@ object Sketches {
   /** Large prime < 2^31 for permutation arithmetic (fits 64-bit products). */
   private val P = 2147483647L
 
-  /** Declared sign-LSH table tier for the ANN/semantic-dedup gates
-    * (sim_ann_lsh, dedup_semantic), keyed by corpus size: a top-k /
-    * low-τ oracle digs deeper into the similarity distribution on a
-    * SMALL corpus (the 20th-best pair sits at lower cosine → lower
-    * per-table collision probability), so small corpora need MORE
-    * OR-tables — exactly where they cost nothing. Values are measured
-    * edge + 2 margin per tier, where the edge is the max over BOTH
-    * gates (AnnSweep fine/THR grids, r7: small tier — top-20 edge 28 on
-    * sf0.001; large tier — τ=0.44 edge 24 on sf0.1, top-20 edge ≤ 23);
-    * SketchesSpec pins each tier on its binding fixture at declared AND
-    * one notch weaker. ONE definition so the two gated queries cannot
-    * diverge.
+  /** Joint sign-LSH parameterization (nbits, tables, probe) for a given
+    * corpus size — ONE shared definition so the gated queries
+    * (sim_ann_lsh, dedup_semantic) cannot diverge, and so the at-scale
+    * parameter law lives in code rather than a probe comment.
     */
-  def lshTablesFor(corpusSize: Long): Int = if (corpusSize <= 1000) 30 else 26
+  final case class LshParams(nbits: Int, tables: Int, probe: Int)
+
+  /** What the caller needs back from the candidate generator — the knob
+    * that sets the table count. A fixed-k top-k gate (sim_ann_lsh) only
+    * needs the k best pairs recalled; a threshold gate (dedup_semantic's
+    * τ=0.44) must recall EVERY in-range pair, and by the union bound its
+    * table demand grows with the in-range pair count — on sf0.1 that is
+    * 211 pairs vs top-20's 20, and the measured edges split 8 vs 14
+    * (AnnSweep r8). One enum, two measured tiers; both queries still
+    * share nbits/probe and the same sweep discipline.
+    */
+  sealed abstract class LshDemand
+  object LshDemand {
+    /** Recall a fixed-size top-k pair set (k ≈ 20). */
+    case object TopK extends LshDemand
+    /** Recall every pair above a similarity threshold. */
+    case object Threshold extends LshDemand
+  }
+
+  /** Per-bucket occupancy target for the nbits law. r8 sweep: at ≈32
+    * (nbits = 6 on the N ≤ 2000 fixtures) every gate is recall-complete
+    * at 40-55% fewer candidates than nbits = 4 — deeper buckets +
+    * multi-probe strictly dominate shallow buckets on the
+    * recall-per-candidate axis until the per-table collision rate for
+    * the weakest true pair collapses (nbits = 7 first misses appear,
+    * nbits = 8 cliff: 22 misses at 10 tables on sf0.1).
+    */
+  private val OccupancyTarget = 32.0
+
+  /** nbits ∝ log N — the bucket-occupancy law: bucket count 2^nbits
+    * grows with the corpus so expected occupancy N/2^nbits (the
+    * candidate-join fan-out driver) stays ≈ [[OccupancyTarget]]; fixed
+    * nbits at 8× data degraded probe cost to ~11× (PerfProbe). Floor of
+    * 6 bits — the swept optimum across all three fixtures; below it
+    * buckets are so coarse the join is near-brute (nbits = 4 multi-probe
+    * admits 77% of all pairs at 4 tables).
+    */
+  def lshBitsFor(corpusSize: Long): Int =
+    math.max(6, math.round(
+      math.log(corpusSize.toDouble / OccupancyTarget) / math.log(2.0)).toInt)
+
+  /** Declared sign-LSH parameters for the ANN/semantic-dedup gates,
+    * keyed by corpus size and recall demand.
+    *
+    *  - `nbits` follows the occupancy law above — both bench tiers
+    *    (N = 500 / 2000) land on 6; PerfProbe's 8× corpus gets the law
+    *    value (~9), holding occupancy ≈ the target.
+    *  - `probe = 1` (multi-probe): each vector additionally probes its
+    *    nbits one-bit-flip neighbor buckets, multiplying effective
+    *    tables by (1+nbits) for ONE table's worth of signature storage —
+    *    the standard recall-vs-tables trade. It is what lets nbits = 6
+    *    hold recall at 10-16 tables where r7's exact-probe nbits = 4
+    *    needed 26-30.
+    *  - `tables` = measured edge + 2 margin per (tier × demand), from
+    *    the AnnSweep r8 probe grid: TopK — edges 6 (sf0.001) / 8
+    *    (sf0.01) / 8 (sf0.1) → declared 10 everywhere; Threshold —
+    *    τ=0.44 edges 6 / 8 on the small fixtures → 10, and 14 on sf0.1
+    *    (211 in-range pairs vs 22 — the union-bound effect) → 16.
+    *
+    * SketchesSpec pins each (tier × demand) on its binding fixture at
+    * declared AND one notch weaker (candidates are monotone in tables
+    * at fixed nbits/probe).
+    */
+  def lshParamsFor(corpusSize: Long, demand: LshDemand): LshParams = {
+    val tables = demand match {
+      case LshDemand.TopK      => 10
+      case LshDemand.Threshold => if (corpusSize <= 1000) 10 else 16
+    }
+    LshParams(lshBitsFor(corpusSize), tables, probe = 1)
+  }
 
   /** Word-`n`-gram shingles over a *pre-split* words column (array of
     * strings). Splitting must happen outside: a `split()` referenced
@@ -103,17 +164,24 @@ object Sketches {
   def signatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
     signaturesOf(hashedShingles(docs, shingleN), k)
 
-  private def signaturesOf(hs: DataFrame, k: Int): DataFrame =
+  private[ops] def signaturesOf(hs: DataFrame, k: Int): DataFrame =
     hs.select(col("doc_id"),
       org.apache.spark.sql.graft.native.minhash_signature(col("hs"), k).as("sig"))
+
+  /** Banded signature relation (doc_id, band, bsig) — the LSH join key
+    * side shared by the self-join candidates here and the asymmetric
+    * new×corpus probe in [[IncrementalDedup]].
+    */
+  private[ops] def bandedSigs(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
+      .as(Seq("band", "bsig")))
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 band.
     * bands*rows must equal the signature length.
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
-    val banded = sigs.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
-      .as(Seq("band", "bsig")))
+    val banded = bandedSigs(sigs, bands, rows)
     // Self-equi-join on (band, bsig): the shuffle key is a hash — uniform,
     // no skew; quadratic blowup only inside a colliding band bucket.
     val l = banded.select(col("doc_id").as("id1"), col("band"), col("bsig"))
@@ -211,32 +279,59 @@ object Sketches {
   /** ANN via multi-table sign-LSH (OR-amplification): a pair is a
     * candidate if it collides in ANY of `tables` independent nbits-bit
     * buckets; cosine is computed only for candidates. Recall ≈
-    * 1-(1-p^nbits)^tables with p = 1-θ/π. Bucketing and cosine both run
-    * in native kernels. Returns (id1, id2, sim) distinct candidate pairs.
+    * 1-(1-P)^tables with per-table collision probability P = p^nbits
+    * (probe = 0) or P(hamming ≤ probe) (multi-probe), p = 1-θ/π.
+    * Bucketing and cosine both run in native kernels. Returns
+    * (id1, id2, sim) distinct candidate pairs.
+    *
+    * `probe = 1` (multi-probe LSH, Lv et al. 2007 shape): the LEFT side
+    * of the bucket self-join additionally emits each bucket's nbits
+    * one-bit-flip neighbors, so a pair is a candidate when its buckets
+    * differ by ≤ 1 bit in any table — (1+nbits)× the per-table recall
+    * reach for one table's signature storage. One probe direction
+    * suffices for pair mining: hamming(b₁,b₂) ≤ 1 ⟺ b₂ ∈ flips(b₁), so
+    * left-probes × right-anchors covers every unordered pair (the flip
+    * relation is symmetric; probing both sides would only duplicate
+    * candidates into the dedup).
     */
   def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16,
-      broadcastReattach: Boolean = true): DataFrame = {
+      broadcastReattach: Boolean = true, probe: Int = 0): DataFrame = {
     import org.apache.spark.sql.graft.{native => gn}
+    require(probe == 0 || probe == 1, s"probe ∈ {0, 1}, got $probe")
     // Skinny bucket relation (vec_id, tbl, bucket) feeds both sides of
-    // the self-join — persist so the embedding scan + 16-table LSH kernel
-    // run once instead of twice.
+    // the self-join — persist so the embedding scan + per-table LSH
+    // kernel run once instead of twice.
     val b = graft.Q.spreadBy(embs, "vec_id")
       .select(col("vec_id"), posexplode(
         gn.sign_lsh_buckets(col("embedding"), nbits, tables))
         .as(Seq("tbl", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = b.select(col("vec_id").as("id1"), col("tbl"), col("bucket"))
+    // Anchor bucket first (i = 0), then the nbits 1-bit flips: the probe
+    // set as a generated array so the explode stays pure Catalyst.
+    val probed =
+      if (probe == 0) b.select(col("vec_id").as("id1"), col("tbl"), col("bucket"))
+      else b.select(col("vec_id").as("id1"), col("tbl"),
+        explode(expr(
+          s"""transform(sequence(0, $nbits), i ->
+             |  CASE WHEN i = 0 THEN bucket
+             |       ELSE bucket ^ CAST(shiftleft(1, i - 1) AS BIGINT) END)"""
+            .stripMargin)).as("bucket"))
     val r = b.select(col("vec_id").as("id2"), col("tbl").as("tbl2"),
       col("bucket").as("bucket2"))
     // Dedup candidates on the skinny (id1, id2) pair first, then re-attach
     // embeddings — shuffling/deduping the float arrays themselves through
     // the bucket join is the expensive wrong plan.
-    val cands = l.join(r,
+    val cands = probed.join(r,
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
           && col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     reattachCosine(cands, embs, broadcastReattach)
   }
+
+  /** [[annPairs]] at the declared joint parameters for this corpus size. */
+  def annPairsAt(embs: DataFrame, p: LshParams,
+      broadcastReattach: Boolean = true): DataFrame =
+    annPairs(embs, p.nbits, p.tables, broadcastReattach, p.probe)
 
   /** Re-attach embeddings to skinny candidate pairs and score cosine.
     * `bcast = true`: two broadcast joins — right when the embedding table

@@ -103,17 +103,17 @@ object Approx {
     // index can make. The table count ADAPTS to corpus size, because the
     // top-k oracle's demand does: on a small corpus the 20th-best pair
     // sits further down the sim distribution (weakest in-range sim
-    // ~0.432 at N=500 vs ~0.44 at N=2000), and the (1-p^nbits)^tables
-    // miss bound needs more OR-tables at lower p — exactly where the
-    // extra tables cost nothing. Tiering lives in Sketches.lshTablesFor
-    // (shared with dedup_semantic, whose τ=0.44 gate sets the large
-    // tier's edge): declared = measured edge + 2 per tier — 30 when
-    // N ≤ 1000 (top-20 edge 28 on sf0.001), 26 above (τ=0.44 edge 24 on
-    // sf0.1; top-20 needs only ≤ 23 there). The round-6 flat 28 spent
-    // +0.5 s/bench buying margin only the small fixtures need. The
-    // SketchesSpec headroom test pins each tier on its binding fixture
-    // one notch weaker; the corpus count is one metadata-cheap job at
-    // plan build (the PqIndex.embeddingDim precedent).
+    // ~0.432 at N=500 vs ~0.44 at N=2000), and the (1-P)^tables miss
+    // bound needs more OR-tables at lower per-table collision P —
+    // exactly where the extra tables cost nothing. The joint
+    // parameterization (nbits by the occupancy law, multi-probe ±1-bit
+    // buckets, per-tier table counts at measured edge + 2) lives in
+    // Sketches.lshParamsFor, shared with dedup_semantic, whose τ=0.44
+    // gate sets the large tier's edge; the SketchesSpec headroom test
+    // pins each tier on its binding fixture at declared AND one notch
+    // weaker. The corpus count that picks the tier is a driver-side
+    // parquet FOOTER read (Q.parquetRowCount) — constructing this plan
+    // launches no Spark job (PlanSpec pins that).
     "sim_ann_lsh" -> Q(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |       CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS DECIMAL(18,4)) AS sim
@@ -123,8 +123,10 @@ object Approx {
       // ANN top-20 most-similar pairs via sign-LSH buckets — the scale
       // path replacing sim_cosine_topk's exact pair join.
       val embs = T.embeddings(s, d)
-      val tables = Sketches.lshTablesFor(embs.count())
-      Sketches.annPairs(embs, nbits = 4, tables = tables)
+      val params = Sketches.lshParamsFor(
+        graft.Q.parquetRowCount(s, s"$d/embeddings.parquet"),
+        Sketches.LshDemand.TopK)
+      Sketches.annPairsAt(embs, params)
         .orderBy(col("sim").desc, col("id1"), col("id2"))
         .limit(20)
     },

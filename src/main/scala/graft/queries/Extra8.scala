@@ -80,15 +80,16 @@ object Extra8 {
     // Ground-truth oracle: DuckDB computes the EXACT ≥ 0.44 pair set by
     // brute force and closes it transitively with a recursive CTE — a
     // hash fail means the LSH candidates dropped a true near-dup pair or
-    // the clustering mislabeled a component. τ = 0.44 with the shared
-    // Sketches.lshTablesFor tiers (30 when N ≤ 1000, 26 above) is
+    // the clustering mislabeled a component. τ = 0.44 at the shared
+    // joint parameters (Sketches.lshParamsFor: occupancy-law nbits,
+    // multi-probe ±1-bit buckets, per-tier swept table counts) is
     // measured recall-complete with margin on ALL THREE fixtures
-    // (AnnSweep THR grid, r7: the τ=0.44 edge is 24 tables on sf0.1 —
-    // it, not sim_ann_lsh's top-20, sets the large tier — while τ=0.42
-    // still misses at 30 — the threshold sits a notch inside the
-    // reliable region; SketchesSpec pins the declared and notch configs
-    // on each tier's binding fixture). On real corpora SemDeDup runs at
-    // τ ≈ 0.95+, where
+    // (AnnSweep PROBE grid, r8: the τ=0.44 gate on sf0.1 — not
+    // sim_ann_lsh's top-20 — binds the large tier, same as r7; τ=0.42
+    // missed even at 30 exact-probe tables in r7 — the threshold sits a
+    // notch inside the reliable region; SketchesSpec pins the declared
+    // and notch configs on each tier's binding fixture). On real
+    // corpora SemDeDup runs at τ ≈ 0.95+, where
     // per-table collision probability is far higher (p⁴ ≈ 0.65 vs 0.17
     // here) — the random-embedding fixture is the HARD case for the
     // candidate generator, not the easy one.
@@ -108,8 +109,12 @@ object Extra8 {
         |SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM lab GROUP BY rep ORDER BY keep_id""".stripMargin) { (s, d) =>
       val embs = T.embeddings(s, d)
-      val tables = graft.ops.Sketches.lshTablesFor(embs.count())
-      val pairs = graft.ops.Sketches.annPairs(embs, nbits = 4, tables = tables)
+      // Tier pick is a driver-side footer read — no Spark job at plan
+      // construction (the r7 verdict flagged the eager count() here).
+      val params = graft.ops.Sketches.lshParamsFor(
+        graft.Q.parquetRowCount(s, s"$d/embeddings.parquet"),
+        graft.ops.Sketches.LshDemand.Threshold)
+      val pairs = graft.ops.Sketches.annPairsAt(embs, params)
         .filter(col("sim") >= 0.44)
         .select("id1", "id2")
       // Components over the near-dup subgraph only (edges-only entry —
@@ -188,6 +193,64 @@ object Extra8 {
     // exactness argument). Scale shape: pure map-side synthesis +
     // canonicalization, one two-phase groupBy on host (the distinct
     // runs as a partial per-key dedup before the exchange).
+    // Incremental (delta) dedup — the operating mode a 100 TB pipeline
+    // actually runs in: a NEW batch (deterministic split: doc_id % 5 = 0,
+    // ~20%) is classified against the STANDING corpus (the other ~80%)
+    // as exact-dup / near-dup (word-3-gram Jaccard ≥ 0.5) / novel, then
+    // rolled up per source — the admission numbers an ingest pipeline
+    // reports per feed. The corpus is NEVER self-joined: new-batch LSH
+    // bands probe corpus bands asymmetrically, the exact layer is an
+    // 8-byte-digest join with text residual, and the Jaccard verify
+    // touches candidates only (ops/IncrementalDedup). Oracle = ground
+    // truth, not a replay: DuckDB computes exact text matches plus the
+    // exact inverted-index Jaccard pair set RESTRICTED to new×corpus and
+    // classifies identically — a hash fail means the asymmetric LSH
+    // probe dropped a true near-dup (same recall contract as
+    // dedup_minhash, whose symmetric sweep covers these pairs as a
+    // subset). OpsSpec additionally pins the asymmetry semantics:
+    // corpus-internal and batch-internal duplicates must NOT flag.
+    "dedup_incremental" -> Q(
+      """WITH d AS (SELECT doc_id, text, source
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |f AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |c AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |ex AS (SELECT DISTINCT f.doc_id FROM f JOIN c ON f.text = c.text),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |s AS (SELECT doc_id, list_distinct(
+        |        [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS sh
+        |      FROM w WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id AS fid, b.doc_id AS cid, count(*) AS inter_n
+        |      FROM e a JOIN e b ON a.g = b.g
+        |      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |      GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s),
+        |nr AS (SELECT DISTINCT fid AS doc_id
+        |       FROM p JOIN z z1 ON z1.doc_id = fid JOIN z z2 ON z2.doc_id = cid
+        |       WHERE inter_n >= (z1.n + z2.n - inter_n) * 0.5),
+        |cls AS (SELECT f.doc_id, f.source,
+        |          CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+        |               WHEN nr.doc_id IS NOT NULL THEN 'near'
+        |               ELSE 'novel' END AS cls
+        |        FROM f LEFT JOIN ex ON f.doc_id = ex.doc_id
+        |               LEFT JOIN nr ON f.doc_id = nr.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(coalesce(sum(CASE WHEN cls = 'exact' THEN 1 END), 0) AS BIGINT) AS n_exact,
+        |  CAST(coalesce(sum(CASE WHEN cls = 'near' THEN 1 END), 0) AS BIGINT) AS n_near,
+        |  CAST(coalesce(sum(CASE WHEN cls = 'novel' THEN 1 END), 0) AS BIGINT) AS n_novel
+        |FROM cls GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select("doc_id", "text", "source")
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      graft.ops.IncrementalDedup.classify(fresh, corpus, threshold = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("cls") === "exact", 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("cls") === "near", 1L).otherwise(0L)).as("n_near"),
+          sum(when(col("cls") === "novel", 1L).otherwise(0L)).as("n_novel"))
+        .orderBy("source")
+    },
+
     "text_dockey" -> Q(
       """WITH u AS (
         |  SELECT doc_id,

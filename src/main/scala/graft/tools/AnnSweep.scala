@@ -27,6 +27,17 @@ object AnnSweep {
         .select("id1", "id2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    // Section filter for quick re-sweeps (e.g. SWEEP_SECTIONS=lsh,thr).
+    val sections = sys.env.get("SWEEP_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("lsh", "thr", "pq", "ivf"))
+    def intsEnv(name: String, dflt: Seq[Int]): Seq[Int] =
+      sys.env.get(name).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
+    val nbitsGrid = intsEnv("SWEEP_NBITS", Seq(4, 6))
+    val tablesGrid = intsEnv("SWEEP_TABLES",
+      Seq(4, 6, 8, 10, 12, 14, 16, 20, 24, 26, 28, 30))
+    val probeGrid = intsEnv("SWEEP_PROBE", Seq(0, 1))
+
     dirs.foreach { d =>
       val embs = graft.Tables.embeddings(spark, d)
       // exact ranking via the brute pair join (fixtures are <= 2k vectors)
@@ -43,12 +54,13 @@ object AnnSweep {
       // cands/all is the efficiency axis: an "ANN" config admitting ~all
       // pairs is brute force with extra steps — the sweep optimizes for
       // 20/20 recall (with a margin notch) at the LOWEST candidate frac.
-      for (nbits <- Seq(4, 6, 8); tables <- Seq(16, 23, 24, 25, 26, 27, 28, 32)) {
+      if (sections("lsh"))
+      for (probe <- probeGrid; nbits <- nbitsGrid; tables <- tablesGrid) {
         val t0 = System.nanoTime()
-        val res = graft.ops.Sketches.annPairs(embs, nbits, tables)
+        val res = graft.ops.Sketches.annPairs(embs, nbits, tables, probe = probe)
         val (got, nc) = (top20(res), res.count())
         val rec = (truth & got).size
-        println(f"LSH nbits=$nbits tables=$tables%2d recall=$rec/20 " +
+        println(f"LSH probe=$probe nbits=$nbits tables=$tables%2d recall=$rec/20 " +
           f"miss=${(truth -- got).size} cands=$nc%7d (${100.0 * nc / nAll}%5.1f%%) " +
           f"t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
@@ -64,14 +76,16 @@ object AnnSweep {
           .select("id1", "id2").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }.toMap
-      for (tables <- Seq(23, 24, 25, 26, 27, 28, 30, 36)) {
-        val cand = graft.ops.Sketches.annPairs(embs, 4, tables)
+      if (sections("thr"))
+      for (probe <- probeGrid; nbits <- nbitsGrid; tables <- tablesGrid) {
+        val cand = graft.ops.Sketches.annPairs(embs, nbits, tables, probe = probe)
           .select("id1", "id2").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         for (tau <- taus) {
           val exact = exactByTau(tau)
-          println(f"THR tau=$tau tables=$tables%2d exact=${exact.size}%4d " +
-            f"miss=${(exact -- cand).size}%3d")
+          println(f"THR tau=$tau probe=$probe nbits=$nbits tables=$tables%2d " +
+            f"exact=${exact.size}%4d miss=${(exact -- cand).size}%3d " +
+            f"cands=${cand.size}%7d (${100.0 * cand.size / nAll}%5.1f%%)")
         }
       }
       // PQ: per-query top-10 EXACT match (rounded-sim total order) vs
@@ -91,6 +105,7 @@ object AnnSweep {
           .select("q_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       }
       val nCorpus = embs.count()
+      if (sections("pq"))
       for (m <- Seq(8, 16); sFrac <- Seq(10, 20, 30, 40, 50); rounds <- Seq(0, 1)) {
         val s = (nCorpus * sFrac / 100).toInt
         val t0 = System.nanoTime()
@@ -102,6 +117,7 @@ object AnnSweep {
           f"match=${(qtruth & got).size}/${qtruth.size} " +
           f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
+      if (sections("ivf"))
       for (k <- Seq(8, 16, 32, 64); nProbe <- Seq(2, 3, 4, 5); refine <- Seq(0, 1)) {
         val t0 = System.nanoTime()
         val res = graft.ops.IvfIndex.annPairs(embs, k, nProbe, refine = refine)

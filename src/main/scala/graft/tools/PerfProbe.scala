@@ -203,14 +203,20 @@ object PerfProbe {
       docs1.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
         concat(col("text"), lit(s" rep$i token$i")).as("text"))
     }.reduce(_ unionAll _)
+    val nEmbs1 = embs1.count()
     for (n <- Seq(1, 8)) {
-      // nbits scales with log(N): bucket occupancy (the join fan-out
-      // driver) stays constant only if bucket count grows with the
-      // corpus - 4 bits at 5k vectors, 7 bits at 40k keep ~300/bucket.
-      val nbits = if (n == 1) 4 else 7
+      // Parameters come from the SHARED law (lshParamsFor), not a probe-
+      // local constant: nbits grows with log(N) so bucket occupancy (the
+      // join fan-out driver) stays ~constant across the 8x scale-up —
+      // the probe exists to show that hold. (Earlier rounds hard-coded
+      // the nbits here and the law lived only in this comment; r8 moved
+      // it into Sketches.lshParamsFor where the gated queries use it.)
+      val params = graft.ops.Sketches.lshParamsFor(nEmbs1 * n,
+        graft.ops.Sketches.LshDemand.Threshold)
       val scope = graft.ops.CacheScope.begin(spark)
-      time(s"scale x$n: lsh annPairs (nbits=$nbits)") {
-        graft.ops.Sketches.annPairs(embsX(n), nbits = nbits, tables = 28).count()
+      time(s"scale x$n: lsh annPairs (nbits=${params.nbits} " +
+          s"tables=${params.tables} probe=${params.probe})") {
+        graft.ops.Sketches.annPairsAt(embsX(n), params).count()
       }
       scope.release()
       spark.sharedState.cacheManager.clearCache()
@@ -231,6 +237,30 @@ object PerfProbe {
         graft.ops.SubstringDedup.windowDupStats(docsX(n), k = 10).count()
       }
       scope2c.release()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    // Adversarial gram skew: ~30% of documents are the SAME long
+    // boilerplate — a 10-word sentence repeated 15 times, so its ~141
+    // overlapping windows cycle through just 10 distinct grams. At x8
+    // that is ~1.7M occurrences concentrated in 10 gram keys (vs ~0.6M
+    // benign windows spread over ~0.5M keys). The one-shuffle window
+    // path must sort every occurrence of a hot gram in a single window
+    // task (AQE cannot split window partitions); the two-phase path
+    // compresses each hot key to ONE row per map task in the partial
+    // aggregate, and its join-back is an equi-join AQE can skew-split.
+    val boiler = Array.fill(15)(
+      "boiler plate header repeated verbatim across many crawled pages today")
+      .mkString(" ")
+    def skewDocsX(n: Int) = docsX(n).select(col("doc_id"),
+      when(col("doc_id") % 10 < 3, lit(boiler))
+        .otherwise(col("text")).as("text"))
+    for (n <- Seq(1, 8); twoPhase <- Seq(false, true)) {
+      val scope = graft.ops.CacheScope.begin(spark)
+      time(s"skew x$n: substring dedup (twoPhase=$twoPhase)") {
+        graft.ops.SubstringDedup.windowDupStats(skewDocsX(n), k = 10,
+          twoPhaseFirst = twoPhase).count()
+      }
+      scope.release()
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -321,6 +321,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("incremental dedup: asymmetric semantics — corpus-/batch-internal dups never flag") {
+    import spark.implicits._
+    // Corpus: two identical docs (corpus-internal exact dup — must NOT
+    // leak into any fresh flag), one base doc for a near-dup.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, "twin twin text that repeats exactly in corpus", "s1"),
+      (2L, "twin twin text that repeats exactly in corpus", "s1"),
+      (3L, base, "s2")
+    ).toDF("doc_id", "text", "source")
+    val fresh = Seq(
+      // exact dup of corpus 1/2 (and trivially near — priority: exact)
+      (10L, "twin twin text that repeats exactly in corpus", "s1"),
+      // near-dup of corpus 3: one trailing word changed → word-3-gram
+      // Jaccard 5/7 ≈ 0.71 ≥ 0.5
+      (11L, "alpha beta gamma delta epsilon zeta eta omega", "s2"),
+      // novel
+      (12L, "completely unrelated words nothing shared here at all", "s3"),
+      // batch-internal exact pair — NOT in corpus → both novel
+      (13L, "fresh only duplicate pair lives in the new batch", "s3"),
+      (14L, "fresh only duplicate pair lives in the new batch", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.IncrementalDedup.classify(fresh, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(10L -> "exact", 11L -> "near", 12L -> "novel",
+      13L -> "novel", 14L -> "novel"), got.toString)
+  }
+
   test("substring dedup stats match an in-memory brute force on random docs") {
     // Beyond-fixture pin for dedup_substring's machinery: random word
     // soup over a 5-word vocabulary (dense window collisions, docs both
@@ -356,10 +384,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (id, nWin.toLong, ivs.size.toLong, covered.toLong)
     }.toSet
     assert(dups.nonEmpty && expected.exists(_._4 > 0)) // non-vacuous fixture
-    val got = graft.ops.SubstringDedup
-      .windowDupStats(docs.toDF("doc_id", "text"), k = k)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(got.length == docs.size) // one row per doc, including short ones
-    assert(got.toSet == expected)
+    // BOTH first-occurrence paths (one-shuffle window and skew-safe
+    // two-phase agg+join) must match the brute force — and so each other.
+    for (twoPhase <- Seq(false, true)) {
+      val got = graft.ops.SubstringDedup
+        .windowDupStats(docs.toDF("doc_id", "text"), k = k,
+          twoPhaseFirst = twoPhase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.length == docs.size, s"twoPhase=$twoPhase") // one row per doc
+      assert(got.toSet == expected, s"twoPhase=$twoPhase")
+    }
   }
 }

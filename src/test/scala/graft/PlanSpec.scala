@@ -326,6 +326,56 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pinned but not in the Plans dump set: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
+  test("sim_ann_lsh constructs without launching a Spark job (footer-based tier pick)") {
+    // r7 ran embs.count() at plan build to pick the LSH tier — an eager
+    // job per construction. r8 reads the corpus size from the parquet
+    // FOOTER on the driver (Q.parquetRowCount), so building the plan
+    // runs nothing of ours. The ONE job Spark itself may run is
+    // spark.read.parquet's schema inference (a footer-read task named
+    // "parquet at Tables.scala" — every query pays it identically);
+    // the pin is that NO OTHER job fires, i.e. no count/collect/scan.
+    // (dedup_semantic also lost its tier count(), but its Components
+    // stage still materializes the edge subgraph at build — the
+    // documented iterative-solve contract — so only the pure-LSH query
+    // can carry this pin.)
+    @volatile var jobs = 0
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        descs.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(js.stageInfos.headOption.map(_.name)).getOrElse("?"))
+      }
+    }
+    // Warm the memoized footer cache OUTSIDE the listened window? No —
+    // the footer read must itself be jobless, so listen from a COLD
+    // cache (fresh path string per test run is impossible — the cache is
+    // per-JVM — but the first PlanSpec construction of sim_ann_lsh in
+    // this suite happens here, before any planOf("sim_ann_lsh")).
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      // listener bus is async: give a submitted job time to surface
+      Thread.sleep(500)
+      val other = descs.toArray(Array.empty[String])
+        .filterNot(_.startsWith("parquet at Tables.scala"))
+      assert(other.isEmpty,
+        s"sim_ann_lsh construction launched non-schema job(s): " +
+          other.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("dedup_incremental never self-joins the corpus (no cartesian / nested loop)") {
+    val p = planOf("dedup_incremental")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Asymmetry is pinned BEHAVIORALLY in OpsSpec (corpus-internal and
+    // batch-internal duplicates must not flag); here we pin the plan
+    // shape: every pair-generating join is an equi-join.
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()

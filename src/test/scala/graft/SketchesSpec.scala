@@ -190,21 +190,23 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ann gate headroom: recall@20 stays 20/20 at declared params AND one notch weaker") {
     // The sim_ann_lsh / sim_ann_ivf / dedup_semantic oracles assert
     // ground-truth recall (top-20 / τ=0.44 threshold) = 100% at the
-    // declared params: LSH tables = Sketches.lshTablesFor (30 when
-    // N ≤ 1000, 26 above), IVF (k=16, nProbe=5, refine=1). Those
-    // parameters were tuned on the fixtures — if a testdata regeneration
-    // ever pushed recall to the edge, the driver gate would fail as an
-    // opaque hash mismatch. This test keeps the gate self-diagnosing:
-    // recall must be perfect not just at the declared params but one
-    // notch WEAKER (candidate pairs are monotone in tables/nProbe, so
-    // declared ⊇ notch). EACH LSH TIER IS PINNED ON ITS BINDING
-    // FIXTURE, including sf0.1 — the only fixture with N > 1000, i.e.
-    // the only one that exercises the large tier the bench runs at.
-    // Measured edges (AnnSweep fine/THR grids, r7): top-20 needs
-    // tables=28 (sf0.001) / 23 (sf0.01) / ≤23 (sf0.1); τ=0.44 needs 24
-    // on sf0.1 (23 misses 2 pairs) and ≤25 on the small fixtures, while
-    // τ=0.42 misses even at 30 (the threshold sits inside the reliable
-    // region, not on its edge). IVF k=16/refine=1 is
+    // declared params: LSH = Sketches.lshParamsFor (nbits=6 multi-probe,
+    // TopK 10 tables everywhere; Threshold 10 small tier / 16 large
+    // tier — AnnSweep r8 probe grid), IVF (k=16, nProbe=5, refine=1).
+    // Those parameters were tuned on the fixtures — if a testdata
+    // regeneration ever pushed recall to the edge, the driver gate would
+    // fail as an opaque hash mismatch. This test keeps the gate
+    // self-diagnosing: recall must be perfect not just at the declared
+    // params but one notch WEAKER (candidate pairs are monotone in
+    // tables at fixed nbits/probe, so declared ⊇ notch). EACH
+    // (TIER × DEMAND) IS PINNED ON EVERY FIXTURE, including sf0.1 — the
+    // only fixture with N > 1000, i.e. the only one that exercises the
+    // large tier the bench runs at. Measured edges (AnnSweep r8,
+    // nbits=6/probe=1): top-20 — 6 (sf0.001) / 8 (sf0.01) / 8 (sf0.1);
+    // τ=0.44 — 6 / 8 / 14 (211 in-range pairs on sf0.1 vs 22 — the
+    // union-bound effect). r7's τ=0.42 margin analysis (missed even at
+    // 30 exact-probe tables) still applies: the threshold sits inside
+    // the reliable region, not on its edge. IVF k=16/refine=1 is
     // 20/20 at nProbe∈{4,5} on both SFs and 19/20 at nProbe=3 on
     // sf0.01. k=16 (not 8) keeps the gate non-vacuous: nProbe ≥ k/2
     // would make any two probe sets overlap by pigeonhole — recall
@@ -232,31 +234,43 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
           round(org.apache.spark.sql.graft.native.cosine_similarity(
             col("e1"), col("e2")), 4).as("sim")))
     }
-    // (fixture, declared tables, notch tables). sf0.001/sf0.01 run the
-    // small tier (notch = that fixture's measured top-20 edge); sf0.1
-    // is the large tier's binding fixture.
-    val tiers = Seq(
-      ("/root/testdata/sf0.001", 30, 28),
-      ("/root/testdata/sf0.01", 30, 23),
-      ("/root/testdata/sf0.1", 26, 24))
-    val brutes = tiers.map { case (dir, _, _) => dir -> bruteFor(dir) }.toMap
-    for ((dir, declared, notch) <- tiers) {
+    // Each fixture pins BOTH demands of the shared helper at the
+    // declared params and one notch (-2 tables) weaker: TopK (the
+    // sim_ann_lsh gate — declared 10 everywhere; edges 6/8/8) and
+    // Threshold (the dedup_semantic τ=0.44 gate — declared 10 small
+    // tier / 16 large tier; edges 6/8/14 — the 211-pair union-bound
+    // effect on sf0.1). All at the shared nbits=6/probe=1 (AnnSweep r8
+    // probe grid). The nbits law itself is pinned so a law edit cannot
+    // silently shift the gates off their swept tier.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val brutes = dirs.map(dir => dir -> bruteFor(dir)).toMap
+    for (dir <- dirs) {
+      val embs = graft.Tables.embeddings(spark, dir)
+      val n = embs.count()
+      assert(Sketches.lshBitsFor(n) == 6, s"$dir nbits law drifted")
       val brute = brutes(dir)
       val truthD = top20(brute)
       val exactT = thrPairs(brute)
       assert(truthD.size == 20 && exactT.nonEmpty, s"$dir fixture degenerate")
-      assert(declared == Sketches.lshTablesFor(
-        graft.Tables.embeddings(spark, dir).count()), s"$dir tier drifted")
-      for ((tables, label) <- Seq(declared -> "declared", notch -> "notch")) {
-        // one LSH run per (fixture, tables); both gates read it
-        val ann = collectPairs(Sketches.annPairs(
-          graft.Tables.embeddings(spark, dir), nbits = 4, tables = tables))
-        val got20 = top20(ann)
+      val expectTopK = Sketches.LshParams(6, 10, 1)
+      val expectThr = Sketches.LshParams(6, if (n <= 1000) 10 else 16, 1)
+      assert(Sketches.lshParamsFor(n, Sketches.LshDemand.TopK) == expectTopK,
+        s"$dir TopK tier drifted")
+      assert(Sketches.lshParamsFor(n, Sketches.LshDemand.Threshold) == expectThr,
+        s"$dir Threshold tier drifted")
+      for ((p, label) <- Seq(expectTopK -> "declared",
+          expectTopK.copy(tables = expectTopK.tables - 2) -> "notch")) {
+        val got20 = top20(collectPairs(Sketches.annPairsAt(embs, p)))
         assert((truthD -- got20).isEmpty,
-          s"LSH $dir $label (tables=$tables) top-20 missed ${(truthD -- got20).size}/20")
-        val cand = ann.map(p => (p._1, p._2)).toSet
+          s"LSH $dir $label ($p) top-20 missed ${(truthD -- got20).size}/20")
+      }
+      for ((p, label) <- Seq(expectThr -> "declared",
+          expectThr.copy(tables = expectThr.tables - 2) -> "notch")) {
+        val cand = collectPairs(Sketches.annPairsAt(embs, p))
+          .map(q => (q._1, q._2)).toSet
         assert((exactT -- cand).isEmpty,
-          s"semantic $dir τ=0.44 $label (tables=$tables) missed ${(exactT -- cand).size}")
+          s"semantic $dir τ=0.44 $label ($p) missed ${(exactT -- cand).size}")
       }
     }
     val d = "/root/testdata/sf0.01"
