@@ -5,7 +5,7 @@ import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** The nf2pq-shaped pipeline (SURVEY §3.1/§3.4), Spark-native:
   *
@@ -261,6 +261,87 @@ object FlowPipeline {
 
   /** One packet-level observation feeding the flow cache. */
   final case class PacketObs(flow_key: String, ts: Timestamp, packets: Long, bytes: Long)
+
+  /** Raw packet row for the durable-template decode path. */
+  final case class RawPacket(recv_ts: Timestamp, peer: String,
+      payload: Array[Byte])
+
+  /** Template identity within one exporter's state partition (the
+    * exporter itself is the group key).
+    */
+  final case class TmplId(domain: Long, templateId: Int)
+
+  /** Streaming decode with templates as MANAGED state
+    * (`transformWithState` keyed by exporter, template map in the
+    * checkpointed state store): unlike [[TemplateStore]] — a
+    * per-executor JVM cache that empties on restart until the exporter's
+    * periodic template refresh — managed state is restored from the
+    * checkpoint on restart/reassignment, so a data record arriving in
+    * the first post-restart batch decodes WITHOUT a refresh, and
+    * exactly-once replay re-derives identical state (templates are
+    * immutable values keyed by (exporter, domain, templateId);
+    * last-writer-wins matches the protocol). Packets are processed in
+    * receive-timestamp order within each (exporter, batch) group — the
+    * same order the per-partition decoder sees, made explicit because
+    * a grouped iterator carries no arrival-order guarantee.
+    *
+    * Scale shape: state partitions by exporter (the collector's natural
+    * shard key — thousands of exporters spread over the cluster, each
+    * group a few templates + its batch of packets); RocksDB state store
+    * exercised in StreamingSpec, including a crash + restart-from-
+    * checkpoint decode WITHOUT re-sending the template.
+    */
+  final class DurableTemplateProcessor
+      extends StatefulProcessor[String, RawPacket, FlowRecord] {
+    @transient private var templates: MapState[TmplId, NetFlowCodec.Template] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      templates = getHandle.getMapState[TmplId, NetFlowCodec.Template](
+        "templates", Encoders.product[TmplId],
+        Encoders.product[NetFlowCodec.Template], TTLConfig.NONE)
+
+    override def handleInputRows(peer: String, rows: Iterator[RawPacket],
+        tv: TimerValues): Iterator[FlowRecord] = {
+      // Rehydrate this exporter's template map from the (checkpointed)
+      // store, then thread it through the batch's packets exactly like
+      // the per-partition decoder.
+      val seed = templates.iterator().map { case (k, v) =>
+        NetFlowCodec.TemplateKey(peer, k.domain, k.templateId) -> v
+      }.toMap
+      val sorted = rows.toArray.sortBy(p => (p.recv_ts.getTime, p.recv_ts.getNanos))
+      var tmpl = seed
+      val out = Vector.newBuilder[FlowRecord]
+      sorted.foreach { p =>
+        val us = p.recv_ts.getTime * 1000L + (p.recv_ts.getNanos / 1000L) % 1000L
+        val res = NetFlowCodec.decode(peer, us, p.payload, tmpl)
+        tmpl = res.templates
+        out ++= res.records
+      }
+      // Persist new/changed templates; unchanged entries are already in
+      // the store (no LRU here — state is per-exporter and checkpointed,
+      // so the spoof-flood cap concern is the state-store's sizing, not
+      // a JVM heap race).
+      tmpl.foreach { case (k, v) =>
+        if (!seed.get(k).contains(v))
+          templates.updateValue(TmplId(k.domain, k.templateId), v)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[decode]] with checkpoint-durable template state — see
+    * [[DurableTemplateProcessor]]. Streaming-only (transformWithState
+    * requires a streaming query and the RocksDB state store).
+    */
+  def decodeDurable(packets: DataFrame): Dataset[FlowRecord] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packets.select(col("recv_ts"), col("peer"), col("payload"))
+      .as[RawPacket]
+      .groupByKey(_.peer)
+      .transformWithState(new DurableTemplateProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Flow-cache state: aggregate of a live flow. */
   final case class FlowAgg(first_ms: Long, last_ms: Long, packets: Long, bytes: Long)

@@ -467,6 +467,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("durable template state: restart from checkpoint decodes WITHOUT a template refresh") {
+    // TemplateStore (the JVM-cache mode) honestly documents that a
+    // restart empties the cache until the exporter's periodic template
+    // refresh. decodeDurable closes that gap: templates are MANAGED
+    // state (transformWithState, RocksDB store), restored from the
+    // checkpoint on restart. Script: batch 1 carries ONLY the template;
+    // the query is stopped (a restart — the new run loads state from
+    // checkpoint files, not JVM memory); batch 2 carries ONLY a data
+    // record, which must decode from the restored template.
+    import spark.implicits._
+    val key = "0.0.0.0:9960"
+    UdpFlowSource.clear(key)
+    val out = tmp("tmpl-durable-out")
+    val ckpt = tmp("tmpl-durable-ckpt")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def packets() = spark.readStream.format("udp-flows")
+      .option("port", "9960").option("socket", "false").load()
+    // run 1: template only
+    UdpFlowSource.inject(key, 1700000000000000L, "10.9.9.5", v9TemplateOnly())
+    val q1 = FlowPipeline.startParquetSink(
+      FlowPipeline.decodeDurable(packets()), out, ckpt, interval = "1 seconds")
+    q1.processAllAvailable(); q1.stop()
+    // (no parquet read here: the template-only batch emits zero flows,
+    // so the sink dir has no data files yet and schema inference would
+    // throw — the final read asserts batch 1 contributed nothing.)
+    // run 2 (the restart): data record only — no template in this run
+    UdpFlowSource.inject(key, 1700000000000001L, "10.9.9.5", v9DataOnly(9100, 77))
+    val q2 = FlowPipeline.startParquetSink(
+      FlowPipeline.decodeDurable(packets()), out, ckpt, interval = "1 seconds")
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).select("src_port", "bytes").collect()
+    assert(got.length == 1 && got.head.getInt(0) == 9100
+      && got.head.getLong(1) == 77L,
+      s"restored-state decode failed: ${got.toSeq}")
+    UdpFlowSource.clear(key)
+  }
+
   test("capstone: decode → de-sample → top-talkers via the custom TopK operator") {
     // The composed nf2pq-and-beyond pipeline in one pass: v9 packets
     // carrying sampling options, flows de-sampled per exporter, then the
