@@ -57,7 +57,8 @@ object Plans {
     "dedup_semantic" -> "SemDeDup: LSH candidate pairs + threshold + edges-only components + singleton anti-join",
     "text_dockey" -> "URL canonicalization dedup keys: map-side parse/fold, one two-phase host rollup",
     "sample_quality" -> "per-doc importance sampling: map-side diversity score + hash admission, one source rollup",
-    "dedup_incremental" -> "incremental dedup: asymmetric new-batch x corpus LSH band probe + 8-byte-digest exact layer; corpus never self-joined")
+    "dedup_incremental" -> "incremental dedup: asymmetric new-batch x corpus LSH band probe + 8-byte-digest exact layer; corpus never self-joined",
+    "dedup_incremental_semantic" -> "embedding delta dedup: asymmetric sign-LSH probe into corpus bucket anchors, exact neighbor counts on candidates only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

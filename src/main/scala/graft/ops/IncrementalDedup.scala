@@ -96,4 +96,22 @@ object IncrementalDedup {
           .when(col("is_near"), lit("near"))
           .otherwise(lit("novel")).as("cls"))
   }
+
+  /** Streaming admission filter — [[classify]]'s exact layer in the form
+    * an INGEST pipeline runs it: a stream of candidate documents
+    * anti-joined per micro-batch against the standing corpus, so only
+    * documents whose text does not already exist in the corpus pass.
+    * Stream-static LEFT ANTI equi-join on the 8-byte digest with a
+    * text-equality residual (digest collisions cannot drop a novel doc);
+    * the static side is re-resolved each batch, so a corpus table that
+    * grows between batches is picked up without restarting the query.
+    * StreamingSpec pins the semantics on a MemoryStream.
+    */
+  def admitNovel(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    val c = corpus.select(xxhash64(col("text")).as("ch"),
+      col("text").as("ctext"))
+    stream.join(c,
+      xxhash64(col("text")) === col("ch") && col("text") === col("ctext"),
+      "left_anti")
+  }
 }

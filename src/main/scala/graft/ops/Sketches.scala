@@ -333,6 +333,46 @@ object Sketches {
       broadcastReattach: Boolean = true): DataFrame =
     annPairs(embs, p.nbits, p.tables, broadcastReattach, p.probe)
 
+  /** ASYMMETRIC sign-LSH join: candidate (id1 ∈ fresh, id2 ∈ corpus)
+    * pairs with cosine attached — the delta-dedup probe shape. The
+    * corpus side contributes only bucket ANCHORS and is never
+    * self-joined; the fresh side multi-probes (per `p.probe`). Identical
+    * recall math to [[annPairs]] restricted to cross pairs (hamming ≤ 1
+    * between the two buckets is covered by probing either side — the
+    * flip relation is symmetric). Both inputs: (vec_id, embedding).
+    */
+  def annJoin(fresh: DataFrame, corpus: DataFrame, p: LshParams,
+      broadcastReattach: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.{native => gn}
+    def buckets(df: DataFrame) = graft.Q.spreadBy(df, "vec_id")
+      .select(col("vec_id"), posexplode(
+        gn.sign_lsh_buckets(col("embedding"), p.nbits, p.tables))
+        .as(Seq("tbl", "bucket")))
+    val bf0 = buckets(fresh)
+    val bf =
+      if (p.probe == 0) bf0.select(col("vec_id").as("id1"), col("tbl"), col("bucket"))
+      else bf0.select(col("vec_id").as("id1"), col("tbl"),
+        explode(expr(
+          s"""transform(sequence(0, ${p.nbits}), i ->
+             |  CASE WHEN i = 0 THEN bucket
+             |       ELSE bucket ^ CAST(shiftleft(1, i - 1) AS BIGINT) END)"""
+            .stripMargin)).as("bucket"))
+    val bc = buckets(corpus).select(col("vec_id").as("id2"),
+      col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+    val cands = bf.join(bc,
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2"))
+      .select("id1", "id2").distinct()
+    def side(src: DataFrame, idCol: String, eCol: String): DataFrame = {
+      val pr = src.select(col("vec_id").as(idCol), col("embedding").as(eCol))
+      if (broadcastReattach) broadcast(pr) else pr.hint("shuffle_merge")
+    }
+    cands.join(side(fresh, "id1", "e1"), "id1")
+      .join(side(corpus, "id2", "e2"), "id2")
+      .select(col("id1"), col("id2"),
+        round(gn.cosine_similarity(col("e1"), col("e2")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sim"))
+  }
+
   /** Re-attach embeddings to skinny candidate pairs and score cosine.
     * `bcast = true`: two broadcast joins — right when the embedding table
     * fits an executor (local/bench case). `bcast = false`: shuffle-merge

@@ -251,6 +251,52 @@ object Extra8 {
         .orderBy("source")
     },
 
+    // Embedding-space incremental dedup — the SemDeDup shape in the
+    // operating mode real pipelines run it (delta vs standing corpus):
+    // new vectors (vec_id % 5 = 0) are flagged near/novel against the
+    // corpus only, with the exact count of in-range (rounded cosine ≥
+    // 0.44) corpus neighbors. Candidates come from the ASYMMETRIC
+    // sign-LSH probe (Sketches.annJoin) at the shared Threshold-demand
+    // parameters: the corpus contributes bucket anchors only and is
+    // never self-joined; cross pairs are a subset of the all-pairs set
+    // the r8 sweep measured recall-complete, and the candidate set is
+    // IDENTICAL to annPairs' restricted to new×corpus (flip symmetry),
+    // so the swept edges carry over. Oracle = exact brute-force
+    // new×corpus neighbor counts — a hash fail means a true in-range
+    // neighbor was dropped.
+    "dedup_incremental_semantic" -> Q(
+      """WITH f AS (SELECT vec_id, embedding
+        |           FROM read_parquet('{sfDir}/embeddings.parquet')
+        |           WHERE vec_id % 5 = 0),
+        |c AS (SELECT vec_id, embedding
+        |      FROM read_parquet('{sfDir}/embeddings.parquet')
+        |      WHERE vec_id % 5 <> 0),
+        |p AS (SELECT f.vec_id AS vid, count(*) AS n_near
+        |      FROM f JOIN c
+        |        ON CAST(ROUND(list_cosine_similarity(f.embedding, c.embedding), 4) AS DECIMAL(18,4)) >= 0.44
+        |      GROUP BY 1)
+        |SELECT f.vec_id, CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near,
+        |       CASE WHEN p.vid IS NOT NULL THEN 'near' ELSE 'novel' END AS cls
+        |FROM f LEFT JOIN p ON f.vec_id = p.vid
+        |ORDER BY f.vec_id""".stripMargin) { (s, d) =>
+      val embs = T.embeddings(s, d)
+      val fresh = embs.filter(col("vec_id") % 5 === 0)
+      val corpus = embs.filter(col("vec_id") % 5 =!= 0)
+      val params = graft.ops.Sketches.lshParamsFor(
+        graft.Q.parquetRowCount(s, s"$d/embeddings.parquet"),
+        graft.ops.Sketches.LshDemand.Threshold)
+      val near = graft.ops.Sketches.annJoin(fresh, corpus, params)
+        .filter(col("sim") >= 0.44)
+        .groupBy("id1").agg(count(lit(1)).as("n_near"))
+        .select(col("id1").as("vec_id"), col("n_near"))
+      fresh.select("vec_id").join(near, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          when(col("n_near").isNotNull, lit("near"))
+            .otherwise(lit("novel")).as("cls"))
+        .orderBy("vec_id")
+    },
+
     "text_dockey" -> Q(
       """WITH u AS (
         |  SELECT doc_id,

@@ -197,6 +197,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming ingest dedup: stream-static anti-join admits only novel docs") {
+    // The incremental-dedup operating mode as a STREAM: candidate docs
+    // arrive continuously, the standing corpus is a (static) table, and
+    // only documents not already in the corpus pass the admission
+    // filter. Exactly IncrementalDedup.classify's exact layer, run
+    // per micro-batch by the stream-static anti-join.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "existing corpus document one"),
+      (2L, "existing corpus document two")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val admitted = graft.ops.IncrementalDedup.admitNovel(
+      input.toDF().toDF("doc_id", "text"), corpus)
+    val q = admitted.writeStream.format("memory").queryName("admit")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (10L, "existing corpus document one"),   // dup of corpus → dropped
+      (11L, "a genuinely new document"))       // novel → admitted
+    q.processAllAvailable()
+    input.addData(
+      (12L, "existing corpus document two"),   // dup → dropped
+      (13L, "another new document entirely"),  // novel → admitted
+      (14L, "a genuinely new document"))       // dup of a STREAM doc, not
+                                               // corpus → still admitted
+                                               // (stream-internal dedup is
+                                               // dropDuplicates' job)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM admit").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 13L, 14L), s"admission filter wrong: $got")
+    q.stop()
+  }
+
   test("streaming dropDuplicates matches the declared batch dedup shape") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
