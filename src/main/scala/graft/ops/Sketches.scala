@@ -314,7 +314,7 @@ object Sketches {
         explode(expr(
           s"""transform(sequence(0, $nbits), i ->
              |  CASE WHEN i = 0 THEN bucket
-             |       ELSE bucket ^ CAST(shiftleft(1, i - 1) AS BIGINT) END)"""
+             |       ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), i - 1) END)"""
             .stripMargin)).as("bucket"))
     val r = b.select(col("vec_id").as("id2"), col("tbl").as("tbl2"),
       col("bucket").as("bucket2"))
@@ -355,7 +355,7 @@ object Sketches {
         explode(expr(
           s"""transform(sequence(0, ${p.nbits}), i ->
              |  CASE WHEN i = 0 THEN bucket
-             |       ELSE bucket ^ CAST(shiftleft(1, i - 1) AS BIGINT) END)"""
+             |       ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), i - 1) END)"""
             .stripMargin)).as("bucket"))
     val bc = buckets(corpus).select(col("vec_id").as("id2"),
       col("tbl").as("tbl2"), col("bucket").as("bucket2"))
