@@ -177,6 +177,47 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"brute=$brute ann(top10)=$ann")
   }
 
+  test("multi-probe candidates strictly extend exact-probe candidates") {
+    // probe=1 adds the ±1-bit neighbor buckets on the probe side, so at
+    // identical (nbits, tables) its candidate set must CONTAIN probe=0's
+    // (and on this fixture, properly: hamming-1 bucket pairs exist).
+    val embs = graft.Tables.embeddings(spark, sf)
+    def pairs(probe: Int) =
+      Sketches.annPairs(embs, nbits = 6, tables = 6, probe = probe)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0)
+    val probed = pairs(1)
+    assert(exact.subsetOf(probed), s"probe=1 dropped ${(exact -- probed).size}")
+    assert(probed.size > exact.size, "probe=1 added nothing — vacuous fixture")
+  }
+
+  test("asymmetric annJoin equals annPairs restricted to cross pairs (flip symmetry)") {
+    // The oracle-inheritance argument for dedup_incremental_semantic
+    // rests on this: the asymmetric probe (fresh multi-probes, corpus
+    // anchors) must produce EXACTLY the symmetric generator's candidate
+    // set restricted to fresh×corpus — because hamming(b₁,b₂) ≤ 1 is
+    // symmetric under single-bit flips, the direction of probing cannot
+    // matter. Verified at deliberately-weak params (6 tables) where the
+    // candidate set is far from all-pairs, so agreement is non-vacuous.
+    val embs = graft.Tables.embeddings(spark, sf)
+    val p = Sketches.LshParams(nbits = 6, tables = 6, probe = 1)
+    val fresh = embs.filter(col("vec_id") % 5 === 0)
+    val corpus = embs.filter(col("vec_id") % 5 =!= 0)
+    val sym = Sketches.annPairs(embs, p.nbits, p.tables, probe = p.probe)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // annPairs emits (min, max); keep only cross pairs, as (min, max).
+    val symCross = sym.filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+    val asym = Sketches.annJoin(fresh, corpus, p)
+      .select("id1", "id2").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(symCross.nonEmpty, "no cross pairs — vacuous fixture")
+    assert(asym == symCross,
+      s"asym-only=${(asym -- symCross).size} sym-only=${(symCross -- asym).size}")
+  }
+
   test("ivf ann recovers most of the brute-force top pairs") {
     val embs = graft.Tables.embeddings(spark, sf)
     val ann = graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = 3)
