@@ -44,12 +44,17 @@ object Q {
       val conf = spark.sessionState.newHadoopConf()
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(hp).isDirectory)
-          fs.listStatus(hp).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath)
-        else Seq(hp)
+      // RECURSIVE walk: a partitioned table is date=.../part-*.parquet —
+      // a flat listing would find zero files and silently report 0 rows,
+      // feeding a wrong corpus size into the tier pick.
+      def walk(s: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.Path] =
+        if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else Seq.empty
+      val files = walk(fs.getFileStatus(hp))
+      require(files.nonEmpty,
+        s"parquetRowCount: no .parquet files under $p — refusing to " +
+          "report 0 rows for a plan-shape decision")
       files.map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))

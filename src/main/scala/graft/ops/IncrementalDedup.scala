@@ -77,12 +77,17 @@ object IncrementalDedup {
     val cands = bf.join(bc,
         col("band") === col("band2") && col("bsig") <=> col("bsig2"))
       .select("fid", "cid").distinct()
+    // Project inter_n/union_n once, then filter on the columns — the
+    // minhashNearDups shape: a Filter predicate re-evaluates
+    // array_intersect per reference (FilterExec does no CSE), which
+    // would double the array work per candidate.
     val nearIds = cands
       .join(hf.select(col("doc_id").as("fid"), col("hs").as("g1")), "fid")
       .join(hc.select(col("doc_id").as("cid"), col("hs").as("g2")), "cid")
-      .filter(size(array_intersect(col("g1"), col("g2"))) >=
-        (size(col("g1")) + size(col("g2"))
-          - size(array_intersect(col("g1"), col("g2")))) * threshold)
+      .select(col("fid"),
+        size(array_intersect(col("g1"), col("g2"))).as("inter_n"),
+        (size(col("g1")) + size(col("g2"))).as("sz_sum"))
+      .filter(col("inter_n") >= (col("sz_sum") - col("inter_n")) * threshold)
       .select(col("fid").as("doc_id")).distinct()
 
     // ---- classification: two broadcast-sized flag attaches (the flagged

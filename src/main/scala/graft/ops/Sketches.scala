@@ -98,11 +98,38 @@ object Sketches {
     * at fixed nbits/probe).
     */
   def lshParamsFor(corpusSize: Long, demand: LshDemand): LshParams = {
-    val tables = demand match {
+    val nbits = lshBitsFor(corpusSize)
+    val base = demand match {
       case LshDemand.TopK      => 10
       case LshDemand.Threshold => if (corpusSize <= 1000) 10 else 16
     }
-    LshParams(lshBitsFor(corpusSize), tables, probe = 1)
+    // The swept edges live at nbits = 6. Deeper buckets (bigger corpora)
+    // shrink the per-table collision probability for a fixed-similarity
+    // pair GEOMETRICALLY, so holding `tables` flat would silently
+    // collapse recall beyond fixture sizes (the sweep's own nbits=8
+    // cliff). Scale tables to hold the per-pair miss bound (1-P)^T
+    // constant at the τ=0.44 design point — the binding fixture gate and
+    // the CONSERVATIVE choice: at production τ ≈ 0.95 the per-bit decay
+    // is far milder (T grows ~1.5× from nbits 6 → 9 instead of ~3×), so
+    // real-corpus runs carry extra margin, never less.
+    val tables =
+      if (nbits <= SweptBits) base
+      else math.ceil(base * negLog1mP(SweptBits) / negLog1mP(nbits)).toInt
+    LshParams(nbits, tables, probe = 1)
+  }
+
+  /** nbits the r8 table edges were swept at. */
+  private val SweptBits = 6
+
+  /** -ln(1 - P(collision in one multi-probe table)) for a pair at the
+    * τ = 0.44 design point: P = p^b + b·p^(b-1)·(1-p) (exact bucket
+    * match or one bit off — the probe=1 reach), p = 1 - θ/π.
+    */
+  private def negLog1mP(bits: Int): Double = {
+    val p = 1.0 - math.acos(0.44) / math.Pi
+    val pTable = math.pow(p, bits) +
+      bits * math.pow(p, bits - 1) * (1.0 - p)
+    -math.log1p(-pTable)
   }
 
   /** Word-`n`-gram shingles over a *pre-split* words column (array of

@@ -66,23 +66,35 @@ object FlowPipeline {
     }
     /** Write back templates that are new or changed vs `before`, and
       * refresh access-order recency for every key in `now` — without the
-      * unconditional touch, a stable live exporter's entry (inserted
-      * once, then read only via partition-start snapshots, which do not
-      * count as LRU access) would sit coldest and be evicted FIRST under
-      * the exact spoof flood the cap defends against. Templates are
-      * immutable values, so put is idempotent and last-writer-wins
-      * matches the protocol (a re-sent template replaces its
-      * predecessor).
+      * touch, a stable live exporter's entry (inserted once, then read
+      * only via partition-start snapshots, which do not count as LRU
+      * access) would sit coldest and be evicted FIRST under the exact
+      * spoof flood the cap defends against.
+      *
+      * The touch is `get`, NOT an unconditional re-put: a partition
+      * whose snapshot predates another partition's newer write must not
+      * clobber it with the stale value (exporter redefines template T;
+      * partition A records T=v2; partition B, still holding T=v1 in its
+      * threaded map, records an unrelated change — re-putting its whole
+      * map would silently roll T back to v1 and corrupt every following
+      * decode until the next periodic re-send). `get` refreshes recency
+      * when present; a key evicted between snapshot and write-back is
+      * re-inserted. Changed templates put last-writer-wins, matching the
+      * protocol (a re-sent template replaces its predecessor; exporters
+      * are partition-sticky, so concurrent same-key changes are the rare
+      * case, not the steady state).
       */
     def record(scope: String,
         now: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template],
         before: Map[NetFlowCodec.TemplateKey, NetFlowCodec.Template]): Unit = {
       val c = cache(scope)
-      // Unconditional put: counts as access in access-order mode (keeps
-      // live templates hot) AND re-inserts an entry evicted between the
-      // partition's snapshot and this write-back. `before` is kept in the
-      // signature for callers' delta reasoning but no longer gates the put.
-      c.synchronized { now.foreach { case (k, v) => c.put(k, v) } }
+      c.synchronized {
+        now.foreach { case (k, v) =>
+          if (!before.get(k).contains(v)) c.put(k, v) // new or changed
+          else if (c.get(k) == null) c.put(k, v) // evicted since snapshot
+          // else: get() above refreshed recency — nothing to write
+        }
+      }
       ()
     }
     def clear(scope: String): Unit = { scopes.remove(scope); () }

@@ -71,7 +71,9 @@ object AnnSweep {
       // value (tau is only a post-filter on the exact side; candidate
       // membership is tau-independent).
       val taus = Seq(0.40, 0.42, 0.44, 0.45)
-      val exactByTau = taus.map { tau =>
+      // Gated with its section: four brute collects per fixture are
+      // exactly the wall-clock a SWEEP_SECTIONS=lsh re-sweep skips.
+      lazy val exactByTau = taus.map { tau =>
         tau -> brute.filter(col("sim") >= tau)
           .select("id1", "id2").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -91,7 +93,7 @@ object AnnSweep {
       // PQ: per-query top-10 EXACT match (rounded-sim total order) vs
       // brute force — containment demands the ADC shortlist covers the
       // true top-10 for every query.
-      val qtruth = {
+      lazy val qtruth = {
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val pairsQ = q.join(broadcast(e.select(col("vec_id").as("nb_id"), col("embedding").as("xe"))),

@@ -6,6 +6,17 @@ import org.apache.spark.sql.execution.UnsafeExternalRowSorter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
+/** Synchronous listener-bus drain for listener-counting test asserts:
+  * `sc.listenerBus` and `waitUntilEmpty` are `private[spark]`, and a
+  * fixed sleep in their place is a race (a late-delivered JobStart
+  * false-passes a zero-jobs assertion). Lives here for the same package
+  * access reason as [[spill]].
+  */
+object listenerDrain {
+  def apply(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
+
 /** Bridge to Spark's spill-capable external row sorter (the machinery
   * behind SortExec). Lives in the sql package because the page-size
   * lookup (`SparkEnv.memoryManager`) is `private[spark]`.

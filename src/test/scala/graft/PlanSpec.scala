@@ -357,10 +357,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.addSparkListener(l)
     try {
       SparkEntry.queries("sim_ann_lsh")(spark, sf)
-      // listener bus is async: give a submitted job time to surface
-      Thread.sleep(500)
-      val other = descs.toArray(Array.empty[String])
-        .filterNot(_.startsWith("parquet at Tables.scala"))
+      // Synchronous drain — the listener bus is async and a fixed sleep
+      // would be a race (a late JobStart false-passes).
+      org.apache.spark.sql.graft.listenerDrain(spark.sparkContext)
+      val all = descs.toArray(Array.empty[String])
+      assert(all.length == jobs, s"listener drain raced: $jobs vs $all")
+      val other = all.filterNot(_.startsWith("parquet at Tables.scala"))
       assert(other.isEmpty,
         s"sim_ann_lsh construction launched non-schema job(s): " +
           other.mkString("; "))
