@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ZOrder
+
+/** Z-order layout evidence on REAL parquet footers: range-partitioning a
+  * write by the Morton key bounds BOTH dimension columns in every file's
+  * min/max statistics, so a 2-D box predicate — and crucially a
+  * predicate on the SECOND column alone — prunes files a linear layout
+  * must read. This is the mechanism Spark's parquet scan uses for
+  * file/row-group skipping; measuring it on the footers directly keeps
+  * the assertion engine-independent.
+  */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val tmp = Files.createTempDirectory("graft-layout").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Per parquet file: column → (min, max) from footer statistics,
+    * merged across the file's row groups (INT64 columns).
+    */
+  private def fileRanges(dir: String, cols: Seq[String]): Seq[Map[String, (Long, Long)]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          cols.map { c =>
+            val stats = blocks.map { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(fail(s"column $c missing from footer of ${st.getPath}"))
+              val s = cc.getStatistics
+              assert(s != null && s.hasNonNullValue, s"no stats for $c in ${st.getPath}")
+              (s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            }
+            c -> ((stats.map(_._1).min, stats.map(_._2).max))
+          }.toMap
+        } finally r.close()
+      }
+  }
+
+  private def matches(ranges: Seq[Map[String, (Long, Long)]],
+      pred: Map[String, (Long, Long)]): Int =
+    ranges.count { f =>
+      pred.forall { case (c, (lo, hi)) =>
+        val (mn, mx) = f(c)
+        mx >= lo && mn <= hi
+      }
+    }
+
+  test("z-order layout prunes 2-D and second-column predicates; linear cannot") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val total = li.count()
+
+    val dirZ = s"$tmp/zorder"
+    val dirL = s"$tmp/linear"
+    ZOrder.withZKey(li, "x", "y")
+      .repartitionByRange(64, col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(dirZ)
+    li.repartitionByRange(64, col("x"))
+      .write.mode("overwrite").parquet(dirL)
+
+    // Layouts must be lossless before any pruning claim means anything.
+    assert(spark.read.parquet(dirZ).count() == total)
+    assert(spark.read.parquet(dirL).count() == total)
+
+    val rangesZ = fileRanges(dirZ, Seq("x", "y"))
+    val rangesL = fileRanges(dirL, Seq("x", "y"))
+    assert(rangesZ.size > 16 && rangesL.size > 16,
+      s"need a real file population to measure pruning: ${rangesZ.size}/${rangesL.size}")
+
+    // Middle-quarter box on both dimensions (sf0.01: x ∈ 1..~2000,
+    // y ∈ 1..~100 — quarters keep off the domain edges so boundary
+    // files count against both layouts symmetrically).
+    val box = Map("x" -> ((750L, 1250L)), "y" -> ((25L, 50L)))
+    val boxZ = matches(rangesZ, box)
+    val boxL = matches(rangesL, box)
+    assert(boxZ < boxL,
+      s"z-order should prune the 2-D box below linear: z=$boxZ linear=$boxL")
+
+    // The second column alone: the linear layout is stat-blind here —
+    // every file spans the full y domain — while z-order bounds y in
+    // every file.
+    val yOnly = Map("y" -> ((25L, 50L)))
+    val yZ = matches(rangesZ, yOnly)
+    val yL = matches(rangesL, yOnly)
+    assert(yL == rangesL.size,
+      s"linear layout unexpectedly bounded its second column: $yL of ${rangesL.size}")
+    assert(yZ < rangesL.size / 2,
+      s"z-order should prune a second-column predicate by >2x: $yZ of ${rangesZ.size}")
+  }
+
+  test("interleave16 is exact bit interleaving on known values") {
+    import spark.implicits._
+    // (x, y) → Morton: x bits land on even positions, y bits on odd.
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (65535L, 0L),
+      (0L, 65535L), (43690L, 21845L)).toDF("xi", "yi")
+      .select(ZOrder.interleave16(col("xi"), col("yi")).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    // 43690 = 0b1010...10, 21845 = 0b0101...01 interleave to
+    // 0b100110011001... = x bits at even, y bits at odd positions.
+    val expect = Seq(0L, 1L, 2L, 3L, 0x55555555L, 0xAAAAAAAAL,
+      (0 until 16).map { b =>
+        (((43690L >> b) & 1L) << (2 * b)) | (((21845L >> b) & 1L) << (2 * b + 1))
+      }.reduce(_ | _))
+    assert(got == expect)
+  }
+}
