@@ -48,13 +48,25 @@ object IvfIndex {
     * shuffle.
     */
   def assign(embs: DataFrame, k: Int = 16, nProbe: Int = 2,
-      refine: Int = 1): DataFrame = {
+      refine: Int = 1): DataFrame =
+    assignTo(embs, centroids(embs, k, refine), nProbe)
+
+  /** The coarse quantizer itself: k lowest-vec_id seeds, `refine` Lloyd
+    * rounds. (cid, cvec) — cid is the seed's vec_id. Exposed separately
+    * from [[assign]] because residual-coding indexes ([[IvfPq]]) need
+    * the centroid VECTORS, not just cell memberships.
+    */
+  def centroids(embs: DataFrame, k: Int = 16, refine: Int = 1): DataFrame = {
     val seed = embs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val centroids = if (refine > 0) refineCentroids(embs, seed, refine) else seed
+    if (refine > 0) refineCentroids(embs, seed, refine) else seed
+  }
+
+  /** [[assign]] against an externally supplied centroid table. */
+  def assignTo(embs: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     // keyed repartition: spreads a single input file without the
     // round-robin full shuffle of a bare repartition().
-    graft.Q.spreadBy(embs, "vec_id").crossJoin(broadcast(centroids))
+    graft.Q.spreadBy(embs, "vec_id").crossJoin(broadcast(cents))
       .select(col("vec_id"),
         struct((-gn.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
           col("cid").as("cid")).as("cand"))

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.graft.{native => gn}
+
+/** IVF-PQ composite ANN index — the production similarity-search shape
+  * (the default FAISS large-corpus configuration, Jégou et al. 2011
+  * "Product Quantization for Nearest Neighbor Search"): an IVF coarse
+  * quantizer partitions the corpus into cells, and Product Quantization
+  * encodes each vector's RESIDUAL (vector − cell centroid) as m small
+  * codes. Search probes only `qp` cells per query and runs Asymmetric
+  * Distance Computation against the codes of THOSE cells only — where
+  * the flat [[PqIndex]] must ADC-scan the full code table, IVF-PQ's scan
+  * cost is `(probed cells / total cells)` of the corpus. Residual
+  * encoding is what makes the composite work: residuals concentrate
+  * near 0, so a small shared codebook quantizes them far better than
+  * raw vectors.
+  *
+  * Scale story (what changes at 100 TB): corpus state is m small ints
+  * per replica — the same 16-32× compression as flat PQ; centroids and
+  * codebooks stay kilobytes → broadcast; the ADC join keys on
+  * (cid, j, code), so a query's work is proportional to the OCCUPANCY
+  * OF ITS PROBED CELLS, not the corpus (kCells grows ~√N holding cell
+  * size constant — the standard IVF sizing). Corpus replication
+  * `rc` (each vector encoded into its rc nearest cells) buys recall the
+  * same way it does in [[IvfIndex.annPairs]] — replicating CODES is
+  * cheap where replicating raw vectors is not.
+  *
+  * Determinism (the PqIndex/Lloyd contract): centroid refinement is the
+  * shared decimal-exact Lloyd pass; seed codebooks come from the k
+  * lowest-vec_id primary residuals; every argmin ties on the id; ADC
+  * contributions round once to DECIMAL(18,9) so per-candidate sums are
+  * exact; the rerank uses the exact cosine kernel under the
+  * (ROUND(sim,4) DESC, id) total order both engines replay.
+  */
+object IvfPq {
+
+  /** (idCols..., j, sv): residual vectors exploded into m subvectors. */
+  private def subvecsR(res: DataFrame, idCols: Seq[String], m: Int,
+      sub: Int): DataFrame =
+    res.select(idCols.map(col) :+ explode(expr(
+      s"transform(sequence(0, ${m - 1}), j -> struct(j AS j, slice(resid, j * $sub + 1, $sub) AS sv))"))
+      .as("x"): _*)
+      .select(idCols.map(col) :+ col("x.j").as("j") :+ col("x.sv").as("sv"): _*)
+
+  /** ADC top-`topK` neighbors for the `nq` lowest-id vectors: coarse
+    * assign (corpus → `rc` nearest cells, queries probe `qp`), PQ-encode
+    * residuals, per-cell ADC, best-cell min, bounded-heap shortlist,
+    * exact cosine rerank. Returns (q_id, nb_id, sim).
+    */
+  def search(embs: DataFrame, nq: Int = 8, kCells: Int = 16, rc: Int = 2,
+      qp: Int = 5, m: Int = 8, k: Int = 16, shortlist: Int = 100,
+      topK: Int = 10, refine: Int = 1): DataFrame = {
+    require(rc >= 1 && qp >= 1 && qp <= kCells,
+      s"IvfPq: need 1 <= rc and 1 <= qp <= kCells, got rc=$rc qp=$qp kCells=$kCells")
+    val d = PqIndex.embeddingDim(embs, m)
+    val sub = d / m
+    // Centroids feed assignment AND two residual joins — persist (lazy)
+    // so the Lloyd lineage runs once; kilobytes either way.
+    val cents = IvfIndex.centroids(embs, kCells, refine)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // One assignment pass serves both sides: corpus replicas read rank
+    // <= rc, query probes read rank <= qp.
+    val asg = IvfIndex.assignTo(embs, cents, nProbe = math.max(rc, qp))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Corpus residuals per (vector, cell): v - centroid(cell).
+    val resid = asg.filter(col("probe_rank") <= rc)
+      .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"), col("probe_rank"),
+        zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("resid"))
+    // Shared residual codebooks (j, ccode, cbvec), seeded from the k
+    // lowest-vec_id PRIMARY residuals — the PqIndex seeding discipline
+    // applied to residual space (rounds = 0 on the fixtures, like
+    // sim_ann_pq: the seeds ARE the codebook).
+    val cb = subvecsR(
+        resid.filter(col("probe_rank") === 1).orderBy("vec_id").limit(k),
+        Seq("vec_id"), m, sub)
+      .select(col("j"), col("vec_id").as("ccode"), col("sv").as("cbvec"))
+    // Encode every replica: argmin codebook entry per (vector, cell,
+    // subspace), ties on ccode.
+    val codes = subvecsR(resid, Seq("vec_id", "cid"), m, sub)
+      .join(broadcast(cb), "j")
+      .select(col("vec_id"), col("cid"), col("j"),
+        struct(Lloyd.l2sq(col("sv"), col("cbvec")).as("d2"),
+          col("ccode").as("ccode")).as("cand"))
+      .groupBy("vec_id", "cid", "j").agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("cid"), col("j"), col("best.ccode").as("code"))
+    // The nq lowest-id vectors as queries (the PqIndex selection).
+    val queries = embs.orderBy("vec_id").limit(nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    // Query-side residual LUT per PROBED cell: nq · qp · m · k rows —
+    // kilobytes, broadcast. Each probed cell gets its own residual
+    // (q - centroid(cell)), mirroring how the corpus codes in that cell
+    // were formed — the asymmetric-distance identity that makes
+    // per-cell ADC meaningful.
+    val qcells = asg.join(broadcast(queries), col("vec_id") === col("q_id"))
+      .filter(col("probe_rank") <= qp)
+      .join(broadcast(cents), "cid")
+      .select(col("q_id"), col("cid"),
+        zip_with(col("qe"), col("cvec"), (x, y) => x - y).as("resid"))
+    val lut = subvecsR(qcells, Seq("q_id", "cid"), m, sub)
+      .join(broadcast(cb), "j")
+      .select(col("q_id"), col("cid"), col("j"), col("ccode").as("code"),
+        Lloyd.l2sq(col("sv"), col("cbvec")).cast(DecimalType(18, 9)).as("contrib"))
+    // ADC, probed cells only: the (cid, j, code) equi-join touches a
+    // code row iff some query probed its cell. m lookups + an exact-
+    // decimal sum per (query, candidate, cell); a vector reachable via
+    // several probed cells keeps its best (minimum) cell estimate —
+    // min over exact decimals, deterministic.
+    val adc = codes.join(broadcast(lut), Seq("cid", "j", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id", "cid").agg(sum("contrib").as("d2cell"))
+      .groupBy("q_id", "vec_id").agg(min("d2cell").as("approx_d2"))
+    val short = gn.top_k_per_group(adc, Seq("q_id"),
+      Seq(col("approx_d2").asc, col("vec_id").asc), shortlist)
+    // Exact rerank of the shortlist only.
+    val reranked = short.join(broadcast(queries), "q_id")
+      .join(embs.select(col("vec_id"), col("embedding").as("xe")), "vec_id")
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        round(gn.cosine_similarity(col("qe"), col("xe")), 4)
+          .cast(DecimalType(18, 4)).as("sim"))
+    gn.top_k_per_group(reranked, Seq("q_id"),
+      Seq(col("sim").desc, col("nb_id").asc), topK)
+      .orderBy(col("q_id"), col("sim").desc, col("nb_id"))
+  }
+}

@@ -35,7 +35,7 @@ object PqIndex {
     * says array<float>). One tiny job per train/search entry point —
     * never per [[subvecs]] call, which runs several times per pipeline.
     */
-  private def embeddingDim(embs: DataFrame, m: Int): Int =
+  private[ops] def embeddingDim(embs: DataFrame, m: Int): Int =
     embs.filter(col("embedding").isNotNull)
       .select(size(col("embedding"))).limit(1).collect().headOption match {
       case Some(row) =>

@@ -30,7 +30,7 @@ object AnnSweep {
     // Section filter for quick re-sweeps (e.g. SWEEP_SECTIONS=lsh,thr).
     val sections = sys.env.get("SWEEP_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("lsh", "thr", "pq", "ivf"))
+      .getOrElse(Set("lsh", "thr", "pq", "ivf", "ivfpq"))
     def intsEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
     val nbitsGrid = intsEnv("SWEEP_NBITS", Seq(4, 6))
@@ -116,6 +116,24 @@ object AnnSweep {
           .select("q_id", "nb_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         println(f"PQ m=$m%2d k=16 rounds=$rounds S=$s%4d ($sFrac%2d%%) " +
+          f"match=${(qtruth & got).size}/${qtruth.size} " +
+          f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      // IVF-PQ: same per-query top-10 containment gate as PQ, but the
+      // ADC only touches probed cells — sweep (rc × qp × shortlist
+      // fraction) for the containment edge at the lowest probed-cell +
+      // shortlist budget.
+      if (sections("ivfpq"))
+      for (rc <- intsEnv("SWEEP_RC", Seq(1, 2));
+           qp <- intsEnv("SWEEP_QP", Seq(4, 5, 6));
+           sFrac <- intsEnv("SWEEP_SFRAC", Seq(20, 35, 50))) {
+        val s = math.max(1, (nCorpus * sFrac / 100).toInt)
+        val t0 = System.nanoTime()
+        val got = graft.ops.IvfPq.search(embs, nq = 8, kCells = 16, rc = rc,
+          qp = qp, m = 16, k = 16, shortlist = s, topK = 10)
+          .select("q_id", "nb_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"IVFPQ kCells=16 rc=$rc qp=$qp S=$s%4d ($sFrac%2d%%) " +
           f"match=${(qtruth & got).size}/${qtruth.size} " +
           f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
