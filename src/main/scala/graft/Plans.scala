@@ -60,6 +60,7 @@ object Plans {
     "dedup_incremental" -> "incremental dedup: asymmetric new-batch x corpus LSH band probe + 8-byte-digest exact layer; corpus never self-joined",
     "dedup_incremental_semantic" -> "embedding delta dedup: asymmetric sign-LSH probe into corpus bucket anchors, exact neighbor counts on candidates only",
     "profile_table" -> "single-pass profiling: one aggregation job for all 26 column stats, map-side explode into report rows",
+    "dedup_containment" -> "containment dedup: df-capped inverted-index equi-join, ordered-pair counts, size attach on doc_id",
     "layout_zorder" -> "z-order layout: 1-row broadcast stats frame, map-side Morton key, 32-group two-phase rollup",
     "sim_ann_ivfpq" -> "IVF-PQ: broadcast centroids/codebooks/LUT, per-cell ADC equi-join touching probed cells only, bounded-heap shortlist + rerank")
 

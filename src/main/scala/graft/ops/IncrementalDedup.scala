@@ -119,4 +119,42 @@ object IncrementalDedup {
       xxhash64(col("text")) === col("ch") && col("text") === col("ctext"),
       "left_anti")
   }
+
+  /** [[admitNovel]]'s embedding-space twin: a stream of (vec_id,
+    * embedding) rows admitted iff NO standing-corpus vector sits at
+    * rounded cosine ≥ `tau` — the semantic admission gate an embedding
+    * ingest runs in front of a vector store.
+    *
+    * Why foreachBatch and not a stream-static join: "drop the doc if ANY
+    * candidate is in range" is a per-document EXISTS over the exploded
+    * (table, bucket) probe rows — an aggregation after a join, which
+    * append-mode stream-static plans cannot express without watermark
+    * machinery the (un-timestamped) admission stream doesn't have.
+    * foreachBatch runs the batch-proven asymmetric probe
+    * ([[Sketches.annJoin]] — corpus contributes bucket anchors only,
+    * never self-joined) per micro-batch, the standard production
+    * pattern for per-batch set logic. Exactly-once composes with an
+    * idempotent sink the same way every foreachBatch pipeline does.
+    *
+    * At scale the corpus-side bucket relation is the thing you'd persist
+    * between runs (it only needs appending as the corpus grows — the
+    * [[classify]] note); here it is recomputed per batch because the
+    * static frame is re-resolved anyway, which is also what lets a
+    * GROWING corpus table be picked up without restart.
+    *
+    * Returns the configured writer; the caller picks trigger/checkpoint
+    * and calls `.start()`. `sink` receives (admitted-batch, batchId).
+    */
+  def admitNovelSemantic(stream: DataFrame, corpus: DataFrame,
+      p: Sketches.LshParams, tau: Double)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val near = Sketches.annJoin(batch, corpus, p)
+          .filter(col("sim") >= tau)
+          .select(col("id1").as("vec_id")).distinct()
+        sink(batch.join(near, Seq("vec_id"), "left_anti"), id)
+      }
 }

@@ -118,6 +118,66 @@ object Extra9 {
         .orderBy("col_name")
     },
 
+    // Containment dedup (Broder 1997's asymmetric resemblance twin):
+    // C(A→B) = |S(A) ∩ S(B)| / |S(A)| over word-3-gram shingle SETS —
+    // the doc-in-doc signal symmetric Jaccard structurally misses (a
+    // short document quoted wholesale inside a long one has high
+    // containment but low Jaccard, because the union is dominated by
+    // the container). Emits every ordered pair at C ≥ 0.8 as exact
+    // integer counts (inter_n·1000 ≥ a_n·800 — no float ratio). This
+    // declared form IS the scale shape, unlike dedup_ngram_jaccard's
+    // deliberately-quadratic baseline: a skinny inverted-index
+    // equi-join on the shingle, with a document-frequency cap (df ≤
+    // 100) that drops boilerplate shingles from the index BEFORE the
+    // join — the standard defense against the hot-shingle candidate
+    // explosion (a shingle in f docs contributes f² join rows), and
+    // part of the declared contract: containment is computed over the
+    // capped shingle universe on both the numerator and denominator
+    // (the oracle replays the identical cap), so capped-out documents
+    // simply have no index rows. One shuffle on the shingle for df +
+    // the pair join, one on the ordered pair for the count, one on
+    // doc_id for the size attach.
+    "dedup_containment" -> Q(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |s AS (SELECT doc_id, list_distinct(
+        |        [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |      FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |d AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 100),
+        |i AS (SELECT e.doc_id, e.g FROM e JOIN d USING (g)),
+        |z AS (SELECT doc_id, count(*) AS a_n FROM i GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter_n
+        |      FROM i a JOIN i b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(inter_n AS BIGINT) AS inter_n,
+        |       CAST(z.a_n AS BIGINT) AS a_n
+        |FROM p JOIN z ON z.doc_id = id1
+        |WHERE inter_n * 1000 >= a_n * 800
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      val sh = docs.filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.ops.Sketches.shinglesOfWords("ws", 3)).as("g"))
+      // df cap: boilerplate shingles never enter the index (both sides
+      // of the join AND the denominator — the declared contract).
+      val idx = sh.join(
+          sh.groupBy("g").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 100).select("g"),
+          "g")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("a_n"))
+      val pairs = idx.select(col("doc_id").as("id1"), col("g"))
+        .join(idx.select(col("doc_id").as("id2"), col("g").as("g2")),
+          col("g") === col("g2") && col("id1") =!= col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
+      pairs.join(sizes.select(col("doc_id").as("id1"), col("a_n")), "id1")
+        .filter(col("inter_n") * 1000 >= col("a_n") * 800)
+        .select("id1", "id2", "inter_n", "a_n")
+        .orderBy("id1", "id2")
+    },
+
     // Z-order (Morton) layout key — the multi-dimensional clustering
     // technique behind Delta/Iceberg OPTIMIZE ZORDER: both dimension
     // keys min/max-normalized to a 16-bit grid and bit-interleaved, so

@@ -126,14 +126,15 @@ object AnnSweep {
       if (sections("ivfpq"))
       for (rc <- intsEnv("SWEEP_RC", Seq(1, 2));
            qp <- intsEnv("SWEEP_QP", Seq(4, 5, 6));
+           refine <- intsEnv("SWEEP_REFINE", Seq(1));
            sFrac <- intsEnv("SWEEP_SFRAC", Seq(20, 35, 50))) {
         val s = math.max(1, (nCorpus * sFrac / 100).toInt)
         val t0 = System.nanoTime()
         val got = graft.ops.IvfPq.search(embs, nq = 8, kCells = 16, rc = rc,
-          qp = qp, m = 16, k = 16, shortlist = s, topK = 10)
+          qp = qp, m = 16, k = 16, shortlist = s, topK = 10, refine = refine)
           .select("q_id", "nb_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        println(f"IVFPQ kCells=16 rc=$rc qp=$qp S=$s%4d ($sFrac%2d%%) " +
+        println(f"IVFPQ kCells=16 rc=$rc qp=$qp refine=$refine S=$s%4d ($sFrac%2d%%) " +
           f"match=${(qtruth & got).size}/${qtruth.size} " +
           f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }

@@ -238,6 +238,23 @@ object PerfProbe {
       }
       scope2c.release()
       spark.sharedState.cacheManager.clearCache()
+      // IVF-PQ composite at the standard √N cell sizing (kCells ∝ √N
+      // holds cell count and cell size both ~√N): per-query ADC
+      // candidates rc·qp·N/kCells grow only √x, so the SEARCH side is
+      // sublinear; the end-to-end number also carries the encode pass
+      // (one linear map over the corpus — amortized index build in
+      // production, rebuilt per run here). Anything pairwise would be
+      // 64x at x8.
+      val kc = math.max(16, math.round(16 * math.sqrt(n.toDouble)).toInt)
+      val scope2d = graft.ops.CacheScope.begin(spark)
+      time(s"scale x$n: ivfpq search (kCells=$kc)") {
+        graft.ops.IvfPq.search(embsX(n), nq = 8, kCells = kc, rc = 3,
+          qp = 6, m = 16, k = 16,
+          shortlist = math.max(64, (nEmbs1 * n * 2 / 5).toInt), topK = 10)
+          .count()
+      }
+      scope2d.release()
+      spark.sharedState.cacheManager.clearCache()
     }
     // Adversarial gram skew: ~30% of documents are the SAME long
     // boilerplate — a 10-word sentence repeated 15 times, so its ~141

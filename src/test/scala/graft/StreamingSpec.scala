@@ -232,6 +232,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("semantic admission filter: in-range vectors dropped, novel admitted per batch") {
+    // admitNovel's embedding twin: per micro-batch, the asymmetric
+    // sign-LSH probe flags stream vectors with a corpus neighbor at
+    // cosine >= tau; only novel vectors reach the sink. Stream-internal
+    // near-dups are explicitly NOT this filter's job (same non-goal as
+    // the exact layer).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 8
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val corpus = Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Array[Float])]
+    val p = graft.ops.Sketches.LshParams(nbits = 6, tables = 10, probe = 1)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.ops.IncrementalDedup.admitNovelSemantic(
+        input.toDF().toDF("vec_id", "embedding"), corpus, p, tau = 0.6) {
+      (batch, _) =>
+        val ids = batch.select("vec_id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }
+    }.start()
+    // near-but-not-identical corpus-2 neighbor: cosine ~ 0.98 >= tau
+    val near2 = Array.tabulate(dim)(j =>
+      if (j == 1) 0.98f else if (j == 2) 0.2f else 0f)
+    input.addData((10L, unit(0)), (11L, unit(3))) // 10 = corpus dup, 11 novel
+    q.processAllAvailable()
+    input.addData((12L, near2), (13L, unit(3)))   // 12 near corpus → dropped;
+                                                  // 13 dups a STREAM doc only
+                                                  // → still admitted
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq == Seq(11L, 13L), s"semantic admission wrong: $got")
+  }
+
   test("streaming dropDuplicates matches the declared batch dedup shape") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
