@@ -54,8 +54,9 @@ object IvfPq {
   def search(embs: DataFrame, nq: Int = 8, kCells: Int = 16, rc: Int = 2,
       qp: Int = 5, m: Int = 8, k: Int = 16, shortlist: Int = 100,
       topK: Int = 10, refine: Int = 1): DataFrame = {
-    require(rc >= 1 && qp >= 1 && qp <= kCells,
-      s"IvfPq: need 1 <= rc and 1 <= qp <= kCells, got rc=$rc qp=$qp kCells=$kCells")
+    require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
+      s"IvfPq: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
+        s"got rc=$rc qp=$qp kCells=$kCells")
     val d = PqIndex.embeddingDim(embs, m)
     val sub = d / m
     // Centroids feed assignment AND two residual joins — persist (lazy)

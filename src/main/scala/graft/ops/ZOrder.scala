@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Interleave the low 16 bits of `xi` (even positions) and `yi` (odd
-    * positions) into a 32-bit Morton key. The loop is unrolled at plan
+    * positions) into a 32-bit Morton key. Contract: inputs are in
+    * 0..65535 — [[withZKey]]'s normalization guarantees it; callers
+    * feeding raw keys must mask first. The loop is unrolled at plan
     * build — 16 constant-shift terms per dimension, all inside
     * whole-stage codegen (shift amounts must be literals for the
     * built-in `shiftright`; a lambda over `sequence(0,15)` would make

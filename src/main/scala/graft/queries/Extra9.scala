@@ -157,9 +157,12 @@ object Extra9 {
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d).select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      // One shingle scan feeds BOTH the df rollup and the index join —
+      // persist so documents are split/exploded once, not twice.
       val sh = docs.filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
           explode(graft.ops.Sketches.shinglesOfWords("ws", 3)).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df cap: boilerplate shingles never enter the index (both sides
       // of the join AND the denominator — the declared contract).
       val idx = sh.join(

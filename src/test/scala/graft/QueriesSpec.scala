@@ -73,7 +73,10 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "text_tfidf", "fn_ip", "stream_tumbling", "topk_group_exec",
       // r7 machinery: gram window + island merge, LSH→components,
       // URL canonicalization rollup, per-doc hash admission
-      "dedup_substring", "dedup_semantic", "text_dockey", "sample_quality")
+      "dedup_substring", "dedup_semantic", "text_dockey", "sample_quality",
+      // r8 machinery: single-agg profile explode, Morton rollup,
+      // df-capped inverted-index containment, per-cell ADC composite
+      "profile_table", "layout_zorder", "dedup_containment", "sim_ann_ivfpq")
     val s7 = spark.newSession()
     s7.conf.set("spark.sql.shuffle.partitions", "7")
     val diverged = sample.flatMap { name =>
