@@ -21,15 +21,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.ts` is ns-precision parquet; Spark 4.1.2 throws
-    * PARQUET_TYPE_ILLEGAL on it unless `nanosAsLong` is set, after which
-    * `ts` arrives as BIGINT nanoseconds. We convert with integer `div`
-    * (never `/1000` — double division loses precision at ns-epoch
-    * magnitude; SURVEY §2.11). Adds `ts_us: TimestampType`.
+  /** `events.ts` has shipped in two physical encodings across data
+    * refreshes: ns-precision INT64 (Spark 4.1.2 reads it only with
+    * `nanosAsLong`, as BIGINT nanoseconds) and plain TIMESTAMP(µs)
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ). Downstream queries rely on
+    * ONE canonical schema — `ts: BIGINT` epoch-nanoseconds plus
+    * `ts_us: TimestampType` — so normalize here, per encoding:
+    *   - ns-long files: `ts` passes through; `ts_us = timestamp_micros
+    *     (ts div 1000)`. Integer `div`, never `/1000` — double division
+    *     loses precision at ns-epoch magnitude (SURVEY §2.11).
+    *   - µs-timestamp files: `ts_us = cast(ts as timestamp)` (session TZ
+    *     is pinned UTC, so the NTZ→TZ cast is value-preserving) and
+    *     `ts = unix_micros(ts_us) * 1000` rebuilds the ns BIGINT exactly
+    *     (µs payload ⇒ ×1000 is lossless and stays < 2^63).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    normalizeEvents(t(s, d, "events"))
   }
+
+  /** Canonicalize a raw events frame (batch or streaming — pure
+    * projections, streaming-safe) to `ts: BIGINT` ns + `ts_us: TIMESTAMP`.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw
+          .withColumn("ts_us", col("ts").cast("timestamp"))
+          .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: three table-scale techniques the board did not yet
+  * declare, each with an exactly-replayable DuckDB oracle —
+  *
+  *   - `sample_bottomk`: deterministic uniform sampling without
+  *     replacement via bottom-k over a cryptographic row priority
+  *     (the distributed-systems standard when `rand()` is banned for
+  *     reproducibility: the sample is a pure function of the data).
+  *   - `agg_sketch_merge`: re-aggregatable HLL sketches — build once at
+  *     fine grain, MERGE (not recount) at coarse grain. At 100 TB this
+  *     is the difference between one pass and one pass per rollup level.
+  *   - `layout_bucketed`: bucketed table layout joined WITHOUT a
+  *     shuffle — the co-located-join technique the brief names for big
+  *     fact-fact joins (pre-shuffle once at write time, every
+  *     subsequent join on the bucket key pays zero exchanges).
+  *
+  * Determinism contracts as established: integer/decimal arithmetic,
+  * total output orders, no rand(), no UDFs.
+  */
+object Extra10 {
+
+  /** Build (once per JVM × sfDir) the bucketed twin tables that
+    * `layout_bucketed` joins. Bucketing is a WRITE-time property: both
+    * fact tables are hash-clustered into the same number of buckets on
+    * their join key, so a later equi-join on that key is already
+    * co-partitioned and Catalyst elides both exchanges (EnsureRequirements
+    * sees HashPartitioning(key, 8) on both sides). The staging path is
+    * keyed by pid@host (no cross-process races) and the catalog check
+    * memoizes within a session — the bench's three passes pay the write
+    * once, which is exactly the production contract (layout is built at
+    * ingest, amortized over every downstream join).
+    */
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_bkt_${Q.perJvmId}/$tag"
+    val to = s"bkt_orders_$tag"
+    val tl = s"bkt_lineitem_$tag"
+    if (!s.catalog.tableExists(to)) {
+      T.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.format("parquet").bucketBy(8, "o_orderkey")
+        .mode("overwrite").option("path", s"$base/orders").saveAsTable(to)
+    }
+    if (!s.catalog.tableExists(tl)) {
+      T.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .write.format("parquet").bucketBy(8, "l_orderkey")
+        .mode("overwrite").option("path", s"$base/lineitem").saveAsTable(tl)
+    }
+    (to, tl)
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // Deterministic uniform sample (bottom-k by hash priority): every row
+    // gets priority = md5 of its primary key, and the sample is the k
+    // rows with the smallest priorities — uniform without replacement,
+    // reproducible byte-for-byte across engines and runs (the property
+    // rand()-based sampling can never give a correctness gate). Scale
+    // shape: ORDER BY pri LIMIT k compiles to TakeOrderedAndProject —
+    // each partition keeps a k-row heap and the driver merges P·k rows;
+    // no global sort, no full shuffle, one scan (pinned in PlanSpec).
+    // This is also the streaming-mergeable form of reservoir sampling:
+    // bottom-k sets union by keeping the k smallest of the union.
+    "sample_bottomk" -> Q(
+      """SELECT md5(concat_ws('_', CAST(l_orderkey AS VARCHAR),
+        |                          CAST(l_linenumber AS VARCHAR))) AS pri,
+        |       l_orderkey, l_linenumber
+        |FROM read_parquet('{sfDir}/lineitem.parquet')
+        |ORDER BY pri LIMIT 100""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .select(
+          md5(concat_ws("_", col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))).as("pri"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("pri").limit(100)
+    },
+
+    // Re-aggregatable distinct-count sketches (Apache DataSketches HLL,
+    // native in Spark 4): per-nation customer sketches built at the fine
+    // grain, then MERGED — hll_union_agg, not recounted — at the region
+    // rollup. The 100 TB story: exact COUNT(DISTINCT) cannot
+    // re-aggregate (distinct sets don't add), so every rollup level
+    // costs another pass over the raw data; sketches are built once and
+    // merge in kilobytes at any grain. The query carries its own
+    // safety evidence (the agg_approx_distinct discipline): each region
+    // row asserts the merged estimate lands within 5% of the exact
+    // count, in exact integer arithmetic (×100 vs ×5 — no float ratio).
+    // Exactness of n_exact: a customer belongs to exactly one nation,
+    // so region-level distinct = Σ nation-level distinct.
+    "agg_sketch_merge" -> Q(
+      """SELECT r_name, COUNT(DISTINCT c_custkey) AS n_exact, TRUE AS hll_ok
+        |FROM read_parquet('{sfDir}/customer.parquet') c
+        |JOIN read_parquet('{sfDir}/nation.parquet') n ON c_nationkey = n_nationkey
+        |JOIN read_parquet('{sfDir}/region.parquet') r ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      val cn = T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      cn.groupBy("r_name", "n_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("nd"))
+        .groupBy("r_name")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          sum("nd").as("n_exact"))
+        .select(col("r_name"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)
+            .as("hll_ok"))
+        .orderBy("r_name")
+    },
+
+    // Co-located join over bucketed layout: orders and lineitem are
+    // written hash-clustered into 8 buckets on the join key (once, at
+    // "ingest" — see bucketedTables), and the join then runs with ZERO
+    // exchanges — both scans report Bucketed: true and EnsureRequirements
+    // accepts their HashPartitioning directly (pinned in LayoutSpec; the
+    // only exchange in the plan is the 5-group rollup above the join).
+    // THE technique for repeated 100 TB fact-fact joins: the shuffle is
+    // paid once at write time and amortized over every subsequent join,
+    // instead of re-shuffling both sides per query. Oracle: DuckDB joins
+    // the original parquet — the gate proves the bucketed layout is
+    // lossless.
+    "layout_bucketed" -> Q(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM read_parquet('{sfDir}/orders.parquet') o
+        |JOIN read_parquet('{sfDir}/lineitem.parquet') l ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val (to, tl) = bucketedTables(s, d)
+      // hint("merge"): at 100 TB both fact sides are far over any
+      // broadcast threshold, so SortMergeJoin IS the production plan —
+      // pin it here too, or the small fixture would broadcast the
+      // orders side and the co-location evidence would never exercise.
+      s.table(to).hint("merge")
+        .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Q.dec2(sum(Q.dec2(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

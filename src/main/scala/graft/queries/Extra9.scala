@@ -158,10 +158,21 @@ object Extra9 {
       val docs = T.documents(s, d).select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       // One shingle scan feeds BOTH the df rollup and the index join —
-      // persist so documents are split/exploded once, not twice.
+      // persist so documents are split/exploded once, not twice. The
+      // shingle is FINGERPRINTED to a 64-bit xxhash before anything is
+      // shuffled or persisted (Broder's construction — shingles live as
+      // fixed-width fingerprints, never strings): every downstream
+      // shuffle (df rollup, the f² pair join, the persist itself) moves
+      // 8-byte longs instead of ~25-byte word-3-gram strings. Two
+      // distinct shingles colliding would need ~2³² of them in one
+      // corpus (birthday bound on 2⁶⁴); the hash gates vs the
+      // string-replaying oracle at all three SFs double as the
+      // collision check — deterministic, so a collision would fail
+      // loudly every run, not flake.
       val sh = docs.filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
-          explode(graft.ops.Sketches.shinglesOfWords("ws", 3)).as("g"))
+          explode(graft.ops.Sketches.shinglesOfWords("ws", 3)).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df cap: boilerplate shingles never enter the index (both sides
       // of the join AND the denominator — the declared contract).
@@ -171,10 +182,17 @@ object Extra9 {
           "g")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("a_n"))
-      val pairs = idx.select(col("doc_id").as("id1"), col("g"))
+      // |S(A)∩S(B)| is symmetric, so generate each UNORDERED pair once
+      // (id1 < id2 inside the join condition — half the f² join output,
+      // half the pair-rollup shuffle) and mirror the counted pairs
+      // afterward: the mirror is a projection over the tiny counted
+      // frame, not a second index join.
+      val half = idx.select(col("doc_id").as("id1"), col("g"))
         .join(idx.select(col("doc_id").as("id2"), col("g").as("g2")),
-          col("g") === col("g2") && col("id1") =!= col("id2"))
+          col("g") === col("g2") && col("id1") < col("id2"))
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
+      val pairs = half.unionAll(half.select(col("id2").as("id1"),
+        col("id1").as("id2"), col("inter_n")))
       pairs.join(sizes.select(col("doc_id").as("id1"), col("a_n")), "id1")
         .filter(col("inter_n") * 1000 >= col("a_n") * 800)
         .select("id1", "id2", "inter_n", "a_n")

@@ -117,6 +117,38 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-order should prune a second-column predicate by >2x: $yZ of ${rangesZ.size}")
   }
 
+  test("layout_bucketed: the bucketed join runs with zero exchanges below the join") {
+    // Both fact tables are written hash-clustered into 8 buckets on the
+    // join key, so EnsureRequirements accepts the scans' HashPartitioning
+    // directly: the ONLY exchange in the whole plan is the 5-group rollup
+    // above the join. A plan that re-shuffled either fact side would
+    // defeat the point of the layout (pre-paying the shuffle at write
+    // time), so pin it structurally: no exchange may appear anywhere in
+    // the join's subtree, and both scans must report their bucketing.
+    val df = SparkEntry.queries("layout_bucketed")(spark, "/root/testdata/sf0.001")
+    df.collect() // let AQE settle on the final plan before inspecting
+    // String checks on the FINAL-plan section: tree collect() does not
+    // traverse into AQE query stages, and toString prints the initial
+    // plan too (which would double-count the scans).
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over the bucketed scans:\n$plan")
+    // The join key must never be re-shuffled — the ONLY exchanges
+    // allowed are the rollup/sort ABOVE the join (on o_orderpriority).
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey")
+      && !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not re-shuffle its inputs:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size == 2,
+      s"both scans must read the bucketed layout:\n$plan")
+    // And the layout is lossless: the joined row count equals the
+    // original parquet join's.
+    val orig = Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(Tables.lineitem(spark, "/root/testdata/sf0.001"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(df.agg(sum("n")).head().getLong(0) == orig)
+  }
+
   test("interleave16 is exact bit interleaving on known values") {
     import spark.implicits._
     // (x, y) → Morton: x bits land on even positions, y bits on odd.

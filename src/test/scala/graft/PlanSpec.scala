@@ -55,6 +55,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("limit_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("sample_bottomk samples via per-partition heaps, not a global sort") {
+    // Bottom-k by hash priority must compile to TakeOrderedAndProject —
+    // k-row heaps per partition, driver merges P·k rows. A plan with a
+    // global Sort would shuffle the full table to sample 100 rows.
+    val p = planOf("sample_bottomk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_sketch_merge merges sketches at the rollup, never rescans") {
+    // One scan of customer; the region level must re-aggregate the
+    // nation-level HLL sketches (hll_union_agg), not recount the raw
+    // rows: at most one FileScan of customer in the PHYSICAL plan
+    // (planOf appends the logical dumps, where the scan repeats).
+    val df = SparkEntry.queries("agg_sketch_merge")(spark, sf)
+    df.collect()
+    // Final-plan section only: AQE's toString appends the initial plan,
+    // which would double-count the scan.
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert("customer\\.parquet".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("hll_union_agg"), p)
+  }
+
   test("join_theta keeps the equi-key hash/sort-merge join (no nested loop)") {
     val p = planOf("join_theta")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -35,12 +35,15 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     dir.toString
   }
 
-  /** events as an unbounded source: same files, readStream, ts_us added. */
+  /** events as an unbounded source: same files, readStream, then the
+    * same canonicalization batch reads get (ts ns BIGINT + ts_us) — the
+    * stream schema must be the RAW file schema, not the normalized one.
+    */
   private def eventStream(): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, sf).drop("ts_us").schema
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    Tables.normalizeEvents(
+      spark.readStream.schema(rawSchema).parquet(eventsDir))
   }
 
   private def runToCompletion(df: DataFrame, name: String, mode: OutputMode): Unit = {
