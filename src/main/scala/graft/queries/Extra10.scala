@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-9 additions: three table-scale techniques the board did not yet
   * declare, each with an exactly-replayable DuckDB oracle —
@@ -110,6 +111,81 @@ object Extra10 {
           (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)
             .as("hll_ok"))
         .orderBy("r_name")
+    },
+
+    // Quantile-sketch safety gate (the profile_table discipline applied
+    // to order statistics): exact per-group quantiles — which at 100 TB
+    // cost a full sort or a high-memory exact percentile — next to the
+    // mergeable approx_percentile sketch (Greenwald-Khanna, rank error
+    // <= 1/accuracy), with each row asserting the sketch lands within 5%
+    // of the exact value on every probed quantile. This is the evidence
+    // that the sketch swap a production profiler makes is safe. Exact
+    // values emitted ROUND-4 as DECIMAL: both engines interpolate the
+    // same (n-1)*q order-statistic definition; the round pins the
+    // representation.
+    "agg_quantile_sketch" -> Q(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS DECIMAL(18,4)) AS q25,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.5),  4) AS DECIMAL(18,4)) AS q50,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS DECIMAL(18,4)) AS q75,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(18,4)) AS q95,
+        |  TRUE AS sketch_ok
+        |FROM read_parquet('{sfDir}/lineitem.parquet')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      T.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+            .as("ex"),
+          expr("approx_percentile(l_extendedprice, " +
+            "array(0.25D, 0.5D, 0.75D, 0.95D), 1000)").as("ap"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(element_at(col("ex"), 1), 4).cast(DecimalType(18, 4)).as("q25"),
+          round(element_at(col("ex"), 2), 4).cast(DecimalType(18, 4)).as("q50"),
+          round(element_at(col("ex"), 3), 4).cast(DecimalType(18, 4)).as("q75"),
+          round(element_at(col("ex"), 4), 4).cast(DecimalType(18, 4)).as("q95"),
+          expr("forall(zip_with(ex, cast(ap as array<double>), " +
+            "(e, a) -> abs(e - a) <= e * 0.05D), x -> x)").as("sketch_ok"))
+        .orderBy("l_returnflag")
+    },
+
+    // Tolerance-bounded as-of join (pandas merge_asof(tolerance=...),
+    // kdb wj within-window): the latest earlier purchase per click, but
+    // a match older than 1 hour is DISCARDED (nulled, row kept — left
+    // semantics). The production need: joining sensor/trade streams
+    // where a stale "most recent" row is worse than none. Same
+    // union+window AsOfJoin core as join_asof; the tolerance is a pure
+    // post-projection in the SAME floored-second arithmetic both
+    // engines replay.
+    "join_asof_tol" -> Q(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t, event_type
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |c AS (SELECT user_id, event_id, t FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t, MIN(event_id) AS p_event_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, t),
+        |j AS (SELECT c.user_id, c.event_id AS click_id,
+        |             CAST(FLOOR(epoch(c.t)) AS BIGINT) AS click_s,
+        |             p.p_event_id, CAST(FLOOR(epoch(p.t)) AS BIGINT) AS p_s
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t)
+        |SELECT user_id, click_id, click_s,
+        |       CASE WHEN click_s - p_s <= 3600 THEN p_event_id END AS p_event_id,
+        |       CASE WHEN click_s - p_s <= 3600 THEN p_s END AS p_s
+        |FROM j ORDER BY user_id, click_id""".stripMargin) { (s, d) =>
+      val e = T.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("pts"))
+        .agg(min(col("event_id")).as("p_event_id"))
+      val inTol = unix_timestamp(col("ts_us")) - unix_timestamp(col("asof_ts")) <= 3600
+      graft.ops.AsOfJoin.joinAsOf(clicks, purchases, key = "user_id",
+          leftTs = "ts_us", rightTs = "pts", rightVals = Seq("p_event_id"))
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("ts_us")).as("click_s"),
+          when(inTol, col("p_event_id")).as("p_event_id"),
+          when(inTol, unix_timestamp(col("asof_ts"))).as("p_s"))
+        .orderBy("user_id", "click_id")
     },
 
     // Co-located join over bucketed layout: orders and lineitem are
