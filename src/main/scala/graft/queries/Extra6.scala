@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Extra6 {
 
+  /** Spark 4's distribution ships the full Avro FileFormat inside
+    * spark-sql itself but WITHOUT the spark-avro module's service
+    * registration (no META-INF entry, no AvroDataSourceV2), so the
+    * "avro" short name fails lookup while the implementation class
+    * loads fine — address it by fully-qualified name.
+    */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
   /** Per-SF staging dir for a format round-trip, made unique per JVM
     * (pid@start): two harness processes on the same SF (bench and
     * correctness can overlap) would otherwise race overwrite-vs-read on
@@ -68,6 +76,32 @@ object Extra6 {
         .agg(count(lit(1)).as("n_sup"),
           dec2(sum(dec2(col("s_acctbal")))).as("sum_bal"))
         .orderBy("s_nationkey")
+    },
+
+    // Avro source — the ROW-oriented interchange format (Kafka payloads,
+    // schema-registry pipelines). Spark 4's distribution bundles the
+    // Avro datasource inside spark-sql itself (verified: AvroFileFormat
+    // resolves from spark-sql_2.13-4.1.2.jar — earlier rounds recorded
+    // this as environment-blocked when only avro-core was present).
+    // Same lossless round-trip contract as the other scan_* gates:
+    // customer staged as .avro, read back, keyed rollup with exact
+    // decimal sums; the oracle aggregates the ORIGINAL parquet. Doubles
+    // survive Avro exactly (IEEE754 binary encoding, no text round
+    // trip), and the DECIMAL cast happens after read-back — a lossy
+    // format would hash-mismatch.
+    "scan_avro" -> Q(
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM read_parquet('{sfDir}/customer.parquet')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val dir = stage(d, "avro")
+      T.customer(s, d).select("c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").format(AvroFmt).save(dir)
+      s.read.format(AvroFmt).load(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          dec2(sum(dec2(col("c_acctbal")))).as("sum_bal"))
+        .orderBy("c_mktsegment")
     },
 
     // ORC source — the columnar alternative; binary-exact by nature, so
