@@ -293,6 +293,33 @@ object PerfProbe {
       scope.release()
       spark.sharedState.cacheManager.clearCache()
     }
+
+    // Round-9 claims, reproducible: (a) the staged IVF-PQ split — call 1
+    // builds + writes the index to parquet, call 2 pays only the
+    // probe/ADC/rerank side (the per-query cost a production deployment
+    // sees); (b) dedup_containment end-to-end with the fingerprinted
+    // (8-byte hashed) shingles + half-pair join.
+    {
+      val embsP = graft.Tables.embeddings(spark, sfDir)
+      val nE = embsP.count()
+      val shortP = math.max(64, (nE * 2 / 5).toInt)
+      for (call <- Seq("build+search", "search-only (staged)")) {
+        val scope = graft.ops.CacheScope.begin(spark)
+        time(s"ivfpq staged, call = $call") {
+          graft.ops.IvfPq.searchStaged(embsP, tag = s"probe_$sfDir", nq = 8,
+            kCells = 16, rc = 3, qp = 6, m = 16, k = 16,
+            shortlist = shortP, topK = 10, refine = 1).count()
+        }
+        scope.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+      val scopeC = graft.ops.CacheScope.begin(spark)
+      time("dedup_containment end-to-end") {
+        graft.SparkEntry.queries("dedup_containment")(spark, sfDir).count()
+      }
+      scopeC.release()
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }
