@@ -107,6 +107,39 @@ object PqIndex {
     val d = embeddingDim(embs, m) // one probe for the whole pipeline
     val cb = trainCodebooksD(embs, m, k, rounds, d)
     val codes = encodeD(graft.Q.spreadBy(embs, "vec_id"), cb, m, d)
+    searchIndex(embs, cb, codes, nq, m, shortlist, topK)
+  }
+
+  /** One staged index per JVM × tag × parameterization (the IvfPq
+    * .searchStaged contract — an ANN index is ingest-time state,
+    * amortized over every query): first call trains + encodes + writes
+    * codebooks and codes as parquet; later calls read them back and pay
+    * only LUT + ADC + shortlist + rerank.
+    */
+  def searchStaged(embs: DataFrame, tag: String, nq: Int, m: Int, k: Int,
+      rounds: Int, shortlist: Int, topK: Int): DataFrame = {
+    val spark = embs.sparkSession
+    val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"/tmp/graft_pq_${graft.Q.perJvmId}/${safe}_m${m}_k${k}_r$rounds"
+    staged.computeIfAbsent(dir, { _ =>
+      val d = embeddingDim(embs, m)
+      val cb = trainCodebooksD(embs, m, k, rounds, d)
+      cb.write.mode("overwrite").parquet(s"$dir/cb")
+      encodeD(graft.Q.spreadBy(embs, "vec_id"),
+        spark.read.parquet(s"$dir/cb"), m, d)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      java.lang.Boolean.TRUE
+    })
+    searchIndex(embs, spark.read.parquet(s"$dir/cb"),
+      spark.read.parquet(s"$dir/codes"), nq, m, shortlist, topK)
+  }
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The search half against a prebuilt (cb, codes) flat-PQ index. */
+  def searchIndex(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+      nq: Int, m: Int, shortlist: Int, topK: Int): DataFrame = {
+    val d = embeddingDim(embs, m)
     // the nq LOWEST-id vectors, as documented — the same selection the
     // codebook seed uses (a plain `vec_id < nq` filter silently returns
     // nothing on corpora whose ids aren't 0-based contiguous)

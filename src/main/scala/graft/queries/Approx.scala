@@ -199,8 +199,12 @@ object Approx {
       // topK·6.
       val short = math.max(64L,
         (graft.Q.parquetRowCount(s, s"$d/embeddings.parquet") * 11 + 19) / 20).toInt
-      graft.ops.PqIndex.search(embs, nq = 8, m = 16, k = 16, rounds = 0,
-        shortlist = short, topK = 10)
+      // searchStaged (the IvfPq amortization contract): codebooks +
+      // codes staged to parquet once per JVM × corpus × params; each
+      // call pays only LUT + ADC + shortlist + rerank. First call still
+      // builds end-to-end; SketchesSpec gates the unstaged search().
+      graft.ops.PqIndex.searchStaged(embs, tag = d, nq = 8, m = 16,
+        k = 16, rounds = 0, shortlist = short, topK = 10)
     },
 
     // IVF-PQ composite ANN — the production large-corpus index shape
