@@ -55,7 +55,20 @@ object IvfPq {
     */
   def buildIndex(embs: DataFrame, kCells: Int, rc: Int, m: Int, k: Int,
       refine: Int): (DataFrame, DataFrame, DataFrame) = {
-    val d = PqIndex.embeddingDim(embs, m)
+    val f = buildFrames(embs, PqIndex.embeddingDim(embs, m), kCells, rc, m,
+      k, refine)
+    (f.cents, f.cb, f.codes)
+  }
+
+  /** Index frames plus the internal persisted residual relation, so the
+    * staged path can unpersist what it no longer needs once the index is
+    * on disk.
+    */
+  private final case class IndexFrames(cents: DataFrame, cb: DataFrame,
+      codes: DataFrame, resid: DataFrame)
+
+  private def buildFrames(embs: DataFrame, d: Int, kCells: Int, rc: Int,
+      m: Int, k: Int, refine: Int): IndexFrames = {
     val sub = d / m
     // Centroids feed assignment AND two residual joins — persist (lazy)
     // so the Lloyd lineage runs once; kilobytes either way.
@@ -86,7 +99,7 @@ object IvfPq {
           col("ccode").as("ccode")).as("cand"))
       .groupBy("vec_id", "cid", "j").agg(min(col("cand")).as("best"))
       .select(col("vec_id"), col("cid"), col("j"), col("best.ccode").as("code"))
-    (cents, cb, codes)
+    IndexFrames(cents, cb, codes, resid)
   }
 
   /** ADC top-`topK` neighbors for the `nq` lowest-id vectors: coarse
@@ -100,8 +113,9 @@ object IvfPq {
     require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
       s"IvfPq: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
         s"got rc=$rc qp=$qp kCells=$kCells")
-    val (cents, cb, codes) = buildIndex(embs, kCells, rc, m, k, refine)
-    searchIndex(embs, cents, cb, codes, nq, qp, m, shortlist, topK)
+    val d = PqIndex.embeddingDim(embs, m) // one probe for the whole pipeline
+    val f = buildFrames(embs, d, kCells, rc, m, k, refine)
+    searchIndexD(embs, d, f.cents, f.cb, f.codes, nq, qp, m, shortlist, topK)
   }
 
   /** One staged index per JVM × tag × parameterization, searched many
@@ -124,14 +138,19 @@ object IvfPq {
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
     val dir = s"/tmp/graft_ivfpq_${graft.Q.perJvmId}/" +
       s"${safe}_k${kCells}_rc${rc}_m${m}_cb${k}_r$refine"
+    val d = PqIndex.embeddingDim(embs, m) // one probe for the whole pipeline
     staged.computeIfAbsent(dir, { _ =>
-      val (cents, cb, codes) = buildIndex(embs, kCells, rc, m, k, refine)
-      cents.write.mode("overwrite").parquet(s"$dir/cents")
-      cb.write.mode("overwrite").parquet(s"$dir/cb")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      val f = buildFrames(embs, d, kCells, rc, m, k, refine)
+      f.cents.write.mode("overwrite").parquet(s"$dir/cents")
+      f.cb.write.mode("overwrite").parquet(s"$dir/cb")
+      f.codes.write.mode("overwrite").parquet(s"$dir/codes")
+      // The index is on disk — the build-side caches would otherwise sit
+      // in executor memory for the JVM lifetime with no further reader.
+      f.cents.unpersist(false)
+      f.resid.unpersist(false)
       java.lang.Boolean.TRUE
     })
-    searchIndex(embs,
+    searchIndexD(embs, d,
       spark.read.parquet(s"$dir/cents"),
       spark.read.parquet(s"$dir/cb"),
       spark.read.parquet(s"$dir/codes"), nq, qp, m, shortlist, topK)
@@ -147,8 +166,13 @@ object IvfPq {
     */
   def searchIndex(embs: DataFrame, cents: DataFrame, cb: DataFrame,
       codes: DataFrame, nq: Int, qp: Int, m: Int, shortlist: Int,
-      topK: Int): DataFrame = {
-    val d = PqIndex.embeddingDim(embs, m)
+      topK: Int): DataFrame =
+    searchIndexD(embs, PqIndex.embeddingDim(embs, m), cents, cb, codes,
+      nq, qp, m, shortlist, topK)
+
+  private def searchIndexD(embs: DataFrame, d: Int, cents: DataFrame,
+      cb: DataFrame, codes: DataFrame, nq: Int, qp: Int, m: Int,
+      shortlist: Int, topK: Int): DataFrame = {
     val sub = d / m
     // The nq lowest-id vectors as queries (the PqIndex selection).
     val queries = embs.orderBy("vec_id").limit(nq)

@@ -107,7 +107,7 @@ object PqIndex {
     val d = embeddingDim(embs, m) // one probe for the whole pipeline
     val cb = trainCodebooksD(embs, m, k, rounds, d)
     val codes = encodeD(graft.Q.spreadBy(embs, "vec_id"), cb, m, d)
-    searchIndex(embs, cb, codes, nq, m, shortlist, topK)
+    searchIndexD(embs, d, cb, codes, nq, m, shortlist, topK)
   }
 
   /** One staged index per JVM × tag × parameterization (the IvfPq
@@ -121,8 +121,8 @@ object PqIndex {
     val spark = embs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
     val dir = s"/tmp/graft_pq_${graft.Q.perJvmId}/${safe}_m${m}_k${k}_r$rounds"
+    val d = embeddingDim(embs, m) // one probe for the whole pipeline
     staged.computeIfAbsent(dir, { _ =>
-      val d = embeddingDim(embs, m)
       val cb = trainCodebooksD(embs, m, k, rounds, d)
       cb.write.mode("overwrite").parquet(s"$dir/cb")
       encodeD(graft.Q.spreadBy(embs, "vec_id"),
@@ -130,7 +130,7 @@ object PqIndex {
         .write.mode("overwrite").parquet(s"$dir/codes")
       java.lang.Boolean.TRUE
     })
-    searchIndex(embs, spark.read.parquet(s"$dir/cb"),
+    searchIndexD(embs, d, spark.read.parquet(s"$dir/cb"),
       spark.read.parquet(s"$dir/codes"), nq, m, shortlist, topK)
   }
   private val staged =
@@ -138,8 +138,13 @@ object PqIndex {
 
   /** The search half against a prebuilt (cb, codes) flat-PQ index. */
   def searchIndex(embs: DataFrame, cb: DataFrame, codes: DataFrame,
-      nq: Int, m: Int, shortlist: Int, topK: Int): DataFrame = {
-    val d = embeddingDim(embs, m)
+      nq: Int, m: Int, shortlist: Int, topK: Int): DataFrame =
+    searchIndexD(embs, embeddingDim(embs, m), cb, codes, nq, m,
+      shortlist, topK)
+
+  private def searchIndexD(embs: DataFrame, d: Int, cb: DataFrame,
+      codes: DataFrame, nq: Int, m: Int, shortlist: Int,
+      topK: Int): DataFrame = {
     // the nq LOWEST-id vectors, as documented — the same selection the
     // codebook seed uses (a plain `vec_id < nq` filter silently returns
     // nothing on corpora whose ids aren't 0-based contiguous)

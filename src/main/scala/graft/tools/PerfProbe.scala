@@ -301,8 +301,10 @@ object PerfProbe {
     // (8-byte hashed) shingles + half-pair join.
     {
       val embsP = graft.Tables.embeddings(spark, sfDir)
-      val nE = embsP.count()
-      val shortP = math.max(64, (nE * 2 / 5).toInt)
+      // Same shortlist law + footer-read source as the declared query —
+      // the probe must reproduce the production parameterization exactly.
+      val shortP = math.max(64L,
+        (graft.Q.parquetRowCount(spark, s"$sfDir/embeddings.parquet") * 2 + 4) / 5).toInt
       for (call <- Seq("build+search", "search-only (staged)")) {
         val scope = graft.ops.CacheScope.begin(spark)
         time(s"ivfpq staged, call = $call") {

@@ -78,4 +78,34 @@ class IvfPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = truth(embs)
     assert((t -- got(embs, qp = 6, shortlist = s40(embs.count()))).isEmpty)
   }
+
+  test("staged search == fresh search, on the build call AND the read-back call") {
+    // The declared queries run searchStaged, whose second call takes the
+    // parquet read-back path no other test exercises: a schema/type
+    // drift in the staged cents/cb/codes round-trip would diverge from
+    // fresh builds and only surface in the external oracle harness.
+    // Covers both index families; the unique tag isolates this test's
+    // staging dir from the declared queries'.
+    val sf = "/root/testdata/sf0.001"
+    val embs = Tables.embeddings(spark, sf)
+    val n = embs.count()
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq // already totally ordered
+    val freshI = rows(IvfPq.search(embs, nq = 8, kCells = 16, rc = 3,
+      qp = 6, m = 16, k = 16, shortlist = s40(n), topK = 10))
+    for (call <- 1 to 2) {
+      val stagedI = rows(IvfPq.searchStaged(embs, tag = s"spec_$sf", nq = 8,
+        kCells = 16, rc = 3, qp = 6, m = 16, k = 16, shortlist = s40(n),
+        topK = 10, refine = 1))
+      assert(stagedI == freshI, s"IvfPq staged call $call diverged")
+    }
+    val freshP = rows(graft.ops.PqIndex.search(embs, nq = 8, m = 16,
+      k = 16, rounds = 0, shortlist = s40(n), topK = 10))
+    for (call <- 1 to 2) {
+      val stagedP = rows(graft.ops.PqIndex.searchStaged(embs,
+        tag = s"spec_$sf", nq = 8, m = 16, k = 16, rounds = 0,
+        shortlist = s40(n), topK = 10))
+      assert(stagedP == freshP, s"PqIndex staged call $call diverged")
+    }
+  }
 }
