@@ -113,6 +113,85 @@ object Extra10 {
         .orderBy("r_name")
     },
 
+    // Re-aggregatable MinHash (the agg_sketch_merge discipline for SET
+    // similarity): per-document signatures roll up to PER-SOURCE
+    // signatures by ELEMENT-WISE MIN — sig(A ∪ B) = min(sig(A), sig(B))
+    // position-wise, the defining mergeability of MinHash — and the
+    // merged signatures estimate every source-pair Jaccard from k=128
+    // ints per source instead of the full shingle sets. The 100 TB
+    // story: per-shard signatures are built once at ingest and merge in
+    // kilobytes at any grain; the exact pairwise-source Jaccard (which
+    // this query ALSO computes, as the gate) needs the full inverted
+    // index every time. Each emitted pair asserts the estimate lands
+    // within 0.2 of exact Jaccard in exact integer cross-multiplied
+    // arithmetic (|m·u − inter·128|·5 ≤ u·128, u = |A∪B|) — ≥4σ of the
+    // k=128 binomial stderr, and deterministic on the fixed fixture.
+    // Pairs emitted where the shingle sets intersect; sources compare
+    // lexicographically in both engines (ASCII byte order).
+    "agg_minhash_merge" -> Q(
+      """WITH w AS (SELECT doc_id, source,
+        |             list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |s AS (SELECT source, list_distinct(
+        |        [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |      FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT DISTINCT source, g
+        |      FROM (SELECT source, unnest(sh) AS g FROM s)),
+        |z AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+        |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter_n
+        |      FROM e a JOIN e b ON a.g = b.g AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, CAST(inter_n AS BIGINT) AS inter_n,
+        |       CAST(za.n AS BIGINT) AS a_n, CAST(zb.n AS BIGINT) AS b_n,
+        |       TRUE AS est_ok
+        |FROM p JOIN z za ON za.source = s1 JOIN z zb ON zb.source = s2
+        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      // Exact side (the gate's ground truth, matching the oracle's raw
+      // string shingles): per-source distinct shingle sets → sizes +
+      // pairwise intersections via the inverted-index equi-join. The
+      // shingle is fingerprinted to a 64-bit xxhash BEFORE the distinct
+      // and the f² pair join (the dedup_containment discipline —
+      // 8-byte longs through every shuffle instead of ~25-byte
+      // word-3-grams; the string-replaying oracle at three SFs is the
+      // deterministic collision check).
+      val sh = Q.spreadBy(docs, "doc_id")
+        .select(col("source"),
+          explode(graft.ops.Sketches.shingles("text", 3)).as("g0"))
+        .select(col("source"), xxhash64(col("g0")).as("g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("source").as("s1"), col("g"))
+        .join(sh.select(col("source").as("s2"), col("g").as("g2")),
+          col("g") === col("g2") && col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
+      // Sketch side: per-doc signatures (native MinHashSignature kernel)
+      // → per-source element-wise-min merge → pairwise position-match
+      // counts. All skinny: 20 sources × 128 positions.
+      val srcSig = graft.ops.Sketches
+        .signatures(docs.select("doc_id", "text"), k = 128)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("source"), posexplode(col("sig")).as(Seq("p", "v")))
+        .groupBy("source", "p").agg(min("v").as("v"))
+      val matches = srcSig.select(col("source").as("s1"), col("p"), col("v").as("v1"))
+        .join(srcSig.select(col("source").as("s2"), col("p").as("p2"),
+          col("v").as("v2")),
+          col("p") === col("p2") && col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("m"))
+      inter
+        .join(sizes.select(col("source").as("s1"), col("n").as("a_n")), "s1")
+        .join(sizes.select(col("source").as("s2"), col("n").as("b_n")), "s2")
+        .join(matches, Seq("s1", "s2"))
+        .select(col("s1"), col("s2"), col("inter_n"), col("a_n"), col("b_n"),
+          (abs(col("m") * (col("a_n") + col("b_n") - col("inter_n"))
+            - col("inter_n") * 128) * 5
+            <= (col("a_n") + col("b_n") - col("inter_n")) * 128).as("est_ok"))
+        .orderBy("s1", "s2")
+    },
+
     // Quantile-sketch safety gate (the profile_table discipline applied
     // to order statistics): exact per-group quantiles — which at 100 TB
     // cost a full sort or a high-memory exact percentile — next to the

@@ -399,4 +399,31 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val overlap = fps(0L).intersect(fps(2L)).size.toDouble / fps(0L).size
     assert(overlap > 0.5, s"winnowing overlap $overlap")
   }
+
+  test("minhash mergeability: element-min of per-doc sigs == sig of the union set") {
+    // The property agg_minhash_merge rests on: for each permutation
+    // position, min over documents of (min over the doc's shingles) ==
+    // min over the UNION of the shingles — so per-source signatures can
+    // be rolled up from per-doc signatures without touching raw text.
+    // Verified on the real fixture across every source.
+    import org.apache.spark.sql.functions._
+    val gn = org.apache.spark.sql.graft.native
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val hs = graft.ops.Sketches.hashedShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val merged = hs
+      .select(col("source"), posexplode(gn.minhash_signature(col("hs"), 64))
+        .as(Seq("p", "v")))
+      .groupBy("source", "p").agg(min("v").as("v"))
+      .groupBy("source").agg(sort_array(collect_list(struct(col("p"), col("v"))))
+        .as("sig"))
+      .select(col("source"), expr("transform(sig, x -> x.v)").as("sig"))
+    val direct = hs.select(col("source"), explode(col("hs")).as("h")).distinct()
+      .groupBy("source").agg(collect_list("h").as("hs"))
+      .select(col("source"), gn.minhash_signature(col("hs"), 64).as("sig"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val dct = direct.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m.keySet == dct.keySet && m.keySet.nonEmpty)
+    for ((src, sig) <- m) assert(sig == dct(src), s"merge mismatch for $src")
+  }
 }
