@@ -173,13 +173,24 @@ object Extra9 {
         .select(col("doc_id"),
           explode(graft.ops.Sketches.shinglesOfWords("ws", 3)).as("g0"))
         .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df cap: boilerplate shingles never enter the index (both sides
       // of the join AND the denominator — the declared contract).
-      val idx = sh.join(
-          sh.groupBy("g").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= 100).select("g"),
-          "g")
+      // Computed as a COUNT WINDOW over the gram partition: ONE shuffle
+      // of the exploded rows produces df-annotated rows directly, where
+      // the rollup+join-back form shuffles them twice (once compressed
+      // for the rollup, once raw for the join) and needs the raw rows
+      // persisted to avoid a second explode (measured 2.9 → 1.6 s at
+      // sf0.1). Skew note: a boilerplate gram's occurrences land in ONE
+      // window task — but so they did in the join-back's probe side,
+      // and they are exactly the rows the cap discards on the spot; the
+      // residual cost is the in-task sort of the hot key's 8-byte
+      // fingerprints (the SubstringDedup.twoPhaseFirst discussion — at
+      // cluster scale with GB-sized hot grams, restore the map-side-
+      // compressed rollup for the df pass).
+      val dfw = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val idx = sh
+        .withColumn("df", count(lit(1)).over(dfw))
+        .filter(col("df") <= 100).drop("df")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("a_n"))
       // |S(A)∩S(B)| is symmetric, so generate each UNORDERED pair once
