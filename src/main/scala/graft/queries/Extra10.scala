@@ -148,18 +148,21 @@ object Extra10 {
         |ORDER BY s1, s2""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"))
-      // Exact side (the gate's ground truth, matching the oracle's raw
-      // string shingles): per-source distinct shingle sets → sizes +
-      // pairwise intersections via the inverted-index equi-join. The
-      // shingle is fingerprinted to a 64-bit xxhash BEFORE the distinct
-      // and the f² pair join (the dedup_containment discipline —
-      // 8-byte longs through every shuffle instead of ~25-byte
-      // word-3-grams; the string-replaying oracle at three SFs is the
-      // deterministic collision check).
-      val sh = Q.spreadBy(docs, "doc_id")
-        .select(col("source"),
-          explode(graft.ops.Sketches.shingles("text", 3)).as("g0"))
-        .select(col("source"), xxhash64(col("g0")).as("g"))
+      // ONE shingle pass feeds BOTH sides: hashedShingles fingerprints
+      // each document's distinct word-3-grams once (xxhash64 mod P — the
+      // dedup_containment discipline: fixed-width fingerprints through
+      // every shuffle, never strings; the string-replaying oracle at
+      // three SFs is the deterministic collision check). The exact side
+      // explodes the persisted arrays; the sketch side runs the native
+      // MinHashSignature kernel over the same arrays — the text is
+      // split/shingled/hashed exactly once.
+      val hs = graft.ops.Sketches
+        .hashedShingles(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Exact per-source distinct fingerprint sets → sizes + pairwise
+      // intersections via the inverted-index equi-join.
+      val sh = hs.select(col("source"), explode(col("hs")).as("g"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
@@ -167,13 +170,12 @@ object Extra10 {
         .join(sh.select(col("source").as("s2"), col("g").as("g2")),
           col("g") === col("g2") && col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
-      // Sketch side: per-doc signatures (native MinHashSignature kernel)
-      // → per-source element-wise-min merge → pairwise position-match
-      // counts. All skinny: 20 sources × 128 positions.
-      val srcSig = graft.ops.Sketches
-        .signatures(docs.select("doc_id", "text"), k = 128)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select(col("source"), posexplode(col("sig")).as(Seq("p", "v")))
+      // Sketch side: per-doc signatures → per-source element-wise-min
+      // merge → pairwise position-match counts. All skinny: 20 sources
+      // × 128 positions.
+      val srcSig = hs
+        .select(col("source"), posexplode(org.apache.spark.sql.graft
+          .native.minhash_signature(col("hs"), 128)).as(Seq("p", "v")))
         .groupBy("source", "p").agg(min("v").as("v"))
       val matches = srcSig.select(col("source").as("s1"), col("p"), col("v").as("v1"))
         .join(srcSig.select(col("source").as("s2"), col("p").as("p2"),
