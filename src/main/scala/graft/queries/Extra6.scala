@@ -104,6 +104,29 @@ object Extra6 {
         .orderBy("c_mktsegment")
     },
 
+    // Plain-text source — the line-oriented format raw crawl/log corpora
+    // arrive in (one record per line, a single string column). Round
+    // trip: every document's text written as one line, read back via
+    // spark.read.text, and the corpus-level length stats must match the
+    // original parquet exactly — a gate that catches any line-splitting,
+    // trailing-whitespace, or encoding mangling in the writer/reader
+    // pair. (The fixture's documents are newline-free by construction;
+    // a corpus with embedded newlines would use the json/parquet path.)
+    "scan_text" -> Q(
+      """SELECT COUNT(*) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |       CAST(MIN(length(text)) AS BIGINT) AS min_len,
+        |       CAST(MAX(length(text)) AS BIGINT) AS max_len
+        |FROM read_parquet('{sfDir}/documents.parquet')""".stripMargin) { (s, d) =>
+      val dir = stage(d, "text")
+      T.documents(s, d).select("text").write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("value"))).as("sum_len"),
+          min(length(col("value"))).cast("long").as("min_len"),
+          max(length(col("value"))).cast("long").as("max_len"))
+    },
+
     // ORC source — the columnar alternative; binary-exact by nature, so
     // the round-trip covers the reader/writer pair and shows the engine
     // is not parquet-monogamous.
