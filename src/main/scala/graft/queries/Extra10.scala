@@ -130,7 +130,7 @@ object Extra10 {
     // lexicographically in both engines (ASCII byte order).
     "agg_minhash_merge" -> Q(
       """WITH w AS (SELECT doc_id, source,
-        |             list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |             string_split(text, ' ') AS ws
         |           FROM read_parquet('{sfDir}/documents.parquet')),
         |s AS (SELECT source, list_distinct(
         |        [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
@@ -148,21 +148,22 @@ object Extra10 {
         |ORDER BY s1, s2""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"))
-      // ONE shingle pass feeds BOTH sides: hashedShingles fingerprints
-      // each document's distinct word-3-grams once (xxhash64 mod P — the
-      // dedup_containment discipline: fixed-width fingerprints through
-      // every shuffle, never strings; the string-replaying oracle at
-      // three SFs is the deterministic collision check). The exact side
-      // explodes the persisted arrays; the sketch side runs the native
-      // MinHashSignature kernel over the same arrays — the text is
-      // split/shingled/hashed exactly once.
-      val hs = graft.ops.Sketches
-        .hashedShingles(docs.select("doc_id", "text"))
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Exact per-source distinct fingerprint sets → sizes + pairwise
-      // intersections via the inverted-index equi-join.
-      val sh = hs.select(col("source"), explode(col("hs")).as("g"))
+      // Word convention: BOTH engines shingle the raw space-split
+      // (empty tokens kept — the dedup_minhash convention; the oracle's
+      // string_split replays Spark's split byte-for-byte). The exact
+      // side fingerprints shingles at FULL xxhash64 width (the
+      // containment discipline — 2⁶⁴ birthday bound; the sketch
+      // kernel's 2³¹ domain would reach expected-1 cross-source
+      // collisions at |A|·|B| ≈ 2·10⁹, too tight for an exactness
+      // gate). The two sides deliberately do NOT share a persisted
+      // shingle relation: a measured attempt (persisting per-doc
+      // string shingle arrays) read 3.5× slower than letting each
+      // branch fuse its own map-side explode+hash into its first
+      // shuffle.
+      val sh = Q.spreadBy(docs, "doc_id")
+        .select(col("source"),
+          explode(graft.ops.Sketches.shingles("text", 3)).as("g0"))
+        .select(col("source"), xxhash64(col("g0")).as("g"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
@@ -170,12 +171,14 @@ object Extra10 {
         .join(sh.select(col("source").as("s2"), col("g").as("g2")),
           col("g") === col("g2") && col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
-      // Sketch side: per-doc signatures → per-source element-wise-min
-      // merge → pairwise position-match counts. All skinny: 20 sources
-      // × 128 positions.
-      val srcSig = hs
-        .select(col("source"), posexplode(org.apache.spark.sql.graft
-          .native.minhash_signature(col("hs"), 128)).as(Seq("p", "v")))
+      // Sketch side: per-doc signatures (native MinHashSignature kernel
+      // over the mod-P fingerprint domain, as everywhere in Sketches) →
+      // per-source element-wise-min merge → pairwise position-match
+      // counts. All skinny: 20 sources × 128 positions.
+      val srcSig = graft.ops.Sketches
+        .signatures(docs.select("doc_id", "text"), k = 128)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("source"), posexplode(col("sig")).as(Seq("p", "v")))
         .groupBy("source", "p").agg(min("v").as("v"))
       val matches = srcSig.select(col("source").as("s1"), col("p"), col("v").as("v1"))
         .join(srcSig.select(col("source").as("s2"), col("p").as("p2"),
