@@ -197,6 +197,34 @@ object Extra10 {
         .orderBy("s1", "s2")
     },
 
+    // VARIANT — Spark 4's semi-structured type (the open-format
+    // replacement for string-JSON hot paths): parse_json lands the
+    // payload once as a typed binary variant, and variant_get extracts
+    // paths WITHOUT re-parsing the string per field — the at-scale win
+    // over fn_json's get_json_object, which re-tokenizes the JSON text
+    // on every extraction. Emits a typed field, a derived computation
+    // on it, a schema probe (schema_of_variant), and a try-variant miss
+    // (absent path → NULL, never an error). Oracle: DuckDB's JSON
+    // extraction replays the same values; the schema probe's literal is
+    // stated directly (props is uniformly {"k": int}).
+    "fn_variant" -> Q(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 3 AS k3,
+        |  'OBJECT<k: BIGINT>' AS vschema,
+        |  CAST(NULL AS BIGINT) AS missing
+        |FROM read_parquet('{sfDir}/events.parquet')
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .select(col("event_id"), expr("parse_json(props)").as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          (expr("variant_get(v, '$.k', 'bigint')") * 3).as("k3"),
+          expr("schema_of_variant(v)").as("vschema"),
+          expr("try_variant_get(v, '$.nope', 'bigint')").as("missing"))
+        .orderBy("event_id")
+    },
+
     // Quantile-sketch safety gate (the profile_table discipline applied
     // to order statistics): exact per-group quantiles — which at 100 TB
     // cost a full sort or a high-memory exact percentile — next to the
