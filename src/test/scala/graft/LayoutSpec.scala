@@ -149,6 +149,31 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(sum("n")).head().getLong(0) == orig)
   }
 
+  test("bucketed scan prunes to one bucket on an equality key filter") {
+    // The second dividend of the bucketed layout (beyond exchange-free
+    // joins): an equality predicate on the bucket key prunes the scan to
+    // the single bucket that can hold it — 1/8 of the files read, before
+    // any I/O, the same class of win as partition pruning but on a
+    // high-cardinality key no directory layout could carry.
+    val (to, _) = graft.queries.Extra10.bucketedTables(spark, "/root/testdata/sf0.001")
+    val key = spark.table(to).orderBy("o_orderkey").select("o_orderkey")
+      .head().getLong(0)
+    // autoBucketedScan (default on) drops bucketed reading when no
+    // operator needs the hash distribution — which also forfeits bucket
+    // pruning. A deployment that filters bucketed facts by key pins it
+    // off for exactly this plan shape.
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val df = spark.table(to).filter(col("o_orderkey") === key)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(df.count() >= 1)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("interleave16 is exact bit interleaving on known values") {
     import spark.implicits._
     // (x, y) → Morton: x bits land on even positions, y bits on odd.
