@@ -37,6 +37,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The µs-branch's NTZ→TZ cast is value-preserving ONLY under a UTC
+    // session zone; every harness entry point pins UTC already, but the
+    // invariant belongs to the function that depends on it (ADVICE r9) —
+    // a non-UTC caller would otherwise get silently re-zoned epochs.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     normalizeEvents(t(s, d, "events"))
   }
 

@@ -60,4 +60,53 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       expr("timestamp_micros(ts div 1000)") =!= col("ts_us")).count()
     assert(bad == 0L)
   }
+
+  test("normalizeEvents is UTC-pinned regardless of the caller's session zone") {
+    // The µs branch casts TIMESTAMP_NTZ → TIMESTAMP; without the pin that
+    // cast re-zones the epoch value under a non-UTC session (ADVICE r9).
+    // Tables.events must enforce the invariant itself, not inherit it.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      val mn = ev.agg(min("ts")).head().getLong(0)
+      // fixture spans 2024-01-01..2024-01-30 UTC: a re-zoned load would
+      // shift the minimum by the -05:00 offset (18e12 ns).
+      assert(mn >= 1704067200000000000L && mn < 1706745600000000000L,
+        s"min ts $mn outside the fixture's UTC epoch range")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("fixture precondition: events.props is uniformly {\"k\": int} " +
+    "(the fn_variant oracle literal)") {
+    // fn_variant's oracle states schema_of_variant's result as the
+    // literal 'OBJECT<k: BIGINT>' and the '$.nope' miss as NULL. A
+    // driver fixture refresh that adds a second key, a null props row,
+    // or a non-int k would hash-fail all 10k rows with a confusing diff
+    // (ADVICE r9) — this pin makes that drift fail HERE with a name.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.filter(col("props").isNull).count() == 0L)
+    val schemas = ev
+      .select(expr("schema_of_variant(parse_json(props))").as("sc"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(schemas == Seq("OBJECT<k: BIGINT>"),
+      s"events.props drifted from the fn_variant oracle's shape: $schemas")
+  }
+
+  test("fixture precondition: documents.doc_id is dense 0..N-1 " +
+    "(the multimodal_meta oracle's generator domain)") {
+    // multimodal_meta synthesizes media for ids 0..N-1 (N from the
+    // parquet footer) while its oracle replays the generator formulas
+    // over doc_id — the two domains coincide only while doc_id stays
+    // dense. Pin it so a fixture refresh fails here by name.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = Tables.documents(spark, s"/root/testdata/$sf")
+      val r = docs.agg(min("doc_id"), max("doc_id"),
+        count(lit(1)), countDistinct("doc_id")).head()
+      val (mn, mx, n, nd) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mn == 0L && mx == n - 1 && nd == n,
+        s"$sf doc_id not dense 0..N-1: min=$mn max=$mx n=$n distinct=$nd")
+    }
+  }
 }
