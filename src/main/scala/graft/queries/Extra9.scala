@@ -16,6 +16,104 @@ object Extra9 {
   private val ProfNum = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
   private val ProfStr = Seq("l_returnflag", "l_linestatus")
 
+  /** The containment pipeline behind `dedup_containment`, reworked in
+    * round 10 (was 2.02 s driver-side) around PREFIX FILTERING — the
+    * AllPairs/PPJoin family's candidate bound (Bayardo et al. 2007,
+    * Xiao et al. 2008), which is THE set-similarity-join algorithm at
+    * scale: under any fixed global order on the gram universe, if
+    * C(A→B) = |A∩B|/|A| ≥ t then B must contain at least one of A's
+    * first ⌊(1−t)·|A|⌋+1 grams — miss them all and |A∩B| ≤ |A| minus
+    * that prefix, already below t·|A|. So candidates come from joining
+    * each doc's ⌊0.2·|A|⌋+1 RAREST grams (global order = (df, g)
+    * ascending — rarest-first maximizes pruning) against the full
+    * index, instead of the all-shared-grams f² pair explosion; the
+    * exact |A∩B| is then an array_intersect over the two (≤doc-length)
+    * gram arrays per surviving candidate. Both ordered directions fall
+    * out naturally (A probes, B indexes) — no mirror step.
+    *
+    * Plan shape: one wide shuffle builds the capped inverted index
+    * (groupBy(g).collect_set — partial_collect_set dedups (doc, g)
+    * map-side and subsumes the old distinct), one keyed rollup turns it
+    * into per-doc sorted gram arrays, then the candidate join moves
+    * only skinny (id, g) rows — prefix side ~|A|/5 of the exploded
+    * relation, and per-gram fan-out concentrated on LOW-df grams by
+    * construction. The per-doc array attach is broadcast here (the
+    * corpus array table is MBs on the fixtures); at cluster scale that
+    * attach becomes two shuffle joins on doc_id — the arrays stay
+    * bounded by document length either way.
+    *
+    * `prefilterDf = true` is the cluster-scale df switch (spec-equal,
+    * ScaleTechniquesSpec): a map-side-COMPRESSED count rollup computes
+    * df first so no collected set ever exceeds the cap (100) — the
+    * direct form must materialize a hot boilerplate gram's full doc
+    * set in one reduce task just to discard it; locally the direct
+    * form's single shuffle wins.
+    */
+  private[graft] def containment(s: org.apache.spark.sql.SparkSession,
+      d: String, prefilterDf: Boolean): org.apache.spark.sql.DataFrame =
+    containmentOf(T.documents(s, d).select("doc_id", "text"), prefilterDf)
+
+  /** Same pipeline over an explicit (doc_id, text) frame — the declared
+    * query binds the fixture table; PerfProbe binds scaled/perturbed
+    * corpora so the scaling exponents are measured on the EXACT declared
+    * shape, not a probe-local copy.
+    */
+  private[graft] def containmentOf(docsRaw: org.apache.spark.sql.DataFrame,
+      prefilterDf: Boolean): org.apache.spark.sql.DataFrame = {
+    val docs = docsRaw.select(col("doc_id"),
+      expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+    // The shingle is FINGERPRINTED to a 64-bit xxhash before anything
+    // is shuffled (Broder's construction — shingles live as fixed-width
+    // fingerprints, never strings): every shuffle moves 8-byte longs
+    // instead of ~25-byte word-3-gram strings. Two distinct shingles
+    // colliding would need ~2³² of them in one corpus (birthday bound
+    // on 2⁶⁴); the hash gates vs the string-replaying oracle at all
+    // three SFs double as the collision check — deterministic, so a
+    // collision would fail loudly every run, not flake.
+    val grams = graft.Q.spreadBy(docs.filter(size(col("ws")) >= 3), "doc_id")
+      .select(col("doc_id"),
+        explode(graft.ops.Sketches.shinglesOfWords("ws", 3)).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    // df cap: boilerplate shingles never enter the index (both the
+    // numerator and the denominator — the declared contract; the
+    // oracle replays the identical cap).
+    val byGram = if (prefilterDf) {
+      val keep = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("g")
+      grams.join(keep, "g")
+        .groupBy("g").agg(collect_set(col("doc_id")).as("ids"))
+    } else {
+      grams.groupBy("g").agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= 100)
+    }
+    // Per-doc gram arrays in the global (df, g) order — df comes free
+    // as size(ids), so no extra pass; sort_array on the (df, g) structs
+    // makes every doc's array rarest-first under ONE total order (g
+    // tiebreaks — ties must break identically everywhere for the
+    // prefix theorem to hold).
+    val docGrams = byGram
+      .select(explode(col("ids")).as("doc_id"),
+        struct(size(col("ids")).as("df"), col("g")).as("dg"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("dg"))).as("sg"))
+      .select(col("doc_id"), expr("transform(sg, x -> x.g)").as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = docGrams.select(col("doc_id").as("id1"), explode(expr(
+      "slice(grams, 1, cast(floor(size(grams) * 0.2) as int) + 1)")).as("g"))
+    val index = docGrams.select(col("doc_id").as("id2"),
+      explode(col("grams")).as("g2"))
+    val cands = probe
+      .join(index, col("g") === col("g2") && col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+    val a = docGrams.select(col("doc_id").as("id1"), col("grams").as("ga"))
+    val b = docGrams.select(col("doc_id").as("id2"), col("grams").as("gb"))
+    cands.join(broadcast(a), "id1").join(broadcast(b), "id2")
+      .select(col("id1"), col("id2"),
+        expr("cast(size(array_intersect(ga, gb)) as bigint)").as("inter_n"),
+        expr("cast(size(ga) as bigint)").as("a_n"))
+      .filter(col("inter_n") * 1000 >= col("a_n") * 800)
+      .orderBy("id1", "id2")
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Single-pass table profiling — per-column null counts, exact
@@ -155,59 +253,9 @@ object Extra9 {
         |FROM p JOIN z ON z.doc_id = id1
         |WHERE inter_n * 1000 >= a_n * 800
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val docs = T.documents(s, d).select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
-      // One shingle scan feeds BOTH the df rollup and the index join —
-      // persist so documents are split/exploded once, not twice. The
-      // shingle is FINGERPRINTED to a 64-bit xxhash before anything is
-      // shuffled or persisted (Broder's construction — shingles live as
-      // fixed-width fingerprints, never strings): every downstream
-      // shuffle (df rollup, the f² pair join, the persist itself) moves
-      // 8-byte longs instead of ~25-byte word-3-gram strings. Two
-      // distinct shingles colliding would need ~2³² of them in one
-      // corpus (birthday bound on 2⁶⁴); the hash gates vs the
-      // string-replaying oracle at all three SFs double as the
-      // collision check — deterministic, so a collision would fail
-      // loudly every run, not flake.
-      val sh = docs.filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          explode(graft.ops.Sketches.shinglesOfWords("ws", 3)).as("g0"))
-        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-      // df cap: boilerplate shingles never enter the index (both sides
-      // of the join AND the denominator — the declared contract).
-      // Computed as a COUNT WINDOW over the gram partition: ONE shuffle
-      // of the exploded rows produces df-annotated rows directly, where
-      // the rollup+join-back form shuffles them twice (once compressed
-      // for the rollup, once raw for the join) and needs the raw rows
-      // persisted to avoid a second explode (measured 2.9 → 1.6 s at
-      // sf0.1). Skew note: a boilerplate gram's occurrences land in ONE
-      // window task — but so they did in the join-back's probe side,
-      // and they are exactly the rows the cap discards on the spot; the
-      // residual cost is the in-task sort of the hot key's 8-byte
-      // fingerprints (the SubstringDedup.twoPhaseFirst discussion — at
-      // cluster scale with GB-sized hot grams, restore the map-side-
-      // compressed rollup for the df pass).
-      val dfw = org.apache.spark.sql.expressions.Window.partitionBy("g")
-      val idx = sh
-        .withColumn("df", count(lit(1)).over(dfw))
-        .filter(col("df") <= 100).drop("df")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("a_n"))
-      // |S(A)∩S(B)| is symmetric, so generate each UNORDERED pair once
-      // (id1 < id2 inside the join condition — half the f² join output,
-      // half the pair-rollup shuffle) and mirror the counted pairs
-      // afterward: the mirror is a projection over the tiny counted
-      // frame, not a second index join.
-      val half = idx.select(col("doc_id").as("id1"), col("g"))
-        .join(idx.select(col("doc_id").as("id2"), col("g").as("g2")),
-          col("g") === col("g2") && col("id1") < col("id2"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
-      val pairs = half.unionAll(half.select(col("id2").as("id1"),
-        col("id1").as("id2"), col("inter_n")))
-      pairs.join(sizes.select(col("doc_id").as("id1"), col("a_n")), "id1")
-        .filter(col("inter_n") * 1000 >= col("a_n") * 800)
-        .select("id1", "id2", "inter_n", "a_n")
-        .orderBy("id1", "id2")
+      containment(s, d, prefilterDf =
+        s.conf.getOption("spark.graft.containment.prefilterDf")
+          .exists(_.toBoolean))
     },
 
     // Z-order (Morton) layout key — the multi-dimensional clustering

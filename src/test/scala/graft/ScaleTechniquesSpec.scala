@@ -136,4 +136,18 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  test("containment dedup: direct collect_set path equals the df-prefilter " +
+    "cluster-scale path") {
+    // dedup_containment ships two plan-equivalent forms (Extra9
+    // .containment): the locally-faster single-shuffle collect_set index
+    // and the conf-gated df-count prefilter that bounds every collected
+    // doc set at the cap BEFORE any set is built (the GB-hot-gram
+    // defense). Same rows, byte for byte, is the switch's contract.
+    val direct = graft.queries.Extra9.containment(spark, sf, prefilterDf = false)
+      .collect().map(_.toString).toSeq
+    val prefiltered = graft.queries.Extra9.containment(spark, sf, prefilterDf = true)
+      .collect().map(_.toString).toSeq
+    assert(direct.nonEmpty && direct == prefiltered)
+  }
 }
