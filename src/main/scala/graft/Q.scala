@@ -64,6 +64,34 @@ object Q {
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Cheap corpus fingerprint (sorted file list → fold of path, length,
+    * mtime) for keying staged per-JVM state — indexes, bucketed layouts
+    * (ADVICE r9): staging memoized only on (tag, params) silently serves
+    * a STALE index if the corpus under the tag path is regenerated while
+    * the process lives (the driver does refresh fixtures between
+    * rounds). Folding the fingerprint into the staging key turns that
+    * into a rebuild instead of a wrong answer. Deliberately NOT
+    * memoized — one driver-side listing per staged-query construction is
+    * the price of freshness (footers aren't read; at a million files use
+    * the catalog's table version / snapshot id instead, which is what
+    * Delta/Iceberg expose for exactly this purpose).
+    */
+  def corpusFingerprint(spark: SparkSession, path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    def walk(s: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk) else Seq(s)
+    val files = walk(fs.getFileStatus(hp)).sortBy(_.getPath.toString)
+    val h = files.foldLeft(1125899906842597L) { (acc, f) =>
+      var x = acc
+      x = x * 31 + f.getPath.getName.hashCode
+      x = x * 31 + f.getLen
+      x * 31 + f.getModificationTime
+    }
+    java.lang.Long.toHexString(h)
+  }
+
   /** Admission guard for the declared quadratic correctness baselines
     * (sim_cosine_topk, dedup_embedding — all-pairs joins kept deliberately
     * as ground-truth references next to their ANN scale paths): refuse an

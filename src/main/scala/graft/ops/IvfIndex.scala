@@ -104,6 +104,42 @@ object IvfIndex {
     val cells = assign(embs, k, nProbe, refine)
       .groupBy("vec_id").agg(sort_array(collect_list(col("cid"))).as("cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromCells(cells, embs, broadcastReattach)
+  }
+
+  /** [[annPairs]] with the INDEX half staged to parquet (the IvfPq/
+    * PqIndex `searchStaged` amortization contract): the cell-membership
+    * table — k cosine evals per vector + the arg-top fold + the
+    * per-vector cell rollup, the build-side cost — is written ONCE per
+    * JVM × tag × params and every later call reads it back, paying only
+    * the pair join + reattach. Pass a tag that folds in a corpus
+    * fingerprint ([[graft.Q.corpusFingerprint]]) so a corpus refresh
+    * within a live process keys a rebuild, not a stale read. First call
+    * still builds end-to-end (Verify's dump covers the whole pipeline);
+    * the unstaged [[annPairs]] stays gated in SketchesSpec.
+    */
+  def annPairsStaged(embs: DataFrame, tag: String, k: Int = 16,
+      nProbe: Int = 2, broadcastReattach: Boolean = true,
+      refine: Int = 1): DataFrame = {
+    val spark = embs.sparkSession
+    val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"/tmp/graft_ivf_${graft.Q.perJvmId}/" +
+      s"${safe}_k${k}_p${nProbe}_r$refine"
+    staged.computeIfAbsent(dir, { _ =>
+      assign(embs, k, nProbe, refine)
+        .groupBy("vec_id").agg(sort_array(collect_list(col("cid"))).as("cells"))
+        .write.mode("overwrite").parquet(dir)
+      java.lang.Boolean.TRUE
+    })
+    // No persist: the parquet read serves both join sides — rescanning
+    // the skinny staged table is cheaper than pinning executor memory.
+    pairsFromCells(spark.read.parquet(dir), embs, broadcastReattach)
+  }
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def pairsFromCells(cells: DataFrame, embs: DataFrame,
+      broadcastReattach: Boolean): DataFrame = {
     val skinny = cells.select(col("vec_id"), col("cells"),
       explode(col("cells")).as("cid"))
     val l = skinny.select(col("vec_id").as("id1"), col("cells").as("cells1"),
