@@ -76,10 +76,25 @@ object ClickHouseDialect {
   * MergeTree DDL once (when `createTable`), then per-partition
   * PreparedStatement batches of `batchSize` rows — CH wants few large
   * INSERTs, not row-at-a-time (each INSERT is a MergeTree part).
+  *
+  * Delivery semantics: foreachBatch is AT-LEAST-ONCE — on recovery Spark
+  * RE-RUNS the failed epoch with the SAME batchId, so a crash after a
+  * partial insert duplicates rows. `idempotent = true` upgrades replay
+  * to exactly-once-on-success: every row carries a `graft_batch_id` column
+  * and each write() first deletes the epoch's rows (`DELETE FROM t
+  * WHERE graft_batch_id = ?` — ANSI, which Derby executes directly and
+  * ClickHouse ≥22.8 runs as a lightweight delete) before inserting, so
+  * a retried epoch REPLACES its partial output instead of appending to
+  * it. The delete runs once, on the driver, before any partition
+  * inserts — per-partition connections need no cross-connection
+  * transaction for this to hold, only the delete-before-insert order
+  * inside one write() call (Spark serializes retries of an epoch).
+  * Exercised under Derby in StreamingSpec (no CH jar offline).
   */
 final class ClickHouseFlowSink(url: String, table: String,
     user: String = "", password: String = "",
-    batchSize: Int = 10000, createTable: Boolean = true)
+    batchSize: Int = 10000, createTable: Boolean = true,
+    idempotent: Boolean = false)
     extends FlowPipeline.FlowSink {
 
   private def connect() = {
@@ -87,12 +102,25 @@ final class ClickHouseFlowSink(url: String, table: String,
     else DriverManager.getConnection(url)
   }
 
-  override def write(batch: DataFrame, batchId: Long): Unit = {
+  override def write(batch0: DataFrame, batchId: Long): Unit = {
+    val batch =
+      if (idempotent)
+        batch0.withColumn("graft_batch_id", org.apache.spark.sql.functions.lit(batchId))
+      else batch0
     val schema = batch.schema
     if (createTable) {
       val c = connect()
       try c.createStatement().execute(ClickHouseDialect.ddl(table, schema))
       finally c.close()
+    }
+    if (idempotent) {
+      val c = connect()
+      try {
+        val del = c.prepareStatement(
+          s"DELETE FROM $table WHERE graft_batch_id = ?")
+        del.setLong(1, batchId)
+        del.executeUpdate()
+      } finally c.close()
     }
     val sql = ClickHouseDialect.insertSql(table, schema)
     val bs = batchSize

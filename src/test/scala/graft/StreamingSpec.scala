@@ -866,4 +866,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.stream().mapToLong(identity(_)).sum() == 3L)
     UdpFlowSource.clear(key)
   }
+
+  test("idempotent ClickHouse sink: epoch replay replaces, never duplicates") {
+    // foreachBatch is at-least-once: Spark re-runs a failed epoch with
+    // the SAME batchId. The idempotent sink mode must make that replay
+    // exactly-once-on-success — delete-then-insert keyed on graft_batch_id —
+    // including the nasty case where the first attempt died mid-insert
+    // and left PARTIAL rows behind. Derby exercises the identical ANSI
+    // SQL path the ClickHouse deployment runs (VERDICT r9 task 6).
+    import spark.implicits._
+    import graft.streaming.ClickHouseFlowSink
+    val url = "jdbc:derby:memory:idemdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE IDEMFLOWS (exporter VARCHAR(64), bytes BIGINT, graft_batch_id BIGINT)")
+    conn.close()
+    val sink = new ClickHouseFlowSink(url, "IDEMFLOWS",
+      createTable = false, idempotent = true)
+    def rows(): Seq[(String, Long, Long)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT exporter, bytes, graft_batch_id FROM IDEMFLOWS")
+        Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+          .toList
+      } finally c.close()
+    }
+    val e7 = Seq(("10.1.1.1", 100L), ("10.1.1.2", 200L), ("10.1.1.3", 300L))
+      .toDF("exporter", "bytes")
+    sink.write(e7, 7L)
+    assert(rows().size == 3)
+    // Full replay of the same epoch (post-commit crash before the
+    // checkpoint advanced): identical content, no duplicates.
+    sink.write(e7, 7L)
+    assert(rows().sorted == e7.collect().map(r =>
+      (r.getString(0), r.getLong(1), 7L)).toSeq.sorted)
+    // Mid-insert crash: a partial row from a dead attempt of epoch 8
+    // sits in the table; the retry must REPLACE it, not append to it.
+    val c2 = java.sql.DriverManager.getConnection(url)
+    c2.createStatement().execute(
+      "INSERT INTO IDEMFLOWS VALUES ('10.9.9.9', 1, 8)")
+    c2.close()
+    val e8 = Seq(("10.2.2.1", 400L), ("10.2.2.2", 500L)).toDF("exporter", "bytes")
+    sink.write(e8, 8L)
+    val after = rows()
+    assert(after.count(_._3 == 8L) == 2 && !after.exists(_._1 == "10.9.9.9"))
+    // And a NEW epoch appends without touching committed ones.
+    sink.write(Seq(("10.3.3.1", 600L)).toDF("exporter", "bytes"), 9L)
+    val fin = rows()
+    assert(fin.size == 6 && fin.count(_._3 == 7L) == 3 && fin.count(_._3 == 9L) == 1)
+  }
 }
