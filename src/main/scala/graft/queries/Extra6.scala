@@ -24,6 +24,23 @@ object Extra6 {
     */
   private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
+  /** Fail with the documented story if a Spark upgrade moves/renames the
+    * internal class (it is NOT a public API — no service registration in
+    * 4.1.2), instead of an opaque ClassNotFound mid-query (ADVICE r9).
+    */
+  private def avroFmtChecked: String = {
+    try Class.forName(AvroFmt)
+    catch {
+      case e: ClassNotFoundException => throw new IllegalStateException(
+        s"$AvroFmt not found: Spark 4.1.2 bundled the Avro FileFormat " +
+          "inside spark-sql WITHOUT service registration, so scan_avro " +
+          "addresses it by implementation class; this Spark build moved " +
+          "or renamed it — re-point AvroFmt (or use format(\"avro\") if " +
+          "the build ships spark-avro's registration)", e)
+    }
+    AvroFmt
+  }
+
   /** Per-SF staging dir for a format round-trip, made unique per JVM
     * (pid@start): two harness processes on the same SF (bench and
     * correctness can overlap) would otherwise race overwrite-vs-read on
@@ -95,9 +112,10 @@ object Extra6 {
         |FROM read_parquet('{sfDir}/customer.parquet')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
       val dir = stage(d, "avro")
+      val fmt = avroFmtChecked
       T.customer(s, d).select("c_mktsegment", "c_acctbal")
-        .write.mode("overwrite").format(AvroFmt).save(dir)
-      s.read.format(AvroFmt).load(dir)
+        .write.mode("overwrite").format(fmt).save(dir)
+      s.read.format(fmt).load(dir)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"),
           dec2(sum(dec2(col("c_acctbal")))).as("sum_bal"))
