@@ -84,6 +84,85 @@ object Extra11 {
         // row count would catch a regression that dropped media).
         .join(frames, Seq("media_id"))
         .orderBy("media_id")
+    },
+
+    // The CODEC SEAM on the declared surface: decodeAndFeaturize is the
+    // mapPartitions stage a production build binds a real decoder into
+    // (per-partition init, typed Dataset in/out — the Scala analog of a
+    // mapInPandas batch UDF). Feature VALUES are the deterministic
+    // StubCodec fake (no media libs in this container — unit tests pin
+    // them exactly), so the oracle gates the seam's row-level CONTRACT
+    // instead: exactly one output row per media row, kind passed
+    // through, fixed 16-dim vectors, and every vector unit-normalized
+    // (the Spark side computes max |Σx²−1| ≤ 1e-3 over float arithmetic
+    // and emits the boolean; the oracle states TRUE — the
+    // agg_approx_distinct gate discipline). Rolled up per kind so the
+    // output is stable and tiny.
+    "multimodal_features" -> Q(
+      """WITH m AS (SELECT doc_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind
+        |  FROM read_parquet('{sfDir}/documents.parquet'))
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+        |       CAST(16 AS INT) AS dim, TRUE AS norm_ok
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
+      val n = Q.parquetRowCount(s, s"$d/documents.parquet").toInt
+      val dir = stage(d, "feat")
+      Multimodal.synthesize(s, n).write.mode("overwrite").parquet(dir)
+      Multimodal.StubCodec.decodeAndFeaturize(s.read.parquet(dir)).toDF()
+        .select(col("kind"),
+          size(col("feature")).as("dim"),
+          expr("aggregate(feature, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
+            .as("ss"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          min("dim").as("dmin"), max("dim").as("dmax"),
+          max(abs(col("ss") - 1.0d)).as("nerr"))
+        .select(col("kind"), col("n_media"),
+          // a wrong dim or a non-normalized vector must hash-fail, so
+          // fold both checks into the emitted columns
+          when(col("dmin") === col("dmax"), col("dmin")).as("dim"),
+          (col("nerr") <= 1e-3).as("norm_ok"))
+        .orderBy("kind")
+    },
+
+    // Exact dedup over the OPAQUE BINARY column — the first media-lake
+    // pass (byte-identical re-crawls/re-uploads are the dominant
+    // duplicate class, removed before any decode is paid). The corpus
+    // is built with planted duplicates: m = max(n/3, 1) distinct
+    // contents (driver-side encode, a broadcast dimension of ~n/3 rows)
+    // assigned to n media ids by id % m — `spark.range(n)` ⋈ broadcast,
+    // so corpus construction itself is distributed, not a driver loop
+    // over n. Dedup = groupBy sha2(bytes) keeping min(media_id); at
+    // 100 TB this is one hash-bucketed shuffle of (digest, id) pairs —
+    // 40 bytes/row regardless of media size, because the digest is
+    // computed map-side next to the scan and the bytes column is pruned
+    // before the exchange. The oracle replays group structure from the
+    // id↦id%m assignment alone and never sees bytes: a keeper or copy
+    // count can only match if sha2 put byte-identical contents in the
+    // same group and byte-distinct contents apart (contents are provably
+    // distinct for m ≤ 60000: duration_ms = 1000 + (g·997) % 60000 and
+    // gcd(997, 60000) = 1 make the header injective in g; the least()
+    // cap keeps that domain bound under any future fixture growth).
+    "multimodal_dedup" -> Q(
+      """WITH n AS (SELECT count(*) AS n
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |     m AS (SELECT least(greatest(n // 3, 1), 60000) AS m FROM n)
+        |SELECT CAST(doc_id % m.m AS BIGINT) AS keeper,
+        |       count(*) AS n_copies
+        |FROM read_parquet('{sfDir}/documents.parquet'), m
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val n = Q.parquetRowCount(s, s"$d/documents.parquet")
+      val m = math.min(math.max(n / 3, 1L), 60000L).toInt
+      val contents = Multimodal.synthesize(s, m)
+        .select(col("media_id").as("g"), col("bytes"))
+      s.range(n).select(col("id").as("media_id"), (col("id") % m).as("g"))
+        .join(broadcast(contents), Seq("g"))
+        // digest map-side, then prune bytes before the only shuffle
+        .select(col("media_id"), sha2(col("bytes"), 256).as("digest"))
+        .groupBy("digest")
+        .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
     }
   )
 }

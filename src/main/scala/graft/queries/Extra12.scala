@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions, part 2: multi-join SQL depth. `sql_q3` (Extra5)
+  * pinned the 3-table join+agg shape; these two add the classic
+  * many-table star probe (TPC-H Q5's 6-way join) and the
+  * aggregate-then-join pre-filter shape (Q18), because both exercise
+  * planning decisions — broadcast tiering, join ORDER, agg pushdown
+  * below a join — that none of the existing declared queries force.
+  * Semantics follow the public TPC-H spec; constants are adapted to the
+  * synthetic fixtures (date span 1995-2001, nations named NATION_i).
+  */
+object Extra12 {
+
+  val defs: Map[String, Q] = Map(
+
+    // TPC-H Q5: revenue by nation for one region-year slice — a 6-table
+    // star with the classic dual-edge customer↔supplier same-nation
+    // constraint. Plan shape is the point: region and nation are
+    // broadcast unconditionally (25/5 rows at any real scale);
+    // supplier is broadcast too at fixture scale via AQE size estimate,
+    // but the query does NOT hint it — at 100 TB supplier is ~1 GB and
+    // AQE must be free to keep it a shuffle join. The big fact path is
+    // lineitem ⋈ orders (both shuffle on orderkey after the date filter
+    // prunes orders map-side) then ⋈ customer on custkey; the
+    // same-nation predicate rides the supplier join as a non-equi
+    // residual. Revenue arithmetic is the SURVEY §2.11 DECIMAL
+    // discipline end to end (exact, order-independent partial sums).
+    "sql_q5" -> Q(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM read_parquet('{sfDir}/customer.parquet') c
+        |JOIN read_parquet('{sfDir}/orders.parquet') o ON c.c_custkey = o.o_custkey
+        |JOIN read_parquet('{sfDir}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{sfDir}/supplier.parquet') s
+        |  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN read_parquet('{sfDir}/nation.parquet') n ON s.s_nationkey = n.n_nationkey
+        |JOIN read_parquet('{sfDir}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = T.nation(s, d)
+        .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supplier = T.supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val orders = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(supplier,
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("rev").cast("decimal(18,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q18 (large-volume customers): aggregate lineitem FIRST, keep
+    // only orders whose total quantity clears the bar, then join the
+    // skinny survivor set to orders+customer. The pre-aggregation is the
+    // scale decision — at 100 TB the HAVING filter drops ~99.9% of
+    // orderkeys before any join, so the joins move kilobytes; the naive
+    // join-then-agg form would shuffle the whole fact table twice.
+    // l_quantity is integer-valued in the fixtures (ds_typed precedent),
+    // so the sum stays in exact BIGINT — order-independent without the
+    // decimal detour. o_totalprice is a pass-through double (no
+    // arithmetic), bit-stable on both engines; ties in it are broken by
+    // o_orderkey so the LIMIT cut is total-ordered.
+    "sql_q18" -> Q(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS o_day,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM read_parquet('{sfDir}/customer.parquet') c
+        |JOIN read_parquet('{sfDir}/orders.parquet') o ON c.c_custkey = o.o_custkey
+        |JOIN read_parquet('{sfDir}/lineitem.parquet') l ON o.o_orderkey = l.l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM read_parquet('{sfDir}/lineitem.parquet')
+        |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 100)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_day, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val bigOrders = T.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .filter(col("sum_qty") > 100)
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("o_day"),
+          col("o_totalprice"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(T.customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_day"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }
+  )
+}
