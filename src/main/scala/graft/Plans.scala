@@ -65,7 +65,10 @@ object Plans {
     "sim_ann_ivfpq" -> "IVF-PQ: broadcast centroids/codebooks/LUT, per-cell ADC equi-join touching probed cells only, bounded-heap shortlist + rerank",
     "sample_bottomk" -> "deterministic bottom-k sample: TakeOrderedAndProject over md5 priority, per-partition heaps, no global sort",
     "agg_sketch_merge" -> "re-aggregatable HLL: nation-level sketches built in one scan, region rollup merges sketches (hll_union_agg)",
-    "layout_bucketed" -> "bucketed co-located join: both scans Bucketed: true, zero exchanges below the join")
+    "layout_bucketed" -> "bucketed co-located join: both scans Bucketed: true, zero exchanges below the join",
+    "sql_q5" -> "6-table star: all joins hashed, dims broadcast, date slice pushed to the orders scan",
+    "sql_q18" -> "aggregate-below-join pre-filter + TakeOrderedAndProject(limit=100) final cut",
+    "multimodal_dedup" -> "binary dedup: broadcast content build, map-side sha2, skinny (digest,id) shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

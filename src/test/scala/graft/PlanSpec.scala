@@ -331,6 +331,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("min\\(struct\\(dg".r.findFirstIn(p).isDefined, p)
   }
 
+  test("sql_q5 keeps every join hashed (no nested loop) and pushes the date filter") {
+    val p = planOf("sql_q5")
+    // the 6-table star must never degrade to a cartesian/NLJ — the
+    // same-nation predicate is an equi-key pair, not a residual-only join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // region/nation/customer dimension edges are broadcast at this SF
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // the year slice reaches the orders parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    // lineitem scan prunes to the four needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("sql_q18 pre-aggregates below the joins and cuts with TakeOrderedAndProject") {
+    val p = planOf("sql_q18")
+    // the HAVING rollup runs as a two-phase aggregate BEFORE any join
+    // (the lineitem fact is reduced to qualifying orderkeys first)
+    assert(p.contains("partial_sum(cast(l_quantity"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=100"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("multimodal_dedup digests map-side and shuffles only (digest, id) pairs") {
+    val p = planOf("multimodal_dedup")
+    // contents dimension is broadcast into the id range (corpus build
+    // never shuffles), and the dedup rollup is two-phase: the digest is
+    // computed below the partial aggregate, so the bytes column never
+    // crosses an exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("sha2(bytes"), p)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(digest")
+    assert(exchangeIdx >= 0, p)
+    assert(!p.substring(0, exchangeIdx).contains("sha2(bytes"),
+      "digest must be computed below (after in plan-print order) the exchange:\n" + p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
