@@ -1,7 +1,11 @@
 package graft.queries
 
 import graft.{Q, Tables => T}
+import graft.ops.IvfIndex
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{native => gn}
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-10 additions, part 2: multi-join SQL depth. `sql_q3` (Extra5)
   * pinned the 3-table join+agg shape; these two add the classic
@@ -108,6 +112,77 @@ object Extra12 {
           col("o_day"), col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    },
+
+    // K-means clustering over the embedding column as a FIRST-CLASS
+    // operation (it was only an internal stage of the IVF/PQ trainers —
+    // but embedding-cluster-then-curate is its own pipeline step in
+    // SemDeDup-style curation, so it gets a declared row). Shares the
+    // determinism-preserving Lloyd recipe (exact decimal means, cid
+    // tiebreaks): seed = k lowest-vec_id vectors, 4 refinement rounds,
+    // cosine score. K-means is not SQL-replayable, so the oracle gates
+    // ALGORITHMIC INVARIANTS instead (the sketch-family self-gate
+    // discipline): row conservation through assign (one best centroid
+    // per vector — n_assigned must equal the fixture count on both
+    // sides), the nonempty-cell count bounded by (0, k], and Lloyd's
+    // defining property — the clustering OBJECTIVE (Σ −cos) after
+    // refinement must not exceed the seed objective (computed in exact
+    // DECIMAL so the comparison can't flake on partial-sum order; both
+    // assignment passes are broadcast-k argmin aggregations, never a
+    // window). ClusterSpec additionally pins the exact per-cluster
+    // sizes on the fixture — the part an oracle can't express.
+    "cluster_kmeans" -> Q(
+      """SELECT CAST(8 AS INT) AS k,
+        |       count(*) AS n_points, count(*) AS n_assigned,
+        |       TRUE AS clusters_bounded, TRUE AS objective_monotone
+        |FROM read_parquet('{sfDir}/embeddings.parquet')""".stripMargin) { (s, d) =>
+      val k = 8
+      val embs = T.embeddings(s, d).select("vec_id", "embedding")
+      val seed = embs.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val refined = IvfIndex.refineCentroids(embs, seed, rounds = 4)
+      // argmin assignment + objective in one aggregation pass per codebook
+      def stats(cb: DataFrame): DataFrame =
+        Q.spreadBy(embs, "vec_id").crossJoin(broadcast(cb))
+          .select(col("vec_id"), struct(
+            (-gn.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
+            col("cid").as("cid")).as("cand"))
+          .groupBy("vec_id").agg(min(col("cand")).as("best"))
+          .agg(count(lit(1)).as("n_assigned"),
+            countDistinct(col("best.cid")).as("n_cells"),
+            sum(col("best.negsim").cast(DecimalType(28, 12))).as("obj"))
+      val s0 = stats(seed)
+        .select(col("obj").as("obj_seed"))
+      stats(refined)
+        .crossJoin(broadcast(s0))
+        .crossJoin(broadcast(embs.agg(count(lit(1)).as("n_points"))))
+        .select(lit(k).as("k"), col("n_points"), col("n_assigned"),
+          (col("n_cells") >= 1 && col("n_cells") <= k).as("clusters_bounded"),
+          (col("obj") <= col("obj_seed") + lit(BigDecimal("0.000001")))
+            .as("objective_monotone"))
+    },
+
+    // Spark 4's SQL PIPE syntax (|>) as a declared API surface: the
+    // same plan as a nested SELECT, but each clause is a postfix
+    // operator — the form query generators and interactive exploration
+    // emit. Semantics (and the oracle) are the classic filtered
+    // two-phase aggregate; what this row pins is that the pipe parser
+    // path is wired and produces the identical plan/answer.
+    "sql_pipe" -> Q(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM read_parquet('{sfDir}/lineitem.parquet')
+        |WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      T.lineitem(s, d).createOrReplaceTempView("graft_lineitem_pipe")
+      s.sql(
+        """FROM graft_lineitem_pipe
+          ||> WHERE l_quantity > 10
+          ||> AGGREGATE CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |             COUNT(*) AS n
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
     }
   )
 }

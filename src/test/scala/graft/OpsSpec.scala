@@ -395,4 +395,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.toSet == expected, s"twoPhase=$twoPhase")
     }
   }
+
+  test("cluster_kmeans invariants: deterministic sizes, Lloyd objective non-increasing") {
+    // The declared query's oracle gates row conservation + the
+    // objective bound; this pins the part an oracle can't express —
+    // that the whole pipeline (seed pick, 4 Lloyd rounds, argmin
+    // assignment) is bit-deterministic across runs, the reason the
+    // Lloyd recipe does exact decimal means and cid tiebreaks.
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val n = embs.count()
+    def sizesAndObj(): (Seq[(Long, Long)], BigDecimal) = {
+      val seed = embs.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val refined = graft.ops.IvfIndex.refineCentroids(embs, seed, rounds = 4)
+      val best = Q.spreadBy(embs, "vec_id").crossJoin(broadcast(refined))
+        .select(col("vec_id"), struct(
+          (-gnative.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
+          col("cid").as("cid")).as("cand"))
+        .groupBy("vec_id").agg(min(col("cand")).as("best"))
+      val sizes = best.groupBy(col("best.cid").as("cid")).count()
+        .orderBy("cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val obj = best.agg(sum(col("best.negsim")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("o"))
+        .collect()(0).getDecimal(0)
+      (sizes, BigDecimal(obj))
+    }
+    val (sizes1, obj1) = sizesAndObj()
+    val (sizes2, obj2) = sizesAndObj()
+    assert(sizes1 == sizes2 && obj1 == obj2, "kmeans must be run-to-run deterministic")
+    assert(sizes1.map(_._2).sum == n)          // every vector assigned once
+    assert(sizes1.nonEmpty && sizes1.size <= 8) // nonempty cells bounded by k
+    // seed objective (round 0) must not beat the refined one
+    val seed = embs.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val seedObj = Q.spreadBy(embs, "vec_id").crossJoin(broadcast(seed))
+      .select(col("vec_id"), struct(
+        (-gnative.cosine_similarity(col("embedding"), col("cvec"))).as("negsim"),
+        col("cid").as("cid")).as("cand"))
+      .groupBy("vec_id").agg(min(col("cand")).as("best"))
+      .agg(sum(col("best.negsim")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("o"))
+      .collect()(0).getDecimal(0)
+    assert(obj1 <= BigDecimal(seedObj) + BigDecimal("0.000001"),
+      s"refined objective $obj1 must be <= seed objective $seedObj")
+  }
 }
