@@ -68,7 +68,8 @@ object Plans {
     "layout_bucketed" -> "bucketed co-located join: both scans Bucketed: true, zero exchanges below the join",
     "sql_q5" -> "6-table star: all joins hashed, dims broadcast, date slice pushed to the orders scan",
     "sql_q18" -> "aggregate-below-join pre-filter + TakeOrderedAndProject(limit=100) final cut",
-    "multimodal_dedup" -> "binary dedup: broadcast content build, map-side sha2, skinny (digest,id) shuffle")
+    "multimodal_dedup" -> "binary dedup: broadcast content build, map-side sha2, skinny (digest,id) shuffle",
+    "win_count_distinct" -> "windowed distinct-count workaround: both windows share one user_id exchange (two sorts, one shuffle)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -183,6 +183,87 @@ object Extra12 {
           |             COUNT(*) AS n
           |   GROUP BY l_returnflag
           ||> ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // COUNT(DISTINCT …) OVER a running window — a real Spark surface
+    // GAP (Catalyst rejects DISTINCT aggregates in window frames; users
+    // hit it constantly in sessionized funnels: "how many distinct
+    // event types had this user produced as of this event"). The
+    // engine's form: a first-occurrence flag (does my event_type differ
+    // from the previous one when the partition is ordered BY TYPE
+    // first) running-summed in event order. Scale shape: both windows
+    // share ONE user_id hash exchange — only the in-partition sort
+    // differs — so the workaround costs one shuffle + two sorts, not
+    // two shuffles. The oracle is DuckDB's NATIVE windowed-distinct
+    // machinery — a genuinely independent evaluation strategy, not a
+    // SQL transliteration of ours.
+    "win_count_distinct" -> Q(
+      """SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+        |  event_type,
+        |  count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_seen
+        |FROM read_parquet('{sfDir}/events.parquet')
+        |ORDER BY user_id, seq""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = T.events(s, d).select("user_id", "event_id", "ts", "event_type")
+      val byType = Window.partitionBy("user_id")
+        .orderBy("event_type", "ts", "event_id")
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev
+        .withColumn("first_of_type",
+          when(lag(col("event_type"), 1).over(byType) === col("event_type"), 0L)
+            .otherwise(1L))
+        .withColumn("seq", row_number().over(byTime))
+        .withColumn("n_seen", sum(col("first_of_type"))
+          .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "seq", "event_type", "n_seen")
+        .orderBy("user_id", "seq")
+    },
+
+    // Mixture sampling to EXPLICIT target domain weights (the training-
+    // data recipe step: "this run wants 40% of the corpus, distributed
+    // over sources ∝ (source_id + 1)"). Distinct from sample_temperature
+    // (which RESCALES the natural distribution); here the target shares
+    // are an external spec, quotas are integer-exact (quota_s =
+    // (sid+1)·T / Σweights, T = 40% of the corpus), and per-source
+    // admission rates = quota/n capped at 1 are enforced by the same
+    // deterministic Knuth-hash admission as every sampler on the board
+    // (never rand() — reruns and both engines agree row-for-row). Scale
+    // shape: one count rollup, a broadcast rate dimension, one map-side
+    // admission pass — the corpus is never key-shuffled.
+    "sample_mix_weights" -> Q(
+      """WITH c AS (SELECT source, CAST(SUBSTR(source, 4) AS INT) AS sid,
+        |             count(*) AS n
+        |           FROM read_parquet('{sfDir}/documents.parquet') GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT source, n,
+        |        CAST((sid + 1) * (total * 2 // 5) // 210 AS BIGINT) AS quota,
+        |        LEAST(1000000, CAST((sid + 1) * (total * 2 // 5) // 210 AS BIGINT)
+        |                         * 1000000 // n) AS thr
+        |      FROM c, t)
+        |SELECT d.source, CAST(MAX(r.n) AS BIGINT) AS n_docs, r.quota, r.thr,
+        |       CAST(SUM(CASE WHEN ((d.doc_id % 2147483647) * 2654435761) % 1000000 < r.thr
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM read_parquet('{sfDir}/documents.parquet') d
+        |JOIN r ON d.source = r.source
+        |GROUP BY d.source, r.quota, r.thr ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select("doc_id", "source")
+      val c = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("sid", substring(col("source"), 4, 10).cast("int"))
+      val t = c.agg(sum("n").as("total"))
+      val r = c.crossJoin(broadcast(t))
+        .select(col("source"), col("n"),
+          expr("CAST((sid + 1) * ((total * 2) div 5) div 210 AS BIGINT)").as("quota"))
+        .withColumn("thr", least(lit(1000000L), expr("(quota * 1000000) div n")))
+      docs.join(broadcast(r), "source")
+        .groupBy("source", "quota", "thr")
+        .agg(max("n").as("n_docs"),
+          sum(when(Q.admissionHash(col("doc_id"), 1000000L) < col("thr"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("quota"), col("thr"), col("n_kept"))
+        .orderBy("source")
     }
   )
 }

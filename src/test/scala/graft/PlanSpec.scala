@@ -369,6 +369,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "digest must be computed below (after in plan-print order) the exchange:\n" + p)
   }
 
+  test("win_count_distinct shares one user_id exchange between both windows") {
+    val p = planOf("win_count_distinct")
+    val cut = p.indexOf("== Initial Plan ==")
+    val exec = if (cut >= 0) p.substring(0, cut) else p
+    // the first-occurrence-flag window (ordered by type) and the running
+    // sum window (ordered by time) must reuse a single hash exchange on
+    // user_id — the workaround costs one shuffle + two sorts, never two
+    // shuffles
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(exec).size == 1, p)
+    assert("Window \\[".r.findAllIn(exec).size == 2, p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
