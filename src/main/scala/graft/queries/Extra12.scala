@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Extra12 {
 
+  /** Per-JVM staging dir (the Extra6 convention: pid-keyed so concurrent
+    * harness processes can't race; stable within a process so a second
+    * bench pass overwrites rather than accretes).
+    */
+  private def stage(d: String, what: String): String =
+    s"/tmp/graft_evo/${Q.perJvmId}/${what}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
   val defs: Map[String, Q] = Map(
 
     // TPC-H Q5: revenue by nation for one region-year slice — a 6-table
@@ -264,6 +271,72 @@ object Extra12 {
             .otherwise(0L)).as("n_kept"))
         .select(col("source"), col("n_docs"), col("quota"), col("thr"), col("n_kept"))
         .orderBy("source")
+    },
+
+    // Parquet SCHEMA EVOLUTION — the lake-reality scan mode: a table
+    // whose early files predate a column. Spark stages two generations
+    // from the nation fixture (gen-1: key+name only; gen-2: + the
+    // region column) and reads them back in ONE scan with
+    // mergeSchema=true, so the unified schema null-extends the old
+    // files. The oracle never sees the staged files (the Extra6
+    // round-trip discipline): it recomputes the expected union — 2n
+    // rows, region present on exactly n, region sums intact — from the
+    // original parquet, so a bug in either the two-generation write or
+    // the merged read breaks the hash. Scale note: mergeSchema=true
+    // costs a footer read per file at planning (that is WHY it is
+    // opt-in, not default) — a production lake pins the evolved schema
+    // in a catalog instead; the per-nation rollup itself pushes the
+    // usual pruning (only the 3 referenced columns are read).
+    "scan_schema_evolution" -> Q(
+      """WITH n AS (SELECT * FROM read_parquet('{sfDir}/nation.parquet'))
+        |SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(CASE WHEN gen = 2 THEN 1 END) AS BIGINT) AS n_with_region,
+        |       CAST(SUM(CASE WHEN gen = 2 THEN n_regionkey END) AS BIGINT) AS sum_region
+        |FROM (SELECT n_nationkey, n_regionkey, 1 AS gen FROM n
+        |      UNION ALL SELECT n_nationkey, n_regionkey, 2 AS gen FROM n)
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val nation = T.nation(s, d)
+      val gen1 = stage(d, "gen1"); val gen2 = stage(d, "gen2")
+      nation.select("n_nationkey", "n_name")
+        .coalesce(1).write.mode("overwrite").parquet(gen1)
+      nation.select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite").parquet(gen2)
+      s.read.option("mergeSchema", "true").parquet(gen1, gen2)
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_regionkey")).as("n_with_region"),
+          sum(col("n_regionkey").cast("long")).as("sum_region"))
+        .orderBy("n_nationkey")
+    },
+
+    // Column-level encryption — the sensitive-column contract of a
+    // shared 100 TB lake (PII columns stored encrypted, decrypted only
+    // inside authorized jobs; the pii_mask row REDACTS, this row
+    // PROTECTS REVERSIBLY). aes_encrypt/aes_decrypt in ECB mode: the
+    // deliberate choice here, because deterministic encryption is what
+    // keeps an encrypted column JOINABLE/GROUPABLE (equal plaintexts →
+    // equal ciphertexts) — the GCM default's random IV is stronger but
+    // turns every ciphertext unique and is untestable by construction.
+    // DuckDB has no AES, so the oracle gates what it can compute
+    // independently: the decrypt∘encrypt identity surfaces as the
+    // original c_name column (a wrong key, mode, or padding yields
+    // garbage or NULL and every row hash-fails), and the ciphertext
+    // length must equal the PKCS#7 formula 16·(⌊len/16⌋+1) — a real
+    // schema-planning number (how wide does the encrypted column get).
+    "fn_crypto" -> Q(
+      """SELECT c_custkey, c_name AS name_back,
+        |  CAST(16 * ((length(c_name) // 16) + 1) AS INT) AS cipher_len
+        |FROM read_parquet('{sfDir}/customer.parquet')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // 16-byte demo key inline below; a prod build reads it from KMS
+      T.customer(s, d)
+        .select(col("c_custkey"),
+          expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')").as("ct"))
+        .select(col("c_custkey"),
+          expr("cast(aes_decrypt(ct, '0123456789abcdef', 'ECB') as string)")
+            .as("name_back"),
+          length(col("ct")).as("cipher_len"))
+        .orderBy("c_custkey")
     }
   )
 }

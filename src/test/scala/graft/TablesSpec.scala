@@ -109,4 +109,17 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$sf doc_id not dense 0..N-1: min=$mn max=$mx n=$n distinct=$nd")
     }
   }
+
+  test("fixture precondition: documents.source is 'src<int>' " +
+    "(the sample_mix_weights weight-spec domain)") {
+    // sample_mix_weights derives its per-source target weight from the
+    // numeric suffix (weight ∝ sid + 1, sid = CAST(SUBSTR(source, 4))).
+    // A refresh that renames sources would make the cast NULL on the
+    // Spark side and the oracle side alike — quotas go NULL and every
+    // row hash-diffs confusingly. Pin the naming here by name instead.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bad = docs
+      .filter(!col("source").rlike("^src[0-9]+$")).count()
+    assert(bad == 0L, "documents.source drifted from the src<int> naming")
+  }
 }
