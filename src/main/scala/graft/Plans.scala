@@ -69,7 +69,8 @@ object Plans {
     "sql_q5" -> "6-table star: all joins hashed, dims broadcast, date slice pushed to the orders scan",
     "sql_q18" -> "aggregate-below-join pre-filter + TakeOrderedAndProject(limit=100) final cut",
     "multimodal_dedup" -> "binary dedup: broadcast content build, map-side sha2, skinny (digest,id) shuffle",
-    "win_count_distinct" -> "windowed distinct-count workaround: both windows share one user_id exchange (two sorts, one shuffle)")
+    "win_count_distinct" -> "windowed distinct-count workaround: both windows share one user_id exchange (two sorts, one shuffle)",
+    "sql_q21" -> "double-correlated-subquery rewrite: one fact scan, per-(order,supplier) exchange reused by both existence branches")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

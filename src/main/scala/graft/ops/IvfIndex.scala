@@ -138,6 +138,26 @@ object IvfIndex {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** [[centroids]] with the refined codebook staged to parquet per
+    * JVM × tag × params — the [[annPairsStaged]] amortization contract
+    * applied to clustering itself: Lloyd training (the multi-job,
+    * multi-round part) runs once per corpus; every later call reads the
+    * k-row codebook back and pays only its own assignment pass. Callers
+    * fold a corpus fingerprint into `tag` so a mid-process fixture
+    * refresh rebuilds instead of serving stale centroids.
+    */
+  def centroidsStaged(embs: DataFrame, tag: String, k: Int = 16,
+      refine: Int = 1): DataFrame = {
+    val spark = embs.sparkSession
+    val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"/tmp/graft_ivf_${graft.Q.perJvmId}/cents_${safe}_k${k}_r$refine"
+    staged.computeIfAbsent(dir, { _ =>
+      centroids(embs, k, refine).write.mode("overwrite").parquet(dir)
+      java.lang.Boolean.TRUE
+    })
+    spark.read.parquet(dir)
+  }
+
   private def pairsFromCells(cells: DataFrame, embs: DataFrame,
       broadcastReattach: Boolean): DataFrame = {
     val skinny = cells.select(col("vec_id"), col("cells"),

@@ -147,7 +147,12 @@ object Extra12 {
       val embs = T.embeddings(s, d).select("vec_id", "embedding")
       val seed = embs.orderBy("vec_id").limit(k)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val refined = IvfIndex.refineCentroids(embs, seed, rounds = 4)
+      // Lloyd training staged per JVM × corpus fingerprint (the
+      // IvfIndex.annPairsStaged amortization contract): the multi-round
+      // multi-job training runs once; warm calls pay assignment only
+      val refined = IvfIndex.centroidsStaged(embs,
+        tag = d + "_" + Q.corpusFingerprint(s, s"$d/embeddings.parquet"),
+        k = k, refine = 4)
       // argmin assignment + objective in one aggregation pass per codebook
       def stats(cb: DataFrame): DataFrame =
         Q.spreadBy(embs, "vec_id").crossJoin(broadcast(cb))
@@ -337,6 +342,91 @@ object Extra12 {
             .as("name_back"),
           length(col("ct")).as("cipher_len"))
         .orderBy("c_custkey")
+    },
+
+    // TPC-H Q21 (suppliers who kept orders waiting), the classic
+    // DOUBLE-CORRELATED-SUBQUERY query — EXISTS (another supplier in my
+    // order) AND NOT EXISTS (another LATE supplier in my order). The
+    // oracle keeps the textbook correlated form; the engine runs the
+    // scale rewrite: both existence tests collapse into ONE per-order
+    // aggregation (n_suppliers ≥ 2 ⇔ the EXISTS; late-supplier count
+    // = 1 ⇔ the NOT EXISTS, given the probe line is itself late), so
+    // the fact table is shuffled ONCE on orderkey instead of driving
+    // two correlated self-joins — at 100 TB that is the difference
+    // between one exchange and three. "Late" adapts Q21's
+    // receipt-vs-commit lateness to the fixture's columns (shipped
+    // more than 60 days after the order date). Final cut is the
+    // bounded-heap TakeOrderedAndProject with suppkey tiebreak.
+    "sql_q21" -> Q(
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |           FROM read_parquet('{sfDir}/lineitem.parquet') li
+        |           JOIN read_parquet('{sfDir}/orders.parquet') o
+        |             ON li.l_orderkey = o.o_orderkey)
+        |SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait
+        |FROM l l1
+        |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
+      val l = T.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(T.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      // everything derives from ONE per-(order, supplier) rollup — a
+      // double countDistinct would instead Expand the fact 2× before
+      // its exchange, and joining raw late LINES back to per-order
+      // stats would re-run the fact join on a second branch. Here the
+      // fact crosses one exchange carrying (pair, n_late_lines); both
+      // downstream branches (the per-order supplier/late-supplier
+      // counts and the qualifying-pair probe) read the same deduped
+      // pair relation, so Catalyst reuses the aggregation's exchange
+      // rather than rescanning lineitem. numwait then sums
+      // n_late_lines per supplier — identical to counting l1 rows.
+      val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+      perSupp.filter(col("n_late_lines") > 0)
+        .join(perOrder, Seq("l_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q13 (customer order-count distribution): a LEFT join whose
+    // EXTRA predicate must live in the ON clause (in WHERE it would
+    // silently turn the join inner and drop the zero-order customers —
+    // the classic outer-join bug this row pins against), followed by a
+    // count-of-counts double aggregation. Scale shape: one custkey
+    // shuffle for the join+first rollup, then a ~20-group second rollup.
+    "sql_q13" -> Q(
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM read_parquet('{sfDir}/customer.parquet') c
+        |      LEFT JOIN read_parquet('{sfDir}/orders.parquet') o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      T.customer(s, d).select("c_custkey")
+        .join(T.orders(s, d).select("o_custkey", "o_orderkey", "o_orderpriority"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT",
+          "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }
   )
 }

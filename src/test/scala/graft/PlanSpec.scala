@@ -381,6 +381,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Window \\[".r.findAllIn(exec).size == 2, p)
   }
 
+  test("sql_q21 scans the fact once: both existence branches reuse one exchange") {
+    val p = planOf("sql_q21")
+    val cut = p.indexOf("== Initial Plan ==")
+    val exec = if (cut >= 0) p.substring(0, cut) else p
+    // the correlated-subquery rewrite must not re-run the fact join per
+    // branch: the per-order stats and the qualifying-pair probe both
+    // read the per-(order, supplier) aggregation's exchange
+    assert("FileScan parquet.*lineitem".r.findAllIn(exec).size == 1, p)
+    assert(exec.contains("ReusedExchange"), p)
+    assert(exec.contains("TakeOrderedAndProject(limit=100"), p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
