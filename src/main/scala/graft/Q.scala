@@ -151,6 +151,15 @@ object Q {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Per-JVM staging dir `/tmp/<prefix>/<pid@host>/<what>_<sfdir>` —
+    * the ONE sanitization/keying recipe every format/media/layout
+    * round-trip uses (pid-keyed so concurrent harness processes can't
+    * race overwrite-vs-read on one path; stable within a process so a
+    * second bench pass overwrites rather than accretes).
+    */
+  def stageDir(prefix: String, d: String, what: String): String =
+    s"/tmp/$prefix/$perJvmId/${what}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Hash-spread an input across the session's full shuffle parallelism,
     * keyed (not round-robin) so downstream keyed ops can reuse the
     * partitioning. The testdata parquet files are single-row-group, so

@@ -18,12 +18,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Extra12 {
 
-  /** Per-JVM staging dir (the Extra6 convention: pid-keyed so concurrent
-    * harness processes can't race; stable within a process so a second
-    * bench pass overwrites rather than accretes).
-    */
   private def stage(d: String, what: String): String =
-    s"/tmp/graft_evo/${Q.perJvmId}/${what}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Q.stageDir("graft_evo", d, what)
 
   val defs: Map[String, Q] = Map(
 
@@ -124,27 +120,38 @@ object Extra12 {
     // K-means clustering over the embedding column as a FIRST-CLASS
     // operation (it was only an internal stage of the IVF/PQ trainers —
     // but embedding-cluster-then-curate is its own pipeline step in
-    // SemDeDup-style curation, so it gets a declared row). Shares the
-    // determinism-preserving Lloyd recipe (exact decimal means, cid
-    // tiebreaks): seed = k lowest-vec_id vectors, 4 refinement rounds,
-    // cosine score. K-means is not SQL-replayable, so the oracle gates
-    // ALGORITHMIC INVARIANTS instead (the sketch-family self-gate
+    // SemDeDup-style curation, so it gets a declared row). SPHERICAL
+    // k-means: points are unit-normalized FIRST, because only then is
+    // the Lloyd mean step the exact optimizer of the cosine objective
+    // (the direction maximizing Σ cos within a cell is the direction of
+    // the sum of UNIT members; on raw vectors a huge-norm member drags
+    // the mean and a refinement round can legitimately worsen Σ cos —
+    // which would falsify the monotone gate below on a legal fixture).
+    // Shares the determinism-preserving Lloyd recipe (exact decimal
+    // means, cid tiebreaks): seed = k lowest-vec_id vectors, 4
+    // refinement rounds. K-means is not SQL-replayable, so the oracle
+    // gates ALGORITHMIC INVARIANTS instead (the sketch-family self-gate
     // discipline): row conservation through assign (one best centroid
     // per vector — n_assigned must equal the fixture count on both
     // sides), the nonempty-cell count bounded by (0, k], and Lloyd's
     // defining property — the clustering OBJECTIVE (Σ −cos) after
     // refinement must not exceed the seed objective (computed in exact
-    // DECIMAL so the comparison can't flake on partial-sum order; both
-    // assignment passes are broadcast-k argmin aggregations, never a
-    // window). ClusterSpec additionally pins the exact per-cluster
-    // sizes on the fixture — the part an oracle can't express.
+    // DECIMAL so the comparison can't flake on partial-sum order; the
+    // 1e-3 slack bounds the 6-decimal centroid-mean rounding, which
+    // perturbs small-norm cell means the most — see OpsSpec). OpsSpec
+    // additionally pins run-to-run determinism of the exact per-cluster
+    // sizes — the part an oracle can't express.
     "cluster_kmeans" -> Q(
       """SELECT CAST(8 AS INT) AS k,
         |       count(*) AS n_points, count(*) AS n_assigned,
         |       TRUE AS clusters_bounded, TRUE AS objective_monotone
         |FROM read_parquet('{sfDir}/embeddings.parquet')""".stripMargin) { (s, d) =>
       val k = 8
-      val embs = T.embeddings(s, d).select("vec_id", "embedding")
+      val embs = T.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          """transform(embedding, x -> CAST(x / sqrt(
+            |  aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)
+            |) AS FLOAT))""".stripMargin).as("embedding"))
       val seed = embs.orderBy("vec_id").limit(k)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       // Lloyd training staged per JVM × corpus fingerprint (the
@@ -170,7 +177,7 @@ object Extra12 {
         .crossJoin(broadcast(embs.agg(count(lit(1)).as("n_points"))))
         .select(lit(k).as("k"), col("n_points"), col("n_assigned"),
           (col("n_cells") >= 1 && col("n_cells") <= k).as("clusters_bounded"),
-          (col("obj") <= col("obj_seed") + lit(BigDecimal("0.000001")))
+          (col("obj") <= col("obj_seed") + lit(BigDecimal("0.001")))
             .as("objective_monotone"))
     },
 
@@ -223,8 +230,14 @@ object Extra12 {
         .orderBy("event_type", "ts", "event_id")
       val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
       ev
+        // NULL discipline: count(DISTINCT) ignores NULLs, so a NULL
+        // event_type must never raise the flag — the bare === form would
+        // send every NULL row into otherwise(1) (NULL === NULL is NULL).
+        // The fixture has no NULL types today; this keeps the workaround
+        // faithful to the oracle's semantics if a refresh introduces them.
         .withColumn("first_of_type",
-          when(lag(col("event_type"), 1).over(byType) === col("event_type"), 0L)
+          when(col("event_type").isNull, 0L)
+            .when(lag(col("event_type"), 1).over(byType) === col("event_type"), 0L)
             .otherwise(1L))
         .withColumn("seq", row_number().over(byTime))
         .withColumn("n_seen", sum(col("first_of_type"))
@@ -248,10 +261,11 @@ object Extra12 {
       """WITH c AS (SELECT source, CAST(SUBSTR(source, 4) AS INT) AS sid,
         |             count(*) AS n
         |           FROM read_parquet('{sfDir}/documents.parquet') GROUP BY 1, 2),
-        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |             CAST(SUM(sid + 1) AS BIGINT) AS sum_w FROM c),
         |r AS (SELECT source, n,
-        |        CAST((sid + 1) * (total * 2 // 5) // 210 AS BIGINT) AS quota,
-        |        LEAST(1000000, CAST((sid + 1) * (total * 2 // 5) // 210 AS BIGINT)
+        |        CAST((sid + 1) * (total * 2 // 5) // sum_w AS BIGINT) AS quota,
+        |        LEAST(1000000, CAST((sid + 1) * (total * 2 // 5) // sum_w AS BIGINT)
         |                         * 1000000 // n) AS thr
         |      FROM c, t)
         |SELECT d.source, CAST(MAX(r.n) AS BIGINT) AS n_docs, r.quota, r.thr,
@@ -264,10 +278,15 @@ object Extra12 {
       val c = docs.groupBy("source")
         .agg(count(lit(1)).as("n"))
         .withColumn("sid", substring(col("source"), 4, 10).cast("int"))
-      val t = c.agg(sum("n").as("total"))
+      // the weight denominator is DERIVED (Σ(sid+1) over the sources
+      // actually present), never a hardcoded source-count constant —
+      // a fixture with more/fewer sources keeps quotas summing to the
+      // declared 40% target instead of silently drifting on both sides
+      val t = c.agg(sum("n").as("total"),
+        sum(col("sid") + 1).as("sum_w"))
       val r = c.crossJoin(broadcast(t))
         .select(col("source"), col("n"),
-          expr("CAST((sid + 1) * ((total * 2) div 5) div 210 AS BIGINT)").as("quota"))
+          expr("CAST((sid + 1) * ((total * 2) div 5) div sum_w AS BIGINT)").as("quota"))
         .withColumn("thr", least(lit(1000000L), expr("(quota * 1000000) div n")))
       docs.join(broadcast(r), "source")
         .groupBy("source", "quota", "thr")
@@ -295,7 +314,7 @@ object Extra12 {
     "scan_schema_evolution" -> Q(
       """WITH n AS (SELECT * FROM read_parquet('{sfDir}/nation.parquet'))
         |SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(count(CASE WHEN gen = 2 THEN 1 END) AS BIGINT) AS n_with_region,
+        |       CAST(count(CASE WHEN gen = 2 THEN n_regionkey END) AS BIGINT) AS n_with_region,
         |       CAST(SUM(CASE WHEN gen = 2 THEN n_regionkey END) AS BIGINT) AS sum_region
         |FROM (SELECT n_nationkey, n_regionkey, 1 AS gen FROM n
         |      UNION ALL SELECT n_nationkey, n_regionkey, 2 AS gen FROM n)

@@ -41,15 +41,12 @@ object Extra6 {
     AvroFmt
   }
 
-  /** Per-SF staging dir for a format round-trip, made unique per JVM
-    * (pid@start): two harness processes on the same SF (bench and
-    * correctness can overlap) would otherwise race overwrite-vs-read on
-    * one path and read torn data. Within a process the path is stable,
-    * so the second bench pass overwrites pass 1's staging rather than
-    * accreting; stale dirs from dead JVMs are bounded by /tmp lifetime.
+  /** Per-SF, per-JVM staging dir for a format round-trip — the shared
+    * [[Q.stageDir]] recipe (rationale there); stale dirs from dead JVMs
+    * are bounded by /tmp lifetime.
     */
   private def stage(d: String, fmt: String): String =
-    s"/tmp/graft_fmt/${Q.perJvmId}/${fmt}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Q.stageDir("graft_fmt", d, fmt)
 
   val defs: Map[String, Q] = Map(
 

@@ -118,8 +118,12 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Spark side and the oracle side alike — quotas go NULL and every
     // row hash-diffs confusingly. Pin the naming here by name instead.
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // NULL-safe: a bare !rlike filter DROPS null sources (NULL predicate
+    // → row filtered out), which would green-light exactly the drifted
+    // fixture this pin exists to catch.
     val bad = docs
-      .filter(!col("source").rlike("^src[0-9]+$")).count()
+      .filter(col("source").isNull || !col("source").rlike("^src[0-9]+$"))
+      .count()
     assert(bad == 0L, "documents.source drifted from the src<int> naming")
   }
 }
