@@ -392,33 +392,7 @@ object Extra12 {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
-      val l = T.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(T.orders(s, d).select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late",
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      // everything derives from ONE per-(order, supplier) rollup — a
-      // double countDistinct would instead Expand the fact 2× before
-      // its exchange, and joining raw late LINES back to per-order
-      // stats would re-run the fact join on a second branch. Here the
-      // fact crosses one exchange carrying (pair, n_late_lines); both
-      // downstream branches (the per-order supplier/late-supplier
-      // counts and the qualifying-pair probe) read the same deduped
-      // pair relation, so Catalyst reuses the aggregation's exchange
-      // rather than rescanning lineitem. numwait then sums
-      // n_late_lines per supplier — identical to counting l1 rows.
-      val perSupp = l.groupBy("l_orderkey", "l_suppkey")
-        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
-      val perOrder = perSupp.groupBy("l_orderkey")
-        .agg(count(lit(1)).as("n_supp"),
-          sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
-      perSupp.filter(col("n_late_lines") > 0)
-        .join(perOrder, Seq("l_orderkey"))
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .groupBy(col("l_suppkey").as("s_suppkey"))
-        .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
-        .orderBy(col("numwait").desc, col("s_suppkey"))
-        .limit(100)
+      q21Of(T.lineitem(s, d), T.orders(s, d))
     },
 
     // TPC-H Q13 (customer order-count distribution): a LEFT join whose
@@ -448,4 +422,40 @@ object Extra12 {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }
   )
+
+  /** The sql_q21 pipeline over explicit fact frames — the declared query
+    * binds the fixtures; PerfProbe binds offset-replicated facts so the
+    * rewrite's scaling exponent is measured on the EXACT declared shape
+    * (the minhashMergeOf convention).
+    *
+    * Everything derives from ONE per-(order, supplier) rollup — a
+    * double countDistinct would instead Expand the fact 2× before its
+    * exchange, and joining raw late LINES back to per-order stats would
+    * re-run the fact join on a second branch. Here the fact crosses one
+    * exchange carrying (pair, n_late_lines); both downstream branches
+    * (the per-order supplier/late-supplier counts and the
+    * qualifying-pair probe) read the same deduped pair relation, so
+    * Catalyst reuses the aggregation's exchange rather than rescanning
+    * lineitem (plan-pinned in PlanSpec). numwait then sums n_late_lines
+    * per supplier — identical to counting the correlated form's l1 rows.
+    */
+  private[graft] def q21Of(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+    perSupp.filter(col("n_late_lines") > 0)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(100)
+  }
 }

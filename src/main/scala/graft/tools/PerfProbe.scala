@@ -368,6 +368,39 @@ object PerfProbe {
         spark.sharedState.cacheManager.clearCache()
       }
     }
+
+    // sql_q21 rewrite scaling: the correlated-subquery form the oracle
+    // runs joins the fact to itself twice; the engine's one-rollup
+    // rewrite should scale ~linearly in fact size. Replicas offset BOTH
+    // orderkeys and suppkeys, so order populations (the per-order
+    // supplier sets) replicate disjointly — result rows grow 8x, true
+    // per-order structure stays constant, and any superlinear term
+    // would be the rewrite's own shuffles, not data adversariality.
+    // MEASURED (r10, this box): 1.83 → 7.04 s at x8 (3.8×, exponent
+    // ~0.65 — sublinear, fixed stage overheads still amortizing at
+    // fixture scale; a per-branch fact re-join would read ~2× that,
+    // a correlated NLJ 64×).
+    {
+      val li1 = graft.Tables.lineitem(spark, sfDir)
+      val or1 = graft.Tables.orders(spark, sfDir)
+      def liX(n: Int) = (0 until n).map { i =>
+        li1.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(i * 10000000L)).as("l_suppkey"),
+          col("l_shipdate"))
+      }.reduce(_ unionAll _)
+      def orX(n: Int) = (0 until n).map { i =>
+        or1.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+          col("o_orderdate"))
+      }.reduce(_ unionAll _)
+      for (n <- Seq(1, 8)) {
+        val sc = graft.ops.CacheScope.begin(spark)
+        time(s"scale x$n: sql_q21 rewrite") {
+          graft.queries.Extra12.q21Of(liX(n), orX(n)).count()
+        }
+        sc.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
     spark.stop()
   }
 }
