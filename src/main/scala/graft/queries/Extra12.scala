@@ -420,6 +420,60 @@ object Extra12 {
         .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TOP TALKERS — the reference domain's canonical rollup (every
+    // NetFlow backend's first dashboard query: which /24s move the
+    // bytes, to how many distinct peers). The streaming side of this
+    // engine lands flows as parquet with FlowSchema's column names;
+    // here the same rollup is declared on a DETERMINISTIC flow frame
+    // derived from the events fixture (src/dst quads and byte counts
+    // from integer formulas both engines replay — the fn_ip
+    // convention), because the oracle may only read fixture paths.
+    // Shape: map-side quad/prefix arithmetic, ONE two-phase rollup on
+    // the /24 key carrying (flows, bytes, partial distinct-peer sets),
+    // a bounded top-10 cut with prefix tiebreak. At 100 TB the
+    // distinct-peer count per /24 would swap to the board's HLL row
+    // (agg_sketch_merge) — exact distinct here because the oracle must
+    // replay it.
+    "flow_top_talkers" -> Q(
+      """WITH f AS (
+        |  SELECT concat('10.', CAST((user_id // 65536) % 256 AS VARCHAR), '.',
+        |                CAST((user_id // 256) % 256 AS VARCHAR), '.',
+        |                CAST(user_id % 256 AS VARCHAR)) AS src_addr,
+        |         concat('172.16.', CAST((event_id // 256) % 256 AS VARCHAR), '.',
+        |                CAST(event_id % 256 AS VARCHAR)) AS dst_addr,
+        |         CAST(FLOOR(value * 1000) AS BIGINT) + 64 AS bytes
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |n AS (SELECT concat('10.', CAST(string_split(src_addr, '.')[2] AS VARCHAR),
+        |               '.', CAST(string_split(src_addr, '.')[3] AS VARCHAR),
+        |               '.0/24') AS src_net24,
+        |             dst_addr, bytes FROM f)
+        |SELECT src_net24, CAST(count(*) AS BIGINT) AS n_flows,
+        |       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |       CAST(count(DISTINCT dst_addr) AS BIGINT) AS n_peers
+        |FROM n GROUP BY src_net24
+        |ORDER BY total_bytes DESC, src_net24 LIMIT 10""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).select("event_id", "user_id", "value")
+      val flows = ev.select(
+        concat(lit("10."),
+          ((col("user_id") / 65536).cast("long") % 256).cast("string"), lit("."),
+          ((col("user_id") / 256).cast("long") % 256).cast("string"), lit("."),
+          (col("user_id") % 256).cast("string")).as("src_addr"),
+        concat(lit("172.16."),
+          ((col("event_id") / 256).cast("long") % 256).cast("string"), lit("."),
+          (col("event_id") % 256).cast("string")).as("dst_addr"),
+        (floor(col("value") * 1000).cast("long") + 64).as("bytes"))
+      flows
+        .withColumn("src_net24", concat(lit("10."),
+          split(col("src_addr"), "\\.").getItem(1), lit("."),
+          split(col("src_addr"), "\\.").getItem(2), lit(".0/24")))
+        .groupBy("src_net24")
+        .agg(count(lit(1)).as("n_flows"),
+          sum("bytes").as("total_bytes"),
+          countDistinct("dst_addr").as("n_peers"))
+        .orderBy(col("total_bytes").desc, col("src_net24"))
+        .limit(10)
     }
   )
 
