@@ -224,26 +224,8 @@ object Extra12 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_seen
         |FROM read_parquet('{sfDir}/events.parquet')
         |ORDER BY user_id, seq""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = T.events(s, d).select("user_id", "event_id", "ts", "event_type")
-      val byType = Window.partitionBy("user_id")
-        .orderBy("event_type", "ts", "event_id")
-      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      ev
-        // NULL discipline: count(DISTINCT) ignores NULLs, so a NULL
-        // event_type must never raise the flag — the bare === form would
-        // send every NULL row into otherwise(1) (NULL === NULL is NULL).
-        // The fixture has no NULL types today; this keeps the workaround
-        // faithful to the oracle's semantics if a refresh introduces them.
-        .withColumn("first_of_type",
-          when(col("event_type").isNull, 0L)
-            .when(lag(col("event_type"), 1).over(byType) === col("event_type"), 0L)
-            .otherwise(1L))
-        .withColumn("seq", row_number().over(byTime))
-        .withColumn("n_seen", sum(col("first_of_type"))
-          .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select("user_id", "seq", "event_type", "n_seen")
-        .orderBy("user_id", "seq")
+      winCountDistinctOf(
+        T.events(s, d).select("user_id", "event_id", "ts", "event_type"))
     },
 
     // Mixture sampling to EXPLICIT target domain weights (the training-
@@ -476,6 +458,32 @@ object Extra12 {
         .limit(10)
     }
   )
+
+  /** The win_count_distinct pipeline over an explicit (user_id, event_id,
+    * ts, event_type) frame — the declared query binds the fixture;
+    * ScaleTechniquesSpec binds seeded random frames (WITH null types) and
+    * checks the flag form against a brute-force prefix-distinct count.
+    *
+    * NULL discipline: count(DISTINCT) ignores NULLs, so a NULL
+    * event_type must never raise the flag — the bare === form would
+    * send every NULL row into otherwise(1) (NULL === NULL is NULL).
+    */
+  private[graft] def winCountDistinctOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("user_id")
+      .orderBy("event_type", "ts", "event_id")
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev
+      .withColumn("first_of_type",
+        when(col("event_type").isNull, 0L)
+          .when(lag(col("event_type"), 1).over(byType) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("seq", row_number().over(byTime))
+      .withColumn("n_seen", sum(col("first_of_type"))
+        .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "seq", "event_type", "n_seen")
+      .orderBy("user_id", "seq")
+  }
 
   /** The sql_q21 pipeline over explicit fact frames — the declared query
     * binds the fixtures; PerfProbe binds offset-replicated facts so the

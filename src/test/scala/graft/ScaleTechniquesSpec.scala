@@ -150,4 +150,76 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     assert(direct.nonEmpty && direct == prefiltered)
   }
+
+  test("sql_q21 rewrite ≡ the correlated EXISTS/NOT EXISTS form on seeded random facts") {
+    // The declared oracle checks the rewrite on ONE fixture; this checks
+    // it on adversarial random tables (single-supplier orders, all-late
+    // orders, no-late orders, duplicate (order, supplier) lines) where
+    // each branch of the equivalence argument (n_supp ≥ 2 ⇔ EXISTS,
+    // n_late_supp = 1 ⇔ NOT EXISTS given the probe line is late) can
+    // independently fail if wrong.
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val base = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      def ts(days: Int) = new java.sql.Timestamp(
+        base.getTime + days * 86400000L)
+      val orders = (0 until 30)
+        .map(k => (k.toLong, ts(rnd.nextInt(100))))
+        .toDF("o_orderkey", "o_orderdate")
+      val lineitem = (0 until 200).map { _ =>
+        val ok = rnd.nextInt(30).toLong
+        (ok, rnd.nextInt(6).toLong, ts(rnd.nextInt(200)))
+      }.toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      orders.createOrReplaceTempView("graft_q21_orders")
+      lineitem.createOrReplaceTempView("graft_q21_lineitem")
+      val correlated = spark.sql(
+        """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+          |           FROM graft_q21_lineitem li
+          |           JOIN graft_q21_orders o ON li.l_orderkey = o.o_orderkey)
+          |SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait
+          |FROM l l1
+          |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAYS
+          |  AND EXISTS (SELECT 1 FROM l l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM l l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY 1 ORDER BY numwait DESC, s_suppkey""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rewritten = graft.queries.Extra12.q21Of(lineitem, orders)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rewritten == correlated, s"seed=$seed")
+    }
+  }
+
+  test("win_count_distinct flag form ≡ brute-force prefix distinct count, NULLs included") {
+    // count(DISTINCT) over a running frame ignores NULLs; the flag-form
+    // workaround must too (a bare === lag comparison would count every
+    // NULL row as a fresh type). Seeded random event streams WITH null
+    // types, brute-forced per prefix.
+    import spark.implicits._
+    for (seed <- Seq(7, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300).map { i =>
+        val user = rnd.nextInt(5).toLong
+        val tpe = if (rnd.nextInt(5) == 0) null
+          else s"t${rnd.nextInt(4)}"
+        (user, i.toLong, rnd.nextInt(50).toLong, tpe)
+      }
+      val ev = rows.toDF("user_id", "event_id", "ts", "event_type")
+      val got = graft.queries.Extra12.winCountDistinctOf(ev)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSeq
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (user, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        ordered.zipWithIndex.map { case (_, i) =>
+          val distinct = ordered.take(i + 1).map(_._4).filter(_ != null).distinct.size
+          (user, i + 1, distinct.toLong)
+        }
+      }.sortBy(r => (r._1, r._2))
+      assert(got.sortBy(r => (r._1, r._2)) == expected, s"seed=$seed")
+    }
+  }
 }
