@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{native => gn}
 import org.apache.spark.sql.types.DecimalType
 
-/** Round-10 additions, part 2: multi-join SQL depth. `sql_q3` (Extra5)
-  * pinned the 3-table join+agg shape; these two add the classic
-  * many-table star probe (TPC-H Q5's 6-way join) and the
-  * aggregate-then-join pre-filter shape (Q18), because both exercise
-  * planning decisions — broadcast tiering, join ORDER, agg pushdown
-  * below a join — that none of the existing declared queries force.
-  * Semantics follow the public TPC-H spec; constants are adapted to the
-  * synthetic fixtures (date span 1995-2001, nations named NATION_i).
+/** Round-10 additions, part 2. Multi-join SQL depth (TPC-H Q5/Q13/Q18/
+  * Q21 adapted to the fixtures — each forces a planning decision no
+  * earlier declared query did: broadcast tiering on a 6-way star, the
+  * outer-join ON-vs-WHERE trap, aggregate-below-join pre-filtering, and
+  * the correlated-subquery-to-aggregation rewrite), plus first-class
+  * k-means clustering, Spark 4 API surface rows (pipe syntax, VARIANT's
+  * sibling AES columns), the windowed distinct-count gap workaround,
+  * explicit-mixture sampling, parquet schema evolution, and the flow
+  * domain's top-talkers rollup. Semantics follow the public TPC-H spec
+  * where applicable; constants are adapted to the synthetic fixtures
+  * (date span 1995-2001, nations named NATION_i, sources src0..N).
   */
 object Extra12 {
 
