@@ -407,6 +407,45 @@ object Extra12 {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
+    // EXACT mergeable distinct-count via roaring-style BITMAPS (the
+    // ClickHouse groupBitmap / Spark 3.5 bitmap_* family) — the exact
+    // complement to agg_sketch_merge's approximate HLL: when the id
+    // domain is dense integers (user ids, port numbers, custkeys),
+    // partial bitmaps OR together losslessly, so per-shard sketches
+    // merge upward with NO error bar. Two-level shape is the scale
+    // story: ids bucket into 32k-bit pages (bitmap_bucket_number /
+    // bitmap_bit_position), each (group, bucket) page builds map-side
+    // via bitmap_construct_agg, pages OR across the nation→region
+    // rollup via bitmap_or_agg, and the final count is the SUM of
+    // per-page popcounts — the shuffle carries fixed-width pages, never
+    // id lists. Oracle: plain exact COUNT(DISTINCT) per region — any
+    // lost or duplicated bit hash-fails.
+    "agg_bitmap_distinct" -> Q(
+      """SELECT r_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust
+        |FROM read_parquet('{sfDir}/customer.parquet') c
+        |JOIN read_parquet('{sfDir}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        |JOIN read_parquet('{sfDir}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      val dims = T.nation(s, d)
+        .join(broadcast(T.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
+      // nation-level pages (the "per-shard" build)...
+      val nationPages = T.customer(s, d)
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_nationkey"),
+          expr("bitmap_bucket_number(c_custkey)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))")
+          .as("page"))
+      // ...merged losslessly up to regions, then popcounted
+      nationPages
+        .groupBy("r_name", "bucket")
+        .agg(expr("bitmap_or_agg(page)").as("merged"))
+        .groupBy("r_name")
+        .agg(sum(expr("bitmap_count(merged)")).as("n_cust"))
+        .orderBy("r_name")
+    },
+
     // TOP TALKERS — the reference domain's canonical rollup (every
     // NetFlow backend's first dashboard query: which /24s move the
     // bytes, to how many distinct peers). The streaming side of this
