@@ -60,7 +60,8 @@ object SparkEntry {
     _root_.graft.queries.Extra9.defs,
     _root_.graft.queries.Extra10.defs,
     _root_.graft.queries.Extra11.defs,
-    _root_.graft.queries.Extra12.defs
+    _root_.graft.queries.Extra12.defs,
+    _root_.graft.queries.Extra13.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions, part 3. Exact bitmap set-algebra BETWEEN cohorts
+  * (the intersect complement to Extra12's agg_bitmap_distinct rollup),
+  * Hilbert-curve clustering as the locality upgrade over the declared
+  * Z-order layout, and Spark 4 collation-aware string matching.
+  */
+object Extra13 {
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact COHORT OVERLAP via bitmap set algebra — the question every
+    // retention/repeat-buyer dashboard asks ("how many of last year's
+    // buyers bought again this year?"), answered EXACTLY and mergeably.
+    // Spark 3.5's bitmap_* family has or_agg but no bitmap_and, so the
+    // intersection comes from per-page inclusion-exclusion, which stays
+    // exact because pages are exact: for each (segment, 32k-id bucket),
+    // |A∩B| = |A| + |B| − |A∪B| with all three popcounts computed on
+    // that bucket's pages (A/B = the two years' pages, U = their
+    // bitmap_or_agg). Summing per-bucket intersections per segment
+    // gives the global exact overlap — the shuffle after the one
+    // custkey-keyed fact join carries only fixed-width pages, never id
+    // lists, and pages from any shard merge losslessly (the ClickHouse
+    // groupBitmapAnd operating model). Oracle: plain INTERSECT of the
+    // two cohort key sets — any page bit lost or double-set hash-fails.
+    "agg_bitmap_intersect" -> Q(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_both FROM (
+        |  SELECT c.c_mktsegment, o.o_custkey
+        |  FROM read_parquet('{sfDir}/orders.parquet') o
+        |  JOIN read_parquet('{sfDir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        |  INTERSECT
+        |  SELECT c.c_mktsegment, o.o_custkey
+        |  FROM read_parquet('{sfDir}/orders.parquet') o
+        |  JOIN read_parquet('{sfDir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cohorts = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"),
+          when(col("o_orderdate") < lit("1997-01-01").cast("timestamp"), 1996)
+            .otherwise(1997).as("yr"))
+      // one custkey-keyed shuffle join tags each order with its segment;
+      // at 100 TB both sides are big, so no broadcast hint here — the
+      // join IS the only id-carrying shuffle, everything after is pages.
+      val pages = cohorts
+        .join(T.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("yr"),
+          expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+          .as("page"))
+      pages
+        .groupBy("c_mktsegment", "bucket")
+        .agg(
+          sum(when(col("yr") === 1996, expr("bitmap_count(page)"))
+            .otherwise(0L)).as("n_a"),
+          sum(when(col("yr") === 1997, expr("bitmap_count(page)"))
+            .otherwise(0L)).as("n_b"),
+          expr("bitmap_count(bitmap_or_agg(page))").as("n_u"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("n_a") + col("n_b") - col("n_u")).as("n_both"))
+        .orderBy("c_mktsegment")
+    },
+
+    // HILBERT-curve layout — same bucket-quality probe as layout_zorder
+    // (identical 16-bit normalization and bucket arithmetic, so the two
+    // rows are directly comparable on the same data), but on the curve
+    // with strictly better locality: consecutive Hilbert indexes are
+    // always grid-adjacent (HilbertSpec pins the unit-step property),
+    // so each key-range file covers a tighter 2-D box than Morton's
+    // boundary jumps allow — fewer files touched per 2-D box predicate,
+    // which is why Delta's OPTIMIZE moved from Z-order to Hilbert. The
+    // transform is a 16-level unrolled integer recurrence (ops/Hilbert),
+    // all inside whole-stage codegen; the oracle replays the SAME
+    // recurrence as a DuckDB recursive CTE, so every reflect/transpose
+    // step is hash-gated, not just the final histogram shape.
+    "layout_hilbert" -> Q(
+      """WITH RECURSIVE s0 AS (
+        |  SELECT l_partkey AS x, l_suppkey AS y
+        |  FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |b AS (SELECT CAST(min(x) AS BIGINT) AS minx, CAST(max(x) AS BIGINT) AS maxx,
+        |             CAST(min(y) AS BIGINT) AS miny, CAST(max(y) AS BIGINT) AS maxy
+        |      FROM s0),
+        |n AS (SELECT x, y,
+        |        ((x - minx) * 65535) // greatest(maxx - minx, 1) AS hx,
+        |        ((y - miny) * 65535) // greatest(maxy - miny, 1) AS hy
+        |      FROM s0, b),
+        |h AS (
+        |  SELECT x, y, hx, hy, 16 AS i, CAST(0 AS BIGINT) AS d FROM n
+        |  UNION ALL
+        |  SELECT x, y,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN m - yl ELSE yl END
+        |         ELSE xl END AS hx,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN m - xl ELSE xl END
+        |         ELSE yl END AS hy,
+        |    i - 1 AS i,
+        |    d + (xor(3 * rx, ry) << (2 * (i - 1))) AS d
+        |  FROM (
+        |    SELECT x, y, hx, hy, i, d,
+        |      (hx >> (i - 1)) & 1 AS rx,
+        |      (hy >> (i - 1)) & 1 AS ry,
+        |      (CAST(1 AS BIGINT) << (i - 1)) - 1 AS m,
+        |      hx & ((CAST(1 AS BIGINT) << (i - 1)) - 1) AS xl,
+        |      hy & ((CAST(1 AS BIGINT) << (i - 1)) - 1) AS yl
+        |    FROM h WHERE i > 0))
+        |SELECT d >> 27 AS h_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(x) AS min_x, max(x) AS max_x,
+        |       min(y) AS min_y, max(y) AS max_y,
+        |       max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+        |FROM h WHERE i = 0 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val li = T.lineitem(s, d)
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      graft.ops.Hilbert.withHKey(li, "x", "y")
+        .groupBy(shiftright(col("hkey"), 27).as("h_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .withColumn("x_span", col("max_x") - col("min_x"))
+        .withColumn("y_span", col("max_y") - col("min_y"))
+        .orderBy("h_bucket")
+    },
+
+    // Spark 4 COLLATION-aware matching (the GA'd collation surface,
+    // sibling to fn_variant's VARIANT row): equality under UTF8_LCASE
+    // matches case-insensitively WITHOUT rewriting the data — the
+    // mixed-case probes below match the fixture's lowercase event types
+    // only because the comparison itself is collated (under the default
+    // binary collation every probe matches zero rows). The oracle
+    // replays with lower()=lower(), the pre-collation idiom this
+    // feature replaces. Probes ride a broadcast; the collated equality
+    // stays a hash-join key (collation support lowers to a
+    // collation-key hash, not a filter).
+    "fn_collation" -> Q(
+      """SELECT probe, CAST(count(*) AS BIGINT) AS n
+        |FROM (VALUES ('CLICK'), ('Purchase'), ('ERROR')) p(probe)
+        |JOIN read_parquet('{sfDir}/events.parquet') e
+        |  ON lower(e.event_type) = lower(p.probe)
+        |GROUP BY probe ORDER BY probe""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val probes = Seq("CLICK", "Purchase", "ERROR").toDF("probe")
+      T.events(s, d)
+        .join(broadcast(probes),
+          expr("collate(event_type, 'UTF8_LCASE')") ===
+            expr("collate(probe, 'UTF8_LCASE')"))
+        .groupBy("probe")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("probe")
+    }
+  )
+}
