@@ -70,7 +70,9 @@ object Plans {
     "sql_q18" -> "aggregate-below-join pre-filter + TakeOrderedAndProject(limit=100) final cut",
     "multimodal_dedup" -> "binary dedup: broadcast content build, map-side sha2, skinny (digest,id) shuffle",
     "win_count_distinct" -> "windowed distinct-count workaround: both windows share one user_id exchange (two sorts, one shuffle)",
-    "sql_q21" -> "double-correlated-subquery rewrite: one fact scan, per-(order,supplier) exchange reused by both existence branches")
+    "sql_q21" -> "double-correlated-subquery rewrite: one fact scan, per-(order,supplier) exchange reused by both existence branches",
+    "layout_hilbert" -> "hilbert layout: native hilbert_index loop in one codegen stage, 1-row broadcast stats frame, 32-group two-phase rollup",
+    "agg_bitmap_intersect" -> "exact cohort overlap: map-side partial bitmap pages, fixed-width pages on every exchange, ids cross only the fact join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

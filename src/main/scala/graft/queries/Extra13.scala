@@ -77,8 +77,10 @@ object Extra13 {
     // so each key-range file covers a tighter 2-D box than Morton's
     // boundary jumps allow — fewer files touched per 2-D box predicate,
     // which is why Delta's OPTIMIZE moved from Z-order to Hilbert. The
-    // transform is a 16-level unrolled integer recurrence (ops/Hilbert),
-    // all inside whole-stage codegen; the oracle replays the SAME
+    // transform is a native codegen'd expression (functions/HilbertIndex
+    // — one generated loop; the equivalent unrolled-projection form
+    // measured 4.9 s vs 0.31 s because ~50 chained Projects make plan
+    // ANALYSIS the cost, spec-pinned equal); the oracle replays the SAME
     // recurrence as a DuckDB recursive CTE, so every reflect/transpose
     // step is hash-gated, not just the final histogram shape.
     "layout_hilbert" -> Q(

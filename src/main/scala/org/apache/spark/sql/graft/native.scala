@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SignLshBuckets, SimHash64}
+import graft.functions.{CosineSimilarity, HilbertIndex, MinHashSignature, SignLshBuckets, SimHash64}
 import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
 
 /** Bridge into Spark's `private[sql]` Expression↔Column surface for the
@@ -21,6 +21,11 @@ object native {
   def cosine_similarity(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Hilbert-curve index of two bigint coords on the 2^bits grid. */
+  def hilbert_index(x: Column, y: Column, bits: Int): Column =
+    ExpressionUtils.column(HilbertIndex(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
 
   /** 64-bit SimHash over an array<bigint> of element hashes. */
   def simhash64(hashes: Column): Column =

@@ -44,15 +44,22 @@ class HilbertSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("unrolled column form equals the reference on a 16-bit sample") {
+  test("unrolled column form and native expression both equal the reference (16-bit sample)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     val pts = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
       Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L))
-    val got = Hilbert.withIndex(pts.toDF("x", "y"), "x", "y", 16, "hkey")
-      .select("x", "y", "hkey").as[(Long, Long, Long)].collect()
-    got.foreach { case (x, y, h) =>
-      assert(h == Hilbert.reference(x, y, 16), s"mismatch at ($x,$y)")
+    // three independent formulations of the recurrence must agree:
+    // plain Scala (reference), unrolled built-in columns (withIndex),
+    // and the production codegen expression (hilbert_index).
+    val df = Hilbert.withIndex(pts.toDF("x", "y"), "x", "y", 16, "unrolled")
+      .withColumn("native", org.apache.spark.sql.graft.native
+        .hilbert_index(col("x"), col("y"), 16))
+    val got = df.select("x", "y", "unrolled", "native")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, u, nv) =>
+      val ref = Hilbert.reference(x, y, 16)
+      assert(u == ref && nv == ref, s"mismatch at ($x,$y): unrolled=$u native=$nv ref=$ref")
     }
     // and the 32-bit index space is actually exercised at the corners
     assert(got.map(_._3).max > (1L << 30))
