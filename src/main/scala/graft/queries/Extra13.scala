@@ -10,7 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object Extra13 {
 
+  private def stage(d: String, what: String): String =
+    Q.stageDir("graft_evo", d, what)
+
   val defs: Map[String, Q] = Map(
+
+    // XML source round trip — Spark 4's built-in XML reader/writer (the
+    // spark-xml donation), completing the format family next to
+    // csv/json/orc/avro/text: stage customers as <customer> row
+    // elements, read back with an EXPLICIT schema (inference on XML
+    // text is the classic silent-coercion trap — a bigint column that
+    // infers long today infers double the day one value gains a
+    // decimal point; the explicit schema turns drift into a loud
+    // error), aggregate per segment. Oracle computes the same rollup
+    // from the parquet original, so any value lost or re-typed in the
+    // XML round trip hash-fails. Long/string columns only: XML carries
+    // no float width, and doubles would round-trip through decimal
+    // text (the scan_csv lesson applies unchanged).
+    "scan_xml" -> Q(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM read_parquet('{sfDir}/customer.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = stage(d, "xml")
+      T.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite")
+        .option("rootTag", "customers").option("rowTag", "customer")
+        .format("xml").save(dir)
+      s.read
+        .schema("c_custkey BIGINT, c_name STRING, c_mktsegment STRING")
+        .option("rowTag", "customer").format("xml").load(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"))
+        .orderBy("c_mktsegment")
+    },
 
     // Exact COHORT OVERLAP via bitmap set algebra — the question every
     // retention/repeat-buyer dashboard asks ("how many of last year's
@@ -127,6 +160,96 @@ object Extra13 {
         .withColumn("x_span", col("max_x") - col("min_x"))
         .withColumn("y_span", col("max_y") - col("min_y"))
         .orderBy("h_bucket")
+    },
+
+    // TPC-H Q4 (order-priority checking), adapted to the fixture's
+    // columns (no commitdate/receiptdate: "a late line" is l_shipdate >
+    // o_orderdate + 30 days): count orders per priority that HAVE at
+    // least one late line, over one quarter. The planning shape this
+    // adds over join_semi/subq_correlated: an EXISTS against the FACT
+    // table where the correlated predicate references BOTH sides
+    // (l_shipdate > o_orderdate + 30), so the decorrelated semi join
+    // carries a non-equi residual on top of the orderkey equi-key —
+    // Catalyst must keep it a hash semi join with the residual as a
+    // join condition, never a nested loop. The oracle keeps the
+    // textbook correlated EXISTS form.
+    "sql_q4" -> Q(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM read_parquet('{sfDir}/orders.parquet') o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM read_parquet('{sfDir}/lineitem.parquet') l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1996-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = T.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // REGRESSION aggregates (the regr_slope / regr_intercept / regr_r2
+    // family) from exact decimal power sums — the same closed forms the
+    // built-ins compute, but from order-independent mergeable sums (the
+    // agg_corr / agg_stddev discipline), so partial aggregates combine
+    // across any shard topology and the result is bit-deterministic —
+    // the built-ins' streaming-covariance accumulators are
+    // order-sensitive in the last ulps AND differ between engines, so
+    // they could never be hash-gated (QueriesSpec pins the built-in
+    // agrees with the exact form to 1e-6, which is the gate the
+    // built-ins themselves can get). Final arithmetic is the identical
+    // double expression on both sides, sub-expression by
+    // sub-expression: num/dx/dy go to DOUBLE individually (their
+    // decimal products overflow DECIMAL(38) at larger SFs).
+    "agg_regression" -> Q(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM read_parquet('{sfDir}/lineitem.parquet') GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  CAST(ROUND(num / dx, 6) AS DECIMAL(18,6)) AS slope,
+        |  CAST(ROUND((syd - (num / dx) * sxd) / n, 6) AS DECIMAL(18,6)) AS icept,
+        |  CAST(ROUND((num * num) / (dx * dy), 6) AS DECIMAL(18,6)) AS r2
+        |FROM t ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val x = graft.Q.dec2(col("l_quantity"))
+      val y = graft.Q.dec2(col("l_extendedprice"))
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+        .withColumn("dx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("dy", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+        .withColumn("sxd", col("sx").cast("double"))
+        .withColumn("syd", col("sy").cast("double"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("num") / col("dx"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("slope"),
+          round((col("syd") - (col("num") / col("dx")) * col("sxd")) / col("n"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("icept"),
+          round((col("num") * col("num")) / (col("dx") * col("dy")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("r2"))
+        .orderBy("l_returnflag")
     },
 
     // Spark 4 COLLATION-aware matching (the GA'd collation surface,

@@ -95,4 +95,37 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(flaky.isEmpty, s"nondeterministic: $flaky")
   }
+
+  test("agg_regression's exact-sum forms agree with the regr_* built-ins to 1e-6") {
+    // The declared query derives slope/intercept/r2 from exact decimal
+    // power sums (order-independent, hash-gateable); Spark's built-in
+    // regr_slope/regr_intercept/regr_r2 use streaming-covariance
+    // accumulators (order-sensitive last ulps, engine-specific — NOT
+    // hash-gateable against DuckDB). This pins that both compute the
+    // same statistic, which neither the oracle nor the built-ins alone
+    // can show.
+    import org.apache.spark.sql.functions._
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("slope"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("icept"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("agg_regression")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(builtin.keySet == exact.keySet)
+    exact.foreach { case (k, (s1, i1, r1)) =>
+      val (s2, i2, r2) = builtin(k)
+      // exact sums use DECIMAL(18,2)-cast inputs (the money contract);
+      // the built-ins see raw doubles — tolerance covers the cast, the
+      // rounding to 6 decimals, and the accumulator ulps together. The
+      // relative bound matters for intercept, whose magnitude is ~1e4.
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= 1e-6 + 1e-6 * math.max(math.abs(a), math.abs(b))
+      assert(close(s1, s2) && close(i1, i2) && close(r1, r2),
+        s"$k: exact ($s1,$i1,$r1) vs builtin ($s2,$i2,$r2)")
+    }
+  }
 }
