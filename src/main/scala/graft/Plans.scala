@@ -72,7 +72,9 @@ object Plans {
     "win_count_distinct" -> "windowed distinct-count workaround: both windows share one user_id exchange (two sorts, one shuffle)",
     "sql_q21" -> "double-correlated-subquery rewrite: one fact scan, per-(order,supplier) exchange reused by both existence branches",
     "layout_hilbert" -> "hilbert layout: native hilbert_index loop in one codegen stage, 1-row broadcast stats frame, 32-group two-phase rollup",
-    "agg_bitmap_intersect" -> "exact cohort overlap: map-side partial bitmap pages, fixed-width pages on every exchange, ids cross only the fact join")
+    "agg_bitmap_intersect" -> "exact cohort overlap: map-side partial bitmap pages, fixed-width pages on every exchange, ids cross only the fact join",
+    "sql_q19" -> "disjunctive-predicate join: derived per-side OR pushed to both scans, equi-key hash join keeps the cross-side OR as residual",
+    "sql_q10" -> "returned-item top-20: facts filtered before the orderkey join, TakeOrderedAndProject over the aggregated revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

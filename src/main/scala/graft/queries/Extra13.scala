@@ -196,6 +196,89 @@ object Extra13 {
         .orderBy("o_orderpriority")
     },
 
+    // TPC-H Q10 (returned-item reporting): which customers returned the
+    // most revenue in a quarter — fact⋈fact (lineitem⋈orders on
+    // orderkey, both date/flag-filtered BEFORE the join), then the
+    // customer/nation dims, then a top-20 by aggregated revenue. The
+    // planning shape this adds: an aggregate whose group key is a
+    // MULTI-COLUMN dim tuple (custkey, name, acctbal, nation) — the
+    // engine groups by the narrow key and carries the functionally-
+    // dependent dim columns via first()-free grouping (they ride the
+    // group key), and the final cut is TakeOrderedAndProject on the
+    // AGGREGATED value with a unique tie-break (revenue DESC, custkey)
+    // so the limit is deterministic on both engines.
+    "sql_q10" -> Q(
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal, n.n_name
+        |FROM read_parquet('{sfDir}/customer.parquet') c
+        |JOIN read_parquet('{sfDir}/orders.parquet') o ON c.c_custkey = o.o_custkey
+        |JOIN read_parquet('{sfDir}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{sfDir}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val rev = graft.Q.dec2(col("l_extendedprice")) *
+        (lit(1) - graft.Q.dec2(col("l_discount")))
+      val o = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = T.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("acctbal", graft.Q.dec2(col("c_acctbal")).cast("double"))
+        .groupBy("c_custkey", "c_name", "acctbal", "n_name")
+        .agg(graft.Q.dec4(sum(rev)).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q19 (discounted revenue under DISJUNCTIVE predicates): an
+    // OR of per-branch conjunctions each referencing BOTH join sides
+    // (brand/size from part, quantity from lineitem). The planner test:
+    // the p_partkey equi-key must survive planning (hash join, OR as
+    // residual), and Catalyst's extractPredicatesWithinOutputSet pushes
+    // the DERIVED single-side disjunction ((brand A AND size…) OR
+    // (brand B AND size…) OR …) down to the part scan, so the build
+    // side is pre-filtered even though no single conjunct applies to
+    // every branch — the classic OR-pushdown shape naive planners scan
+    // full tables for.
+    "sql_q19" -> Q(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM read_parquet('{sfDir}/lineitem.parquet') l
+        |JOIN read_parquet('{sfDir}/part.parquet') p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 5 AND 30)
+        |   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 10 AND 40)""".stripMargin) { (s, d) =>
+      val rev = graft.Q.dec2(col("l_extendedprice")) *
+        (lit(1) - graft.Q.dec2(col("l_discount")))
+      def branch(brand: String, s0: Int, s1: Int, q0: Int, q1: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(s0, s1) && col("l_quantity").between(q0, q1)
+      T.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(T.part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("p_partkey") === col("l_partkey"))
+        .filter(branch("Brand#13", 1, 15, 1, 20) ||
+                branch("Brand#20", 10, 30, 5, 30) ||
+                branch("Brand#9", 20, 50, 10, 40))
+        .agg(graft.Q.dec4(sum(rev)).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // REGRESSION aggregates (the regr_slope / regr_intercept / regr_r2
     // family) from exact decimal power sums — the same closed forms the
     // built-ins compute, but from order-independent mergeable sums (the
@@ -250,6 +333,51 @@ object Extra13 {
           round((col("num") * col("num")) / (col("dx") * col("dy")), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("r2"))
         .orderBy("l_returnflag")
+    },
+
+    // SCAN DETECTION — the flow domain's canonical security rollup
+    // (every NetFlow backend's second dashboard query, after top
+    // talkers): which sources fan out to the most DISTINCT peers per
+    // day. Same deterministic events→flow mapping as flow_top_talkers
+    // (the oracle may only read fixture paths), day buckets via the
+    // stream_tumbling epoch idiom. The distinct count is written as the
+    // EXPLICIT two-phase form — dedupe (src, day, dst) with map-side
+    // partial counts, then rollup n_dst = count, n_flows = sum — so
+    // the shuffle carries each distinct peer once, never raw flows;
+    // suspects surface via TakeOrderedAndProject with a unique
+    // tie-break. At 100 TB the exact per-key distinct swaps for the
+    // mergeable sketch/bitmap rows (agg_sketch_merge /
+    // agg_bitmap_distinct) — the rollup shape is unchanged.
+    "flow_scan_detect" -> Q(
+      """WITH f AS (
+        |  SELECT concat('10.', CAST((user_id // 65536) % 256 AS VARCHAR), '.',
+        |                CAST((user_id // 256) % 256 AS VARCHAR), '.',
+        |                CAST(user_id % 256 AS VARCHAR)) AS src_addr,
+        |         concat('172.16.', CAST((event_id // 256) % 256 AS VARCHAR), '.',
+        |                CAST(event_id % 256 AS VARCHAR)) AS dst_addr,
+        |         (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_s
+        |  FROM read_parquet('{sfDir}/events.parquet'))
+        |SELECT src_addr, day_s,
+        |       CAST(count(DISTINCT dst_addr) AS BIGINT) AS n_dst,
+        |       CAST(count(*) AS BIGINT) AS n_flows
+        |FROM f GROUP BY src_addr, day_s
+        |ORDER BY n_dst DESC, src_addr, day_s LIMIT 10""".stripMargin) { (s, d) =>
+      val flows = T.events(s, d).select(
+        concat(lit("10."),
+          ((col("user_id") / 65536).cast("long") % 256).cast("string"), lit("."),
+          ((col("user_id") / 256).cast("long") % 256).cast("string"), lit("."),
+          (col("user_id") % 256).cast("string")).as("src_addr"),
+        concat(lit("172.16."),
+          ((col("event_id") / 256).cast("long") % 256).cast("string"), lit("."),
+          (col("event_id") % 256).cast("string")).as("dst_addr"),
+        (expr("unix_timestamp(ts_us) div 86400") * 86400).as("day_s"))
+      flows
+        .groupBy("src_addr", "day_s", "dst_addr")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("src_addr", "day_s")
+        .agg(count(lit(1)).as("n_dst"), sum("cnt").as("n_flows"))
+        .orderBy(col("n_dst").desc, col("src_addr"), col("day_s"))
+        .limit(10)
     },
 
     // Spark 4 COLLATION-aware matching (the GA'd collation surface,

@@ -463,6 +463,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shape: every pair-generating join is an equi-join.
   }
 
+  test("sql_q19 pushes the derived single-side disjunctions to BOTH scans") {
+    val p = planOf("sql_q19")
+    // the OR references both join sides, so neither branch is pushable
+    // whole — Catalyst must derive the per-side OR-of-conjunctions and
+    // push each to its scan, keeping the equi-key hash join (the
+    // residual OR stays in the join condition).
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or(Or(And(EqualTo(p_brand,Brand#13)"), p)
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("sql_q10's top-20 is TakeOrderedAndProject over the aggregate") {
+    val p = planOf("sql_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+  }
+
   test("no declared query contains a Scala UDF node") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString()
