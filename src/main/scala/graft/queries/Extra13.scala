@@ -6,7 +6,12 @@ import org.apache.spark.sql.functions._
 /** Round-10 additions, part 3. Exact bitmap set-algebra BETWEEN cohorts
   * (the intersect complement to Extra12's agg_bitmap_distinct rollup),
   * Hilbert-curve clustering as the locality upgrade over the declared
-  * Z-order layout, and Spark 4 collation-aware string matching.
+  * Z-order layout, Spark 4 surface rows (collation-aware matching, the
+  * built-in XML source round trip), regression aggregates from exact
+  * mergeable power sums, three more classic TPC-H planner shapes (Q4's
+  * two-sided correlated EXISTS, Q10's aggregated top-20, Q19's
+  * disjunctive cross-side predicate pushdown), and the flow domain's
+  * peer-scan detector.
   */
 object Extra13 {
 
@@ -82,23 +87,13 @@ object Extra13 {
       // one custkey-keyed shuffle join tags each order with its segment;
       // at 100 TB both sides are big, so no broadcast hint here — the
       // join IS the only id-carrying shuffle, everything after is pages.
-      val pages = cohorts
+      val tagged = cohorts
         .join(T.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("yr"),
-          expr("bitmap_bucket_number(o_custkey)").as("bucket"))
-        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
-          .as("page"))
-      pages
-        .groupBy("c_mktsegment", "bucket")
-        .agg(
-          sum(when(col("yr") === 1996, expr("bitmap_count(page)"))
-            .otherwise(0L)).as("n_a"),
-          sum(when(col("yr") === 1997, expr("bitmap_count(page)"))
-            .otherwise(0L)).as("n_b"),
-          expr("bitmap_count(bitmap_or_agg(page))").as("n_u"))
-        .groupBy("c_mktsegment")
-        .agg(sum(col("n_a") + col("n_b") - col("n_u")).as("n_both"))
+        .select(col("c_mktsegment").as("grp"), col("yr"),
+          col("o_custkey").as("id"))
+      bitmapIntersectOf(tagged, 1996, 1997)
+        .select(col("grp").as("c_mktsegment"), col("n_both"))
         .orderBy("c_mktsegment")
     },
 
@@ -407,4 +402,33 @@ object Extra13 {
         .orderBy("probe")
     }
   )
+
+  /** The agg_bitmap_intersect page pipeline over an explicit
+    * (grp, yr, id) frame — the declared query binds the fixture; the
+    * spec binds seeded frames whose ids SPAN bitmap buckets (the
+    * winCountDistinctOf convention). The fixture alone cannot exercise
+    * the multi-bucket path: custkeys top out at 15k < 32768, one
+    * bucket — a bug that mixed pages across buckets, or mis-handled
+    * the exact 32768/32769 boundary, would still pass the oracle.
+    *
+    * Per (grp, bucket): |A∩B| = |A| + |B| − |A∪B| over that bucket's
+    * exact pages — exact because pages are exact; summed per grp.
+    * Duplicate ids per side are absorbed by bitmap_construct_agg
+    * (sets a bit, never counts it twice).
+    */
+  private[graft] def bitmapIntersectOf(tagged: org.apache.spark.sql.DataFrame,
+      yrA: Int, yrB: Int): org.apache.spark.sql.DataFrame =
+    tagged
+      .groupBy(col("grp"), col("yr"),
+        expr("bitmap_bucket_number(id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(id))").as("page"))
+      .groupBy("grp", "bucket")
+      .agg(
+        sum(when(col("yr") === yrA, expr("bitmap_count(page)"))
+          .otherwise(0L)).as("n_a"),
+        sum(when(col("yr") === yrB, expr("bitmap_count(page)"))
+          .otherwise(0L)).as("n_b"),
+        expr("bitmap_count(bitmap_or_agg(page))").as("n_u"))
+      .groupBy("grp")
+      .agg(sum(col("n_a") + col("n_b") - col("n_u")).as("n_both"))
 }

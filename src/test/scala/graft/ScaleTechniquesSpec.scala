@@ -222,4 +222,33 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.sortBy(r => (r._1, r._2)) == expected, s"seed=$seed")
     }
   }
+
+  test("bitmap page intersection ≡ exact set intersection across bucket boundaries") {
+    // The fixture cannot reach this path: custkeys stop at 15k < 32768,
+    // so the declared oracle exercises exactly ONE bitmap bucket. Seeded
+    // ids spanning ~9 buckets — with the exact 32768/32769/65536
+    // boundary ids force-included on BOTH sides — pin that pages never
+    // mix across buckets and the per-bucket inclusion-exclusion sums to
+    // the true intersection. Duplicates per side included deliberately.
+    import spark.implicits._
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val boundary = Seq(1L, 32767L, 32768L, 32769L, 65535L, 65536L)
+      val rows = (0 until 4000).map { _ =>
+        (s"g${rnd.nextInt(3)}", if (rnd.nextBoolean()) 1996 else 1997,
+          (rnd.nextInt(300000) + 1).toLong)
+      } ++ boundary.flatMap(id => Seq(("g0", 1996, id), ("g0", 1997, id)))
+      val tagged = rows.toDF("grp", "yr", "id")
+      val got = graft.queries.Extra13.bitmapIntersectOf(tagged, 1996, 1997)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val a = rs.filter(_._2 == 1996).map(_._3).toSet
+        val b = rs.filter(_._2 == 1997).map(_._3).toSet
+        g -> (a & b).size.toLong
+      }
+      assert(got == expected, s"seed=$seed")
+      // and the boundary ids really did cross buckets
+      assert(expected("g0") >= boundary.size, s"seed=$seed")
+    }
+  }
 }
