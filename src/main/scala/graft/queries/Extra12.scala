@@ -430,19 +430,12 @@ object Extra12 {
         .join(broadcast(T.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("r_name"))
-      // nation-level pages (the "per-shard" build)...
-      val nationPages = T.customer(s, d)
+      val tagged = T.customer(s, d)
         .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("r_name"), col("n_nationkey"),
-          expr("bitmap_bucket_number(c_custkey)").as("bucket"))
-        .agg(expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))")
-          .as("page"))
-      // ...merged losslessly up to regions, then popcounted
-      nationPages
-        .groupBy("r_name", "bucket")
-        .agg(expr("bitmap_or_agg(page)").as("merged"))
-        .groupBy("r_name")
-        .agg(sum(expr("bitmap_count(merged)")).as("n_cust"))
+        .select(col("r_name").as("grp"), col("n_nationkey").as("sub"),
+          col("c_custkey").as("id"))
+      bitmapDistinctOf(tagged)
+        .select(col("grp").as("r_name"), col("n").as("n_cust"))
         .orderBy("r_name")
     },
 
@@ -562,4 +555,22 @@ object Extra12 {
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(100)
   }
+
+  /** The agg_bitmap_distinct page rollup over an explicit (grp, sub, id)
+    * frame — build pages per (grp, sub, 32k-bucket) map-side, OR them
+    * losslessly up the sub→grp merge, count = Σ per-page popcounts. The
+    * declared query binds the fixture (region/nation/custkey); the spec
+    * binds seeded frames whose ids SPAN buckets, which the fixture
+    * cannot (custkeys < 32768 — one bucket; see Extra13
+    * .bitmapIntersectOf for the same blind spot on the intersect side).
+    */
+  private[graft] def bitmapDistinctOf(tagged: DataFrame): DataFrame =
+    tagged
+      .groupBy(col("grp"), col("sub"),
+        expr("bitmap_bucket_number(id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(id))").as("page"))
+      .groupBy("grp", "bucket")
+      .agg(expr("bitmap_or_agg(page)").as("merged"))
+      .groupBy("grp")
+      .agg(sum(expr("bitmap_count(merged)")).as("n"))
 }

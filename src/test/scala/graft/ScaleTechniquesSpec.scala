@@ -251,4 +251,27 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(expected("g0") >= boundary.size, s"seed=$seed")
     }
   }
+
+  test("bitmap page distinct rollup ≡ exact distinct across bucket boundaries and sub-shards") {
+    // Same blind spot as the intersect pin, on the sub→grp merge side:
+    // the SAME id arriving via DIFFERENT subs (a customer counted from
+    // two nation shards would be impossible in the fixture, but partial
+    // pages from different shards carrying overlapping ids is exactly
+    // what the OR-merge must absorb at scale) plus multi-bucket ids.
+    import spark.implicits._
+    for (seed <- Seq(13, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 4000).map { _ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(5).toLong,
+          (rnd.nextInt(300000) + 1).toLong)
+      } ++ Seq(1L, 32767L, 32768L, 32769L, 65536L).flatMap(id =>
+        Seq(("g0", 0L, id), ("g0", 1L, id), ("g1", 2L, id)))
+      val got = graft.queries.Extra12.bitmapDistinctOf(
+        rows.toDF("grp", "sub", "id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = rows.groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(_._3).distinct.size.toLong }
+      assert(got == expected, s"seed=$seed")
+    }
+  }
 }
