@@ -38,8 +38,9 @@ object Hilbert {
     * (the native expression the production path uses): two independent
     * formulations plus [[reference]] must all agree. NOT for hot paths —
     * the ~50 chained projections make plan analysis the dominant cost
-    * (measured 4.9 s vs 0.31 s for the equivalent native form on the
-    * sf0.1 bench input). Contract: both coordinates already in
+    * (measured 4.9 s unrolled vs 0.56 s native on the sf0.1 bench
+    * input; z-order 0.31-0.54 on the same runs). Contract: both
+    * coordinates already in
     * [0, 2^bits). Working columns are prefixed `_h_` and dropped.
     */
   def withIndex(df0: DataFrame, xi: String, yi: String, bits: Int,

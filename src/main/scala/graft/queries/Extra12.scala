@@ -472,14 +472,7 @@ object Extra12 {
         |FROM n GROUP BY src_net24
         |ORDER BY total_bytes DESC, src_net24 LIMIT 10""".stripMargin) { (s, d) =>
       val ev = T.events(s, d).select("event_id", "user_id", "value")
-      val flows = ev.select(
-        concat(lit("10."),
-          ((col("user_id") / 65536).cast("long") % 256).cast("string"), lit("."),
-          ((col("user_id") / 256).cast("long") % 256).cast("string"), lit("."),
-          (col("user_id") % 256).cast("string")).as("src_addr"),
-        concat(lit("172.16."),
-          ((col("event_id") / 256).cast("long") % 256).cast("string"), lit("."),
-          (col("event_id") % 256).cast("string")).as("dst_addr"),
+      val flows = withFlowAddrs(ev).select(col("src_addr"), col("dst_addr"),
         (floor(col("value") * 1000).cast("long") + 64).as("bytes"))
       flows
         .withColumn("src_net24", concat(lit("10."),
@@ -555,6 +548,23 @@ object Extra12 {
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(100)
   }
+
+  /** The deterministic events→flow address mapping shared by every
+    * declared flow-domain rollup (flow_top_talkers, flow_scan_detect):
+    * user_id → 10.x.y.z source quad, event_id → 172.16.x.y destination.
+    * The oracle CTEs must inline the IDENTICAL integer formulas — a
+    * change here must land in each flow query's SQL too, or the two
+    * engines disagree about which source an event maps to.
+    */
+  private[graft] def withFlowAddrs(ev: DataFrame): DataFrame =
+    ev
+      .withColumn("src_addr", concat(lit("10."),
+        ((col("user_id") / 65536).cast("long") % 256).cast("string"), lit("."),
+        ((col("user_id") / 256).cast("long") % 256).cast("string"), lit("."),
+        (col("user_id") % 256).cast("string")))
+      .withColumn("dst_addr", concat(lit("172.16."),
+        ((col("event_id") / 256).cast("long") % 256).cast("string"), lit("."),
+        (col("event_id") % 256).cast("string")))
 
   /** The agg_bitmap_distinct page rollup over an explicit (grp, sub, id)
     * frame — build pages per (grp, sub, 32k-bucket) map-side, OR them

@@ -92,7 +92,12 @@ object Extra13 {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("grp"), col("yr"),
           col("o_custkey").as("id"))
+      // the oracle's INTERSECT emits NO row for a segment whose overlap
+      // is empty (or whose buyers sit in one year only); the helper
+      // emits n_both=0 — filter to match. Latent-divergence fix: every
+      // fixture segment overlaps today, so this only bites on a refresh.
       bitmapIntersectOf(tagged, 1996, 1997)
+        .filter(col("n_both") > 0)
         .select(col("grp").as("c_mktsegment"), col("n_both"))
         .orderBy("c_mktsegment")
     },
@@ -107,8 +112,8 @@ object Extra13 {
     // which is why Delta's OPTIMIZE moved from Z-order to Hilbert. The
     // transform is a native codegen'd expression (functions/HilbertIndex
     // — one generated loop; the equivalent unrolled-projection form
-    // measured 4.9 s vs 0.31 s because ~50 chained Projects make plan
-    // ANALYSIS the cost, spec-pinned equal); the oracle replays the SAME
+    // measured 4.9 s vs this form's 0.56 s because ~50 chained Projects
+    // make plan ANALYSIS the cost, spec-pinned equal); the oracle replays the SAME
     // recurrence as a DuckDB recursive CTE, so every reflect/transpose
     // step is hash-gated, not just the final histogram shape.
     "layout_hilbert" -> Q(
@@ -321,12 +326,11 @@ object Extra13 {
         .withColumn("sxd", col("sx").cast("double"))
         .withColumn("syd", col("sy").cast("double"))
         .select(col("l_returnflag"), col("n"),
-          round(col("num") / col("dx"), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("slope"),
-          round((col("syd") - (col("num") / col("dx")) * col("sxd")) / col("n"), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("icept"),
-          round((col("num") * col("num")) / (col("dx") * col("dy")), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("r2"))
+          graft.Q.dec6(round(col("num") / col("dx"), 6)).as("slope"),
+          graft.Q.dec6(round((col("syd") - (col("num") / col("dx")) * col("sxd"))
+            / col("n"), 6)).as("icept"),
+          graft.Q.dec6(round((col("num") * col("num")) / (col("dx") * col("dy")), 6))
+            .as("r2"))
         .orderBy("l_returnflag")
     },
 
@@ -357,15 +361,9 @@ object Extra13 {
         |       CAST(count(*) AS BIGINT) AS n_flows
         |FROM f GROUP BY src_addr, day_s
         |ORDER BY n_dst DESC, src_addr, day_s LIMIT 10""".stripMargin) { (s, d) =>
-      val flows = T.events(s, d).select(
-        concat(lit("10."),
-          ((col("user_id") / 65536).cast("long") % 256).cast("string"), lit("."),
-          ((col("user_id") / 256).cast("long") % 256).cast("string"), lit("."),
-          (col("user_id") % 256).cast("string")).as("src_addr"),
-        concat(lit("172.16."),
-          ((col("event_id") / 256).cast("long") % 256).cast("string"), lit("."),
-          (col("event_id") % 256).cast("string")).as("dst_addr"),
-        (expr("unix_timestamp(ts_us) div 86400") * 86400).as("day_s"))
+      val flows = Extra12.withFlowAddrs(T.events(s, d))
+        .select(col("src_addr"), col("dst_addr"),
+          (expr("unix_timestamp(ts_us) div 86400") * 86400).as("day_s"))
       flows
         .groupBy("src_addr", "day_s", "dst_addr")
         .agg(count(lit(1)).as("cnt"))
@@ -418,7 +416,12 @@ object Extra13 {
     */
   private[graft] def bitmapIntersectOf(tagged: org.apache.spark.sql.DataFrame,
       yrA: Int, yrB: Int): org.apache.spark.sql.DataFrame =
+    // inclusion-exclusion is only sound over EXACTLY the two cohorts: a
+    // foreign yr's page would join the OR-merge (inflating n_u) without
+    // entering n_a/n_b, driving the bucket's count negative — filter
+    // rather than trust the caller's frame.
     tagged
+      .filter(col("yr").isin(yrA, yrB))
       .groupBy(col("grp"), col("yr"),
         expr("bitmap_bucket_number(id)").as("bucket"))
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(id))").as("page"))

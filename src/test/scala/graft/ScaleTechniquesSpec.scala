@@ -237,7 +237,12 @@ class ScaleTechniquesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = (0 until 4000).map { _ =>
         (s"g${rnd.nextInt(3)}", if (rnd.nextBoolean()) 1996 else 1997,
           (rnd.nextInt(300000) + 1).toLong)
-      } ++ boundary.flatMap(id => Seq(("g0", 1996, id), ("g0", 1997, id)))
+      } ++ boundary.flatMap(id => Seq(("g0", 1996, id), ("g0", 1997, id))) ++
+        // foreign-cohort noise the helper must FILTER, not OR-merge
+        // (an unfiltered 1995 page inflates n_u and undercounts), and a
+        // single-cohort group whose overlap must come back exactly 0
+        (0 until 50).map(_ => ("g1", 1995, (rnd.nextInt(300000) + 1).toLong)) ++
+        (0 until 20).map(_ => ("g3", 1996, (rnd.nextInt(300000) + 1).toLong))
       val tagged = rows.toDF("grp", "yr", "id")
       val got = graft.queries.Extra13.bitmapIntersectOf(tagged, 1996, 1997)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
