@@ -83,6 +83,27 @@ class StreamBatchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("streaming scan detector: sketched distinct peers == same batch plan") {
+    // flow_scan_detect's in-code note says the 100 TB / streaming form
+    // swaps the exact two-phase distinct for a mergeable sketch — here
+    // that swap RUNS: the same flow-address rollup with
+    // approx_count_distinct (exact distinct and chained aggregations
+    // are both unsupported in streaming aggs), as a real readStream,
+    // compared row-for-row against the identical batch plan. HLL is
+    // deterministic on identical data, so equality is exact.
+    def rollup(ev: DataFrame): DataFrame =
+      graft.queries.Extra12.withFlowAddrs(ev)
+        .groupBy(window(col("ts_us"), "1 day"), col("src_addr"))
+        .agg(approx_count_distinct("dst_addr").as("n_dst"),
+          count(lit(1)).as("n_flows"))
+        .select(unix_timestamp(col("window.start")).as("day_s"),
+          col("src_addr"), col("n_dst"), col("n_flows"))
+    runToCompletion(rollup(eventStream()), "sb_scan", OutputMode.Complete())
+    val got = sortedRows(spark.sql("SELECT * FROM sb_scan"))
+    val want = sortedRows(rollup(Tables.events(spark, sf)))
+    assert(got == want)
+  }
+
   test("CDC upsert via foreachBatch: streamed change apply == declared merge_upsert") {
     // merge_upsert is the batch twin of a streaming CDC apply. Replay the
     // SAME synthesized change set (Extra4.upsertChanges — bit-identical
