@@ -380,6 +380,38 @@ object PerfProbe {
     // ~0.65 — sublinear, fixed stage overheads still amortizing at
     // fixture scale; a per-branch fact re-join would read ~2× that,
     // a correlated NLJ 64×).
+    // Bitmap page rollup (round-10): the claim is that after the one
+    // id-carrying fact join, every exchange carries fixed-width pages —
+    // so cost grows with input rows plus the (group × bucket) page
+    // count, never with id-list width. Replicas shift custkeys by 1e6
+    // per copy, so x8 grows rows 8×, distinct ids 8× AND the bucket
+    // count ~8× (ids span ~245 buckets at x8 vs ~31 at x1 — the
+    // multi-bucket path the fixture alone can't reach). A shape that
+    // shuffled raw id lists (collect_set-style) would carry 8× wider
+    // rows through every exchange on top of the 8× row count.
+    // MEASURED (r10, this box, sf0.1): 0.27 → 0.55 s at x8 (2.0×,
+    // exponent ~0.34 — the pages really are the cost ceiling; fixed
+    // stage overheads still amortizing).
+    {
+      val or0 = graft.Tables.orders(spark, sfDir)
+        .select("o_custkey", "o_orderdate")
+      def cohortsX(n: Int) = (0 until n).map { i =>
+        or0.select((col("o_custkey") + lit(i * 1000000L)).as("id"),
+          when(expr("unix_timestamp(o_orderdate) % 2 = 0"), 1996)
+            .otherwise(1997).as("yr"),
+          (pmod(col("o_custkey"), lit(5))).cast("string").as("grp"))
+      }.reduce(_ unionAll _)
+      for (n <- Seq(1, 8)) {
+        val sc = graft.ops.CacheScope.begin(spark)
+        time(s"scale x$n: bitmap intersect rollup") {
+          graft.queries.Extra13.bitmapIntersectOf(
+            cohortsX(n).select("grp", "yr", "id"), 1996, 1997).count()
+        }
+        sc.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+
     {
       val li1 = graft.Tables.lineitem(spark, sfDir)
       val or1 = graft.Tables.orders(spark, sfDir)
