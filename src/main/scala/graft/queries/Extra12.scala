@@ -454,14 +454,19 @@ object Extra12 {
     // (agg_sketch_merge) — exact distinct here because the oracle must
     // replay it.
     "flow_top_talkers" -> Q(
-      """WITH f AS (
-        |  SELECT concat('10.', CAST((user_id // 65536) % 256 AS VARCHAR), '.',
-        |                CAST((user_id // 256) % 256 AS VARCHAR), '.',
-        |                CAST(user_id % 256 AS VARCHAR)) AS src_addr,
+      """WITH h0 AS (
+        |  SELECT ((user_id % 2147483647) * 2654435761) % 16777216 AS h,
+        |         event_id, value
+        |  FROM read_parquet('{sfDir}/events.parquet')
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (
+        |  SELECT concat('10.', CAST((h // 65536) % 256 AS VARCHAR), '.',
+        |                CAST((h // 256) % 256 AS VARCHAR), '.',
+        |                CAST(h % 256 AS VARCHAR)) AS src_addr,
         |         concat('172.16.', CAST((event_id // 256) % 256 AS VARCHAR), '.',
         |                CAST(event_id % 256 AS VARCHAR)) AS dst_addr,
         |         CAST(FLOOR(value * 1000) AS BIGINT) + 64 AS bytes
-        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |  FROM h0),
         |n AS (SELECT concat('10.', CAST(string_split(src_addr, '.')[2] AS VARCHAR),
         |               '.', CAST(string_split(src_addr, '.')[3] AS VARCHAR),
         |               '.0/24') AS src_net24,
@@ -552,19 +557,34 @@ object Extra12 {
   /** The deterministic events→flow address mapping shared by every
     * declared flow-domain rollup (flow_top_talkers, flow_scan_detect):
     * user_id → 10.x.y.z source quad, event_id → 172.16.x.y destination.
-    * The oracle CTEs must inline the IDENTICAL integer formulas — a
-    * change here must land in each flow query's SQL too, or the two
-    * engines disagree about which source an event maps to.
+    * The source octets come from the shared admission hash
+    * ([[graft.Q.admissionHash]] mod 2^24), NOT raw user_id bit-slices:
+    * fixture user_ids are dense small ints (0..1499 at sf0.1), so raw
+    * slicing put EVERY user in one or two /24s — the top-talkers
+    * rollup was a 1-group GROUP BY at two of three SFs and its top-10
+    * cut never cut (review r10). Hashing spreads users across distinct
+    * /24s so the multi-group rollup, the LIMIT boundary, and the
+    * tiebreak are all real at every SF. Rows with a NULL user_id or
+    * event_id are dropped on BOTH engines — Spark's concat propagates
+    * NULL where DuckDB's skips it, so an unguarded refresh introducing
+    * NULL ids would diverge silently (same discipline as
+    * win_count_distinct's NULL pin). The oracle CTEs must inline the
+    * IDENTICAL formulas: `((user_id % 2147483647) * 2654435761) %
+    * 16777216` and the event_id octets — a change here must land in
+    * each flow query's SQL too.
     */
-  private[graft] def withFlowAddrs(ev: DataFrame): DataFrame =
+  private[graft] def withFlowAddrs(ev: DataFrame): DataFrame = {
+    val h = graft.Q.admissionHash(col("user_id"), 16777216L)
     ev
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
       .withColumn("src_addr", concat(lit("10."),
-        ((col("user_id") / 65536).cast("long") % 256).cast("string"), lit("."),
-        ((col("user_id") / 256).cast("long") % 256).cast("string"), lit("."),
-        (col("user_id") % 256).cast("string")))
+        ((h / 65536).cast("long") % 256).cast("string"), lit("."),
+        ((h / 256).cast("long") % 256).cast("string"), lit("."),
+        (h % 256).cast("string")))
       .withColumn("dst_addr", concat(lit("172.16."),
         ((col("event_id") / 256).cast("long") % 256).cast("string"), lit("."),
         (col("event_id") % 256).cast("string")))
+  }
 
   /** The agg_bitmap_distinct page rollup over an explicit (grp, sub, id)
     * frame — build pages per (grp, sub, 32k-bucket) map-side, OR them

@@ -348,14 +348,19 @@ object Extra13 {
     // mergeable sketch/bitmap rows (agg_sketch_merge /
     // agg_bitmap_distinct) — the rollup shape is unchanged.
     "flow_scan_detect" -> Q(
-      """WITH f AS (
-        |  SELECT concat('10.', CAST((user_id // 65536) % 256 AS VARCHAR), '.',
-        |                CAST((user_id // 256) % 256 AS VARCHAR), '.',
-        |                CAST(user_id % 256 AS VARCHAR)) AS src_addr,
+      """WITH h0 AS (
+        |  SELECT ((user_id % 2147483647) * 2654435761) % 16777216 AS h,
+        |         event_id, ts
+        |  FROM read_parquet('{sfDir}/events.parquet')
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (
+        |  SELECT concat('10.', CAST((h // 65536) % 256 AS VARCHAR), '.',
+        |                CAST((h // 256) % 256 AS VARCHAR), '.',
+        |                CAST(h % 256 AS VARCHAR)) AS src_addr,
         |         concat('172.16.', CAST((event_id // 256) % 256 AS VARCHAR), '.',
         |                CAST(event_id % 256 AS VARCHAR)) AS dst_addr,
         |         (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_s
-        |  FROM read_parquet('{sfDir}/events.parquet'))
+        |  FROM h0)
         |SELECT src_addr, day_s,
         |       CAST(count(DISTINCT dst_addr) AS BIGINT) AS n_dst,
         |       CAST(count(*) AS BIGINT) AS n_flows

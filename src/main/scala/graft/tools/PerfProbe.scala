@@ -373,8 +373,10 @@ object PerfProbe {
     // runs joins the fact to itself twice; the engine's one-rollup
     // rewrite should scale ~linearly in fact size. Replicas offset BOTH
     // orderkeys and suppkeys, so order populations (the per-order
-    // supplier sets) replicate disjointly — result rows grow 8x, true
-    // per-order structure stays constant, and any superlinear term
+    // supplier sets) replicate disjointly — QUALIFYING suppliers grow
+    // 8x (the counted output stays 100: q21Of ends in limit(100), and
+    // TakeOrderedAndProject still computes the full rollup it caps),
+    // true per-order structure stays constant, and any superlinear term
     // would be the rewrite's own shuffles, not data adversariality.
     // MEASURED (r10, this box): 1.83 → 7.04 s at x8 (3.8×, exponent
     // ~0.65 — sublinear, fixed stage overheads still amortizing at
