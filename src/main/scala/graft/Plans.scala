@@ -74,7 +74,9 @@ object Plans {
     "layout_hilbert" -> "hilbert layout: native hilbert_index loop in one codegen stage, 1-row broadcast stats frame, 32-group two-phase rollup",
     "agg_bitmap_intersect" -> "exact cohort overlap: map-side partial bitmap pages, fixed-width pages on every exchange, ids cross only the fact join",
     "sql_q19" -> "disjunctive-predicate join: derived per-side OR pushed to both scans, equi-key hash join keeps the cross-side OR as residual",
-    "sql_q10" -> "returned-item top-20: facts filtered before the orderkey join, TakeOrderedAndProject over the aggregated revenue")
+    "sql_q10" -> "returned-item top-20: facts filtered before the orderkey join, TakeOrderedAndProject over the aggregated revenue",
+    "sql_q15" -> "top supplier: the per-supplier aggregate computed once, max branch served by ReusedExchange, 1-row max broadcast to the probe",
+    "sql_q17" -> "small-quantity revenue: per-part averages pruned to qualifying parts via broadcast semi joins, threshold as hash-join residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

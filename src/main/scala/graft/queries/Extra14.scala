@@ -1,0 +1,440 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions, part 4: the rest of the TPC-H planner shapes the
+  * fixture schema can express, completing the suite (Q1 ships as
+  * agg_pricing; Q3/4/5/10/13/18/19/21 landed in earlier rounds; the
+  * partsupp-only quartet Q2/11/16/20 follows in Extra15 on the
+  * lineitem (l_partkey, l_suppkey) bridge). Adaptations forced by the
+  * reduced fixture schema are noted per query: no
+  * commitdate/receiptdate/shipmode/shipinstruct/container/phone
+  * columns exist (FIXTURES.md), so Q12 classes by l_linestatus with
+  * the Q4-style lateness predicate, Q17 selects small parts by
+  * p_size, and Q22's country code is c_nationkey. Money math follows
+  * the repo-wide discipline: DECIMAL(18,2) casts BEFORE aggregation
+  * (order-independent exact sums), ratios computed as the IDENTICAL
+  * double expression tree on both engines, rounded and emitted as
+  * DECIMAL.
+  */
+object Extra14 {
+
+  private def rev = Q.dec2(col("l_extendedprice")) *
+    (lit(1) - Q.dec2(col("l_discount")))
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  val defs: Map[String, Q] = Map(
+
+    // TPC-H Q6 (forecasting revenue change) — the canonical pure-scan
+    // aggregation: no join at all, three conjunctive predicates that
+    // must ALL reach the parquet reader (shipdate range + quantity are
+    // min/max-skippable PushedFilters; the discount band survives as a
+    // post-scan filter because the decimal cast wraps the column), and
+    // a single global sum that runs as partial→final with a one-row
+    // exchange. At 100 TB this query is a pure scan-bandwidth
+    // measurement — any plan with a wider exchange than the two-phase
+    // agg's single row is wrong. The discount band compares
+    // DECIMAL(18,2) on both engines (double 0.05 is not 0.05; the cast
+    // makes the band edges exact so engine-side literal typing can't
+    // flip a boundary row).
+    "sql_q6" -> Q(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM read_parquet('{sfDir}/lineitem.parquet')
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |      BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+                col("l_shipdate") < ts("1998-01-01") &&
+                Q.dec2(col("l_discount")).between(
+                  lit(BigDecimal("0.05")), lit(BigDecimal("0.07"))) &&
+                col("l_quantity") < 24)
+        .agg(Q.dec4(sum(Q.dec2(col("l_extendedprice")) *
+          Q.dec2(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q7 (volume shipping between two nations): the SAME dim
+    // table in two roles (supplier's nation, customer's nation) with a
+    // cross-side disjunction — (A ships to B) OR (B ships to A). The
+    // planning shape: each role's nation filter collapses to an IN-two
+    // predicate that pushes through its broadcast join BEFORE the
+    // fact⋈fact shuffle (supplier and customer both shrink to 2/25 of
+    // themselves), and only the pair disjunction remains as a residual
+    // after the orderkey join. A naive plan evaluates the OR after
+    // joining full fact volumes — 12.5× more shuffled rows. Year comes
+    // out BIGINT on both engines (DuckDB's year() is BIGINT; Spark's
+    // INT is cast).
+    "sql_q7" -> Q(
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(SUM(volume) AS DECIMAL(18,4)) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l.l_shipdate) AS l_year,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM read_parquet('{sfDir}/supplier.parquet') s
+        |  JOIN read_parquet('{sfDir}/lineitem.parquet') l ON s.s_suppkey = l.l_suppkey
+        |  JOIN read_parquet('{sfDir}/orders.parquet') o ON o.o_orderkey = l.l_orderkey
+        |  JOIN read_parquet('{sfDir}/customer.parquet') c ON c.c_custkey = o.o_custkey
+        |  JOIN read_parquet('{sfDir}/nation.parquet') n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN read_parquet('{sfDir}/nation.parquet') n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val nat = T.nation(s, d).select("n_nationkey", "n_name")
+      val sup = T.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = T.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = T.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1998-01-01"))
+        .select(col("l_suppkey"), col("l_orderkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"), rev.as("volume"))
+      // supplier side broadcasts (2 nations' worth of a small dim); the
+      // customer role is the big-dim shuffle join at cluster scale —
+      // pre-filtered to the same 2/25 before its exchange.
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(T.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+                (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(Q.dec4(sum(col("volume"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 (national market share): what share of ASIA's STANDARD-
+    // part import volume came from NATION_7's suppliers, per year. Two
+    // dim roles again (customer's nation restricts through region; the
+    // supplier's nation becomes a GROUPING input, not a filter), and
+    // the share is CONDITIONAL AGGREGATION — sum(CASE)/sum — over one
+    // pass, never two scans. Ratio discipline: both sums stay exact
+    // decimal through the aggregate, the division is the identical
+    // double expression on both engines, rounded to 6 (total_volume
+    // rides along as the exact side of the gate, so the hash pins the
+    // decimals and not only the quotient).
+    "sql_q8" -> Q(
+      """SELECT o_year,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END) AS DOUBLE)
+        |             / CAST(SUM(volume) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mkt_share,
+        |  CAST(SUM(volume) AS DECIMAL(18,4)) AS total_volume
+        |FROM (
+        |  SELECT year(o.o_orderdate) AS o_year, n2.n_name AS nation,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM read_parquet('{sfDir}/part.parquet') p
+        |  JOIN read_parquet('{sfDir}/lineitem.parquet') l ON p.p_partkey = l.l_partkey
+        |  JOIN read_parquet('{sfDir}/supplier.parquet') s ON s.s_suppkey = l.l_suppkey
+        |  JOIN read_parquet('{sfDir}/orders.parquet') o ON o.o_orderkey = l.l_orderkey
+        |  JOIN read_parquet('{sfDir}/customer.parquet') c ON c.c_custkey = o.o_custkey
+        |  JOIN read_parquet('{sfDir}/nation.parquet') n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN read_parquet('{sfDir}/region.parquet') r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN read_parquet('{sfDir}/nation.parquet') n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val nat = T.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      // region→nation composes driver-side-free: ASIA's nation KEYS come
+      // from a broadcast join of two tiny dims, then restrict customer.
+      val asiaNat = nat
+        .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      val cust = T.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(asiaNat), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+      val sup = T.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "nation")
+      val stdParts = T.part(s, d).filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val o = T.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      T.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), rev.as("volume"))
+        .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_year")
+        .agg(
+          Q.dec6(round(
+            sum(when(col("nation") === "NATION_7", col("volume")).otherwise(lit(0)))
+              .cast("double") / sum(col("volume")).cast("double"), 6)).as("mkt_share"),
+          Q.dec4(sum(col("volume"))).as("total_volume"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9 (product-type profit), adapted: the fixture has no
+    // partsupp, so line cost is p_retailprice * l_quantity instead of
+    // ps_supplycost * l_quantity — the plan shape is untouched (the
+    // cost factor joins in from a part-keyed dim either way). Profit
+    // by (supplier nation, order year) over parts whose name contains
+    // 'red' — a non-sargable LIKE '%red%' that must evaluate on the
+    // 2000-row broadcast dim, never against the fact table; the fact
+    // only sees the surviving keys. Negative sums are expected (cost
+    // proxy exceeds discounted revenue for cheap lines) and exact
+    // decimal keeps them deterministic.
+    "sql_q9" -> Q(
+      """SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(18,4)) AS sum_profit,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM (
+        |  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |         - CAST(p.p_retailprice AS DECIMAL(18,2))
+        |           * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+        |  FROM read_parquet('{sfDir}/part.parquet') p
+        |  JOIN read_parquet('{sfDir}/lineitem.parquet') l ON p.p_partkey = l.l_partkey
+        |  JOIN read_parquet('{sfDir}/supplier.parquet') s ON s.s_suppkey = l.l_suppkey
+        |  JOIN read_parquet('{sfDir}/orders.parquet') o ON o.o_orderkey = l.l_orderkey
+        |  JOIN read_parquet('{sfDir}/nation.parquet') n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE '%red%')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val redParts = T.part(s, d).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), Q.dec2(col("p_retailprice")).as("cost"))
+      val sup = T.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(T.nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      T.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          rev.as("gross"), Q.dec2(col("l_quantity")).as("qty"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(T.orders(s, d)
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("amount", col("gross") - col("cost") * col("qty"))
+        .groupBy("nation", "o_year")
+        .agg(Q.dec4(sum(col("amount"))).as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("nation", "o_year")
+    },
+
+    // TPC-H Q12 (shipping-priority anomaly), adapted: no l_shipmode
+    // column, so lines class by l_linestatus; no commit/receiptdate,
+    // so "late" is the sql_q4 lateness predicate (shipped >60 days
+    // after order). The shape Q12 contributes beyond Q4: the same
+    // fact⋈fact equi join with a cross-side non-equi residual, but as
+    // an INNER join feeding a pivot-style CASE rollup (urgent+high vs
+    // rest) — two counters in one pass, no second scan and no join
+    // duplication.
+    "sql_q12" -> Q(
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM read_parquet('{sfDir}/orders.parquet') o
+        |JOIN read_parquet('{sfDir}/lineitem.parquet') l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val l = T.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+                col("l_shipdate") < ts("1998-01-01"))
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+      val o = T.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q14 (promo revenue): single-row percentage — what share of
+    // one month's revenue came from PROMO-type parts. The part dim
+    // broadcasts WITHOUT a filter (its p_type feeds the CASE, not a
+    // predicate), the month filter prunes the fact scan, and the
+    // percent is one conditional aggregation. The multiply-by-100
+    // happens AFTER the double division on both engines — same
+    // expression tree, same ulps.
+    "sql_q14" -> Q(
+      """SELECT CAST(ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END) AS DOUBLE)
+        |             / CAST(SUM(volume) AS DOUBLE) * 100, 6) AS DECIMAL(18,6)) AS promo_pct,
+        |       CAST(SUM(volume) AS DECIMAL(18,4)) AS total_revenue
+        |FROM (
+        |  SELECT p.p_type,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM read_parquet('{sfDir}/lineitem.parquet') l
+        |  JOIN read_parquet('{sfDir}/part.parquet') p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l.l_shipdate <  TIMESTAMP '1997-10-01')""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-09-01") &&
+                col("l_shipdate") < ts("1997-10-01"))
+        .select(col("l_partkey"), rev.as("volume"))
+        .join(broadcast(T.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          Q.dec6(round(
+            sum(when(col("p_type") === "PROMO", col("volume")).otherwise(lit(0)))
+              .cast("double") / sum(col("volume")).cast("double") * 100, 6))
+            .as("promo_pct"),
+          Q.dec4(sum(col("volume"))).as("total_revenue"))
+    },
+
+    // TPC-H Q15 (top supplier): the revenue-per-supplier aggregate is
+    // used TWICE — once to find the max, once as the join probe — and
+    // the plan must compute it ONCE: both branches are the identical
+    // subtree, so Spark's exchange reuse serves the second branch from
+    // the first's shuffle files (the view in the spec's CREATE VIEW
+    // formulation, without materializing one). The max arrives at the
+    // probe as a broadcast single row; the supplier dim joins after
+    // the (usually 1-row) filter, not before. Decimal equality against
+    // the max is exact — this query is UNWRITABLE in doubles, where
+    // the max computed in one partition order need not equal any
+    // re-summed group.
+    "sql_q15" -> Q(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM read_parquet('{sfDir}/lineitem.parquet')
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        |       CAST(r.total_revenue AS DECIMAL(18,4)) AS total_revenue
+        |FROM read_parquet('{sfDir}/supplier.parquet') s
+        |JOIN rev r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      // The explicit suppkey null filter matters for the PLAN, not the
+      // data: the probe branch's join on supplier_no makes the optimizer
+      // infer isnotnull(l_suppkey) into ITS scan only, which would make
+      // the two branches' exchange subtrees differ and kill the reuse —
+      // both branches must be the bit-identical subtree for Spark to
+      // serve the second from the first's shuffle files (PlanSpec pins
+      // exactly one lineitem exchange).
+      val revenue = T.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+                col("l_shipdate") < ts("1997-04-01") &&
+                col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(rev).as("total_revenue"))
+      val mx = revenue.agg(max(col("total_revenue")).as("mx"))
+      revenue
+        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(T.supplier(s, d).select("s_suppkey", "s_name"),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          Q.dec4(col("total_revenue")).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue), adapted: small parts
+    // select by p_brand + p_size (no p_container column). The shape:
+    // a correlated inequality against a PER-GROUP AVERAGE —
+    // decorrelated as a per-part aggregate joined back. The scale move
+    // the oracle's correlated form hides: the averages are computed
+    // ONLY for the ~dozen parts that survive the brand/size filter —
+    // the filtered key set broadcast-semi-joins into the avg scan
+    // BEFORE its groupBy, so the per-part aggregate shuffles a sliver
+    // of the fact, not every part's lines. The threshold is
+    // 0.2·(sum/count) with integer-valued double sums (quantities are
+    // 1..50, exact in double at any summation order), so the
+    // fp-division is deterministic across engines and partitionings.
+    "sql_q17" -> Q(
+      """SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                  / 7.0, 4) AS DECIMAL(18,4)) AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM read_parquet('{sfDir}/lineitem.parquet') l
+        |JOIN read_parquet('{sfDir}/part.parquet') p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#13' AND p.p_size <= 10
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+        |    FROM read_parquet('{sfDir}/lineitem.parquet') l2
+        |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin) { (s, d) =>
+      val smallParts = T.part(s, d)
+        .filter(col("p_brand") === "Brand#13" && col("p_size") <= 10)
+        .select("p_partkey")
+      val thresholds = T.lineitem(s, d)
+        .select("l_partkey", "l_quantity")
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("qty_cap"))
+      T.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg(Q.dec4(round(sum(Q.dec2(col("l_extendedprice"))).cast("double") / lit(7.0), 4))
+          .as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q22 (global sales opportunity), adapted: the country code
+    // is c_nationkey (no c_phone to slice), and "never ordered" becomes
+    // "no order since 1999-01-01" — the fixture's every customer has
+    // SOME order, so the canonical NOT EXISTS over all orders returns
+    // the empty set at every SF (a degenerate gate). Shape preserved:
+    // an uncorrelated scalar threshold (average positive balance over
+    // the SAME code set, broadcast as one row) plus an anti join
+    // against the date-filtered orders — the anti side prunes to
+    // recent orders BEFORE the join on both engines.
+    "sql_q22" -> Q(
+      """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+        |  FROM read_parquet('{sfDir}/customer.parquet') c
+        |  WHERE c_nationkey IN (3, 7, 11, 13, 17, 19, 23)
+        |    AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > (
+        |      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE)
+        |      FROM read_parquet('{sfDir}/customer.parquet') c2
+        |      WHERE c2.c_acctbal > 0.0
+        |        AND c2.c_nationkey IN (3, 7, 11, 13, 17, 19, 23))
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM read_parquet('{sfDir}/orders.parquet') o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val codes = Seq(3, 7, 11, 13, 17, 19, 23).map(i => lit(i))
+      val inSet = T.customer(s, d)
+        .filter(col("c_nationkey").isin(codes: _*))
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("cntrycode"),
+          col("c_acctbal"))
+      val thr = inSet.filter(col("c_acctbal") > 0.0)
+        .agg((sum(Q.dec2(col("c_acctbal"))).cast("double") /
+          count(lit(1)).cast("double")).as("thr"))
+      val recent = T.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1999-01-01"))
+        .select("o_custkey")
+      inSet
+        .crossJoin(broadcast(thr))
+        .filter(Q.dec2(col("c_acctbal")).cast("double") > col("thr"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          Q.dec4(sum(Q.dec2(col("c_acctbal")))).as("totacctbal"))
+        .orderBy("cntrycode")
+    }
+  )
+}

@@ -393,6 +393,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exec.contains("TakeOrderedAndProject(limit=100"), p)
   }
 
+  test("sql_q15 computes the per-supplier aggregate once (max branch reuses)") {
+    val p = planOf("sql_q15")
+    val cut = p.indexOf("== Initial Plan ==")
+    val exec = if (cut >= 0) p.substring(0, cut) else p
+    // the scalar-subquery max and the join probe are the same aggregate
+    // subtree; the plan must serve the second branch from the first's
+    // shuffle files — one lineitem scan, one l_suppkey exchange, a
+    // ReusedExchange under the max. (The explicit isnotnull(l_suppkey)
+    // in the query exists solely to keep the two subtrees bit-identical
+    // — the probe branch's join would otherwise infer it one-sided and
+    // kill the reuse.)
+    assert("FileScan parquet.*lineitem".r.findAllIn(exec).size == 1, p)
+    assert(exec.contains("ReusedExchange"), p)
+  }
+
+  test("sql_q17 decorrelates the per-part average with broadcast pruning") {
+    val p = planOf("sql_q17")
+    val cut = p.indexOf("== Initial Plan ==")
+    val exec = if (cut >= 0) p.substring(0, cut) else p
+    // the avg scan must be pruned by the filtered part keys BEFORE its
+    // groupBy (a LeftSemi broadcast on both fact scans — thresholds are
+    // computed only for qualifying parts), the threshold compare rides
+    // the equi join as a residual (no nested loop), and the tiny part
+    // set broadcasts once, reused by the second scan.
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(exec).size == 2, p)
+    assert(!exec.contains("BroadcastNestedLoopJoin"), p)
+    assert(exec.contains("ReusedExchange"), p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
