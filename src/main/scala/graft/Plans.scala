@@ -76,7 +76,9 @@ object Plans {
     "sql_q19" -> "disjunctive-predicate join: derived per-side OR pushed to both scans, equi-key hash join keeps the cross-side OR as residual",
     "sql_q10" -> "returned-item top-20: facts filtered before the orderkey join, TakeOrderedAndProject over the aggregated revenue",
     "sql_q15" -> "top supplier: the per-supplier aggregate computed once, max branch served by ReusedExchange, 1-row max broadcast to the probe",
-    "sql_q17" -> "small-quantity revenue: per-part averages pruned to qualifying parts via broadcast semi joins, threshold as hash-join residual")
+    "sql_q17" -> "small-quantity revenue: per-part averages pruned to qualifying parts via broadcast semi joins, threshold as hash-join residual",
+    "sql_q11" -> "important stock: HAVING vs scalar subquery over the same aggregate — mean branch on ReusedExchange, one fact scan",
+    "sql_q20" -> "excess stock: both fact aggregations broadcast-semi pruned to red parts, supplier membership via semi join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

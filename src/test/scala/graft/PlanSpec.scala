@@ -422,6 +422,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exec.contains("ReusedExchange"), p)
   }
 
+  test("sql_q11 computes the part-value aggregate once (threshold reuses)") {
+    val p = planOf("sql_q11")
+    val cut = p.indexOf("== Initial Plan ==")
+    val exec = if (cut >= 0) p.substring(0, cut) else p
+    // HAVING-against-scalar-subquery over the same aggregate: the mean
+    // branch must read the probe branch's l_partkey exchange
+    // (ReusedExchange), one lineitem scan total; the 1-row threshold
+    // applies as a broadcast, never a shuffle.
+    assert("FileScan parquet.*lineitem".r.findAllIn(exec).size == 1, p)
+    assert(exec.contains("ReusedExchange"), p)
+  }
+
+  test("sql_q20 prunes both fact aggregations to red parts before grouping") {
+    val p = planOf("sql_q20")
+    val cut = p.indexOf("== Initial Plan ==")
+    val exec = if (cut >= 0) p.substring(0, cut) else p
+    // availability and demand aggregate ONLY qualifying parts: a
+    // broadcast LeftSemi sits below each groupBy's exchange (2 fact
+    // scans, each semi-filtered), the red-part broadcast is built once
+    // and reused, and the final supplier membership is a semi join.
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(exec).size >= 3, p)
+    assert(exec.contains("ReusedExchange"), p)
+    assert(!exec.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
