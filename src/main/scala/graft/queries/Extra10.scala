@@ -337,19 +337,36 @@ object Extra10 {
     */
   private[graft] def minhashMergeOf(s: SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val byGram = Q.spreadBy(docs, "doc_id")
+    // ONE pass over the per-gram source sets: each gram's set emits its
+    // singles (s, NULL) and its ordered pairs (s1, s2) in a single
+    // projection, aggregated by one groupBy — the per-source sizes and
+    // the pairwise intersection counts come out of the SAME job, split
+    // by s2's nullability afterwards. The earlier form persisted the
+    // nested-array gram relation and scanned it twice (sizes + pairs);
+    // the columnar cache reads array columns row-at-a-time (the
+    // measured repo-wide lesson), so fusing the two rollups removes
+    // both the persist and a full cache scan (best-of-3 1.67 → 1.59 s
+    // at sf0.1 under box noise; the sf0.01 run pins ~1.1 s of the total
+    // as fixed stage overhead, so the DATA-work saving is the larger
+    // fraction it looks). Only the ≤(S + S²/2)-row combined counts
+    // persist — trivially small at any corpus size (S = #sources,
+    // not #docs).
+    val combined = Q.spreadBy(docs, "doc_id")
       .select(col("source"),
         explode(graft.ops.Sketches.shingles("text", 3)).as("g0"))
       .select(col("source"), xxhash64(col("g0")).as("g"))
       .groupBy("g").agg(collect_set(col("source")).as("srcs"))
+      .select(explode(concat(
+        expr("transform(srcs, x -> struct(x as s1, cast(null as string) as s2))"),
+        expr("flatten(transform(srcs, x -> transform(filter(srcs, y -> x < y)," +
+          " y -> struct(x as s1, y as s2))))"))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = byGram.select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = byGram
-      .select(explode(col("srcs")).as("s1"), col("srcs"))
-      .select(col("s1"), explode(col("srcs")).as("s2"))
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("inter_n"))
+    val sizes = combined.filter(col("s2").isNull)
+      .select(col("s1").as("source"), col("cnt").as("n"))
+    val inter = combined.filter(col("s2").isNotNull)
+      .select(col("s1"), col("s2"), col("cnt").as("inter_n"))
     // Sketch side: per-doc signatures (native MinHashSignature kernel
     // over the mod-P fingerprint domain, as everywhere in Sketches) →
     // per-source element-wise-min merge via the MinHashMergeAgg typed
@@ -362,6 +379,13 @@ object Extra10 {
     // 20-row broadcast self-pairing with a codegen'd zip_with equality
     // fold — no position-keyed join.
     s.udf.register("minhash_merge", udaf(graft.functions.MinHashMergeAgg))
+    // srcSig feeds the self-pairing twice (probe side + broadcast
+    // side). Persisting the S-row merge was MEASURED SLOWER (1.88-2.03
+    // vs 1.59-1.73 best-of-3): the cache write is a barrier that
+    // serializes the two sides, while recomputation lets the broadcast
+    // build overlap the exact-gate stages on idle cores — the repo's
+    // recompute-over-cache lesson again, this time for scheduling
+    // rather than columnar-cache reasons.
     val srcSig = graft.ops.Sketches
       .signatures(docs.select("doc_id", "text"), k = 128)
       .join(broadcast(docs.select("doc_id", "source")), "doc_id")

@@ -422,7 +422,13 @@ object Extra2 {
       // (its rows are already distinct (doc,word) pairs, so the
       // expensive countDistinct collapses to a plain count) and the doc
       // count comes from the raw table — the explode+shuffle word
-      // relation is built twice instead of four times.
+      // relation is built twice instead of four times. df BROADCASTS:
+      // it is vocab-sized, and vocabulary grows sublinearly in corpus
+      // size (Heaps' law — tens of millions of terms at petabyte
+      // scale, megabytes as a (word, count) relation), so shipping it
+      // beats re-exchanging the corpus-sized tf relation by word on
+      // both join sides (measured 1.20 → 0.83 s at sf0.1: the word
+      // SortMergeJoin was a third of this query).
       (s, d) =>
         val words = T.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -431,7 +437,7 @@ object Extra2 {
         val n = T.documents(s, d).agg(countDistinct("doc_id").as("n"))
         val byScore = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("word"))
-        tf.join(df, "word").crossJoin(broadcast(n))
+        tf.join(broadcast(df), "word").crossJoin(broadcast(n))
           .select(col("doc_id"), col("word"),
             round(col("tf") * log(col("n").cast("double") / col("df")), 6)
               .cast(DecimalType(18, 6)).as("score"))
