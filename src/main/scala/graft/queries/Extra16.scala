@@ -80,6 +80,78 @@ object Extra16 {
         .orderBy("qdoc", "ddoc")
     },
 
+    // SKETCHED COHORT OVERLAP — the estimated complement to
+    // agg_bitmap_intersect's exact pages, completing the sketch
+    // algebra the same way agg_sketch_merge complements
+    // agg_bitmap_distinct: |A∩B| ≈ est(A) + est(B) − est(A∪B) over
+    // re-aggregatable HLL sketches (Spark's hll_* family; union via
+    // hll_union_agg — sketches merge, rows never recount). At 100 TB
+    // this answers overlap dashboards from kilobyte sketches where the
+    // exact bitmap form still ships pages of every id bucket; the cost
+    // is inclusion-exclusion error compounding THREE estimates (each
+    // ~1.6% rsd at the default lgK=12), so the self-gate bounds the
+    // estimate against the EXACT overlap computed alongside (the
+    // agg_sketch_merge discipline): |est − exact| ≤ 0.1·|A∪B| + 3.
+    // Measured headroom: the sketches run exact (sparse mode) below
+    // ~1k ids, and at sf0.1 the worst segment uses 0.14 of its
+    // allowance (est error 40 on union 2907) — the gate is ~7× above
+    // the observed error, tight enough to catch a broken union or a
+    // dropped sketch, loose enough to survive a fixture refresh.
+    // The exact side is one (grp, id) hash shuffle carrying each
+    // distinct id once with per-year presence flags — the same
+    // two-phase-distinct class as the bitmap page build.
+    "agg_hll_intersect" -> Q(
+      """WITH d AS (
+        |  SELECT DISTINCT c.c_mktsegment AS grp, o.o_custkey AS id,
+        |         CASE WHEN o.o_orderdate < TIMESTAMP '1997-01-01'
+        |              THEN 1996 ELSE 1997 END AS yr
+        |  FROM read_parquet('{sfDir}/orders.parquet') o
+        |  JOIN read_parquet('{sfDir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate <  TIMESTAMP '1998-01-01'),
+        |f AS (
+        |  SELECT grp, id,
+        |         MAX(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS a,
+        |         MAX(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS b
+        |  FROM d GROUP BY 1, 2)
+        |SELECT grp AS c_mktsegment,
+        |       CAST(SUM(a * b) AS BIGINT) AS n_both,
+        |       CAST(COUNT(*) AS BIGINT) AS n_union,
+        |       TRUE AS est_ok
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cohorts = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("id"),
+          when(col("o_orderdate") < lit("1997-01-01").cast("timestamp"), 1996)
+            .otherwise(1997).as("yr"))
+        .join(T.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("grp"), col("yr"), col("id"))
+      val exact = cohorts
+        .groupBy("grp", "id")
+        .agg(max(when(col("yr") === 1996, 1).otherwise(0)).as("a"),
+          max(when(col("yr") === 1997, 1).otherwise(0)).as("b"))
+        .groupBy("grp")
+        .agg(sum(col("a") * col("b")).as("n_both"),
+          count(lit(1)).as("n_union"))
+      val est = cohorts
+        .groupBy("grp", "yr")
+        .agg(expr("hll_sketch_agg(id)").as("sk"))
+        .withColumn("est1", expr("hll_sketch_estimate(sk)"))
+        .groupBy("grp")
+        .agg(max(when(col("yr") === 1996, col("est1"))).as("est_a"),
+          max(when(col("yr") === 1997, col("est1"))).as("est_b"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"))
+        .select(col("grp").as("e_grp"),
+          (col("est_a") + col("est_b") - col("est_u")).as("est_both"))
+      exact.join(est, col("grp") === col("e_grp"))
+        .select(col("grp").as("c_mktsegment"), col("n_both"), col("n_union"),
+          (abs(col("est_both") - col("n_both")) <=
+            col("n_union").cast("double") * 0.1 + 3.0).as("est_ok"))
+        .orderBy("c_mktsegment")
+    },
+
     // BPE TOKENIZER TRAINING, first merge step: count adjacent symbol
     // pairs (character bigrams within words) weighted by word
     // frequency — the top pair is the first merge every BPE/WordPiece
@@ -106,17 +178,7 @@ object Extra16 {
         |       CAST(COUNT(*) AS BIGINT) AS n_words
         |FROM p GROUP BY 1
         |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
-      T.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("f"))
-        .select(explode(expr(
-          "transform(sequence(0, length(word) - 2), i -> substring(word, i + 1, 2))"))
-          .as("pair"), col("f"))
-        .groupBy("pair")
-        .agg(sum(col("f")).as("n_occ"), count(lit(1)).as("n_words"))
-        .orderBy(col("n_occ").desc, col("pair"))
-        .limit(20)
+      bpePairsOf(T.documents(s, d).select("text"))
     },
 
     // BIGRAM LANGUAGE MODEL conditionals: P(w2 | w1) = c(w1,w2)/c(w1,·)
@@ -176,4 +238,22 @@ object Extra16 {
         .orderBy("w1", "w2")
     }
   )
+
+  /** The text_bpe_pairs pipeline over an explicit text frame — shared
+    * with PerfProbe's vocab-compression scaling probe, which must run
+    * the EXACT declared shape, not a copy.
+    */
+  private[graft] def bpePairsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(explode(expr(
+        "transform(sequence(0, length(word) - 2), i -> substring(word, i + 1, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair")
+      .agg(sum(col("f")).as("n_occ"), count(lit(1)).as("n_words"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
 }

@@ -435,6 +435,32 @@ object PerfProbe {
         spark.sharedState.cacheManager.clearCache()
       }
     }
+
+    // text_bpe_pairs vocab compression: the claim is that pair counting
+    // runs on the frequency-compressed VOCABULARY, so corpus growth
+    // that doesn't grow the vocabulary only pays the word-count rollup
+    // (map-side combine over more rows), while the pair explosion and
+    // everything after it stay CONSTANT-sized. Plain x8 replication
+    // (same text, offset ids) grows rows 8x with the vocab fixed —
+    // near-flat cost is the claim holding; contrast the r-prefixed
+    // disjoint replicas above, which grow the vocab 8x and would grow
+    // the pair stage with it.
+    // MEASURED (r10, this box, sf0.1): 0.45 → 0.37 s at x8 (~1.0×,
+    // exponent ~0 — flat: the 8× word-count scan disappears into
+    // map-side combine and the pair stage is vocab-bound as claimed;
+    // the x1 sample carries the stage-warmup cost).
+    {
+      val d0 = graft.Tables.documents(spark, sfDir).select("text")
+      def plainX(n: Int) = (0 until n).map(_ => d0).reduce(_ unionAll _)
+      for (n <- Seq(1, 8)) {
+        val sc = graft.ops.CacheScope.begin(spark)
+        time(s"scale x$n: bpe pairs (fixed vocab)") {
+          graft.queries.Extra16.bpePairsOf(plainX(n)).count()
+        }
+        sc.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
     spark.stop()
   }
 }
