@@ -64,7 +64,8 @@ object SparkEntry {
     _root_.graft.queries.Extra13.defs,
     _root_.graft.queries.Extra14.defs,
     _root_.graft.queries.Extra15.defs,
-    _root_.graft.queries.Extra16.defs
+    _root_.graft.queries.Extra16.defs,
+    _root_.graft.queries.Extra17.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)
