@@ -34,6 +34,14 @@ object Tables {
     *     is pinned UTC, so the NTZ→TZ cast is value-preserving) and
     *     `ts = unix_micros(ts_us) * 1000` rebuilds the ns BIGINT exactly
     *     (µs payload ⇒ ×1000 is lossless and stays < 2^63).
+    * A third plausible refresh encoding — adjusted-to-UTC µs, read as
+    * TimestampType (LTZ) — flows through the same generic branch, where
+    * the cast is the identity (TablesSpec pins all three encodings to
+    * identical canonical rows). The remaining unhandled class is a RAW
+    * int64 in non-ns units (ms/µs/s epoch without a parquet timestamp
+    * annotation), which the LongType branch would misread as ns; the
+    * fixture-agreement pin in TablesSpec (ts vs ts_us on the shipped
+    * file) is the loud tripwire for that one.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,13 +39,23 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
     val a = Tables.normalizeEvents(nsDf)
     val b = Tables.normalizeEvents(usDf)
-    for (df <- Seq(a, b)) {
+    // Third plausible refresh encoding (VERDICT r9's robustness note):
+    // adjusted-to-UTC µs, which Spark reads as TimestampType (LTZ)
+    // rather than NTZ. It flows through the generic branch, where
+    // cast(timestamp as timestamp) is the identity — pinned here as
+    // HANDLED, not merely loud, alongside the two shipped encodings.
+    val ltzDf = instantsNs.map(_ / 1000).toDF("us")
+      .select(expr("timestamp_micros(us)").as("ts"))
+    val c = Tables.normalizeEvents(ltzDf)
+    for (df <- Seq(a, b, c)) {
       assert(df.schema("ts").dataType == LongType, df.schema.treeString)
       assert(df.schema("ts_us").dataType == TimestampType, df.schema.treeString)
     }
     val rowsA = a.select("ts", "ts_us").collect().map(_.toString).sorted.toSeq
     val rowsB = b.select("ts", "ts_us").collect().map(_.toString).sorted.toSeq
+    val rowsC = c.select("ts", "ts_us").collect().map(_.toString).sorted.toSeq
     assert(rowsA == rowsB)
+    assert(rowsA == rowsC)
     // And the ns BIGINT is the true epoch value, not a re-zoned one.
     assert(rowsA.head.contains(instantsNs.min.toString))
   }
