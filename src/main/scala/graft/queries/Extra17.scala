@@ -159,6 +159,106 @@ object Extra17 {
             .as("disjoint_ok"))
       disjoint.select(col("n_rows"), col("n_ids"),
         lit(nFiles <= 4).as("files_ok"), col("disjoint_ok"))
+    },
+
+    // DATA-QUALITY CONSTRAINT SUITE (the Deequ operating model): the
+    // nightly gate every large pipeline runs before publishing a
+    // table. Eight constraints — completeness, range membership, value
+    // domain, sign, date bounds, conditional (discount < price rule),
+    // and referential integrity — computed in ONE aggregation pass
+    // over the fact (each metric is a conditional-count fraction, so
+    // the whole suite is a single two-phase agg, not eight scans) plus
+    // one broadcast-semi pass for the FK containment; the 1-row metric
+    // vectors cross-join and EXPLODE map-side into the (rule, metric,
+    // passed) report rows. Fractions are integer-count divisions
+    // (exact in doubles, deterministic across engines), rounded once.
+    // At 100 TB the shape is unchanged: one scan + one broadcast
+    // probe, metrics merge as partial sums.
+    "dq_check" -> Q(
+      """WITH t AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS c_complete,
+        |    CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END) AS DOUBLE) AS c_qty,
+        |    CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c_price,
+        |    CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS DOUBLE) AS c_disc,
+        |    CAST(SUM(CASE WHEN l_tax >= 0 AND l_tax <= 0.08 THEN 1 ELSE 0 END) AS DOUBLE) AS c_tax,
+        |    CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS DOUBLE) AS c_flag,
+        |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+        |                   AND l_shipdate < TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS DOUBLE) AS c_date
+        |  FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |r AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS c_ref
+        |  FROM read_parquet('{sfDir}/lineitem.parquet') l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM read_parquet('{sfDir}/part.parquet')))
+        |SELECT rule, CAST(ROUND(metric, 6) AS DECIMAL(18,6)) AS metric,
+        |       metric = 1.0 AS passed
+        |FROM (
+        |  SELECT 'complete_quantity' AS rule, c_complete / n AS metric FROM t
+        |  UNION ALL SELECT 'range_quantity', c_qty / n FROM t
+        |  UNION ALL SELECT 'positive_price', c_price / n FROM t
+        |  UNION ALL SELECT 'range_discount', c_disc / n FROM t
+        |  UNION ALL SELECT 'range_tax', c_tax / n FROM t
+        |  UNION ALL SELECT 'domain_returnflag', c_flag / n FROM t
+        |  UNION ALL SELECT 'bounds_shipdate', c_date / n FROM t
+        |  UNION ALL SELECT 'ref_partkey', r.c_ref / t.n FROM t, r)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      def frac(cond: org.apache.spark.sql.Column) =
+        sum(when(cond, 1L).otherwise(0L)).cast("double")
+      val t = T.lineitem(s, d).agg(
+        count(lit(1)).cast("double").as("n"),
+        frac(col("l_quantity").isNotNull).as("c_complete"),
+        frac(col("l_quantity") >= 1 && col("l_quantity") <= 50).as("c_qty"),
+        frac(col("l_extendedprice") > 0).as("c_price"),
+        frac(col("l_discount") >= 0 && col("l_discount") <= 0.1).as("c_disc"),
+        frac(col("l_tax") >= 0 && col("l_tax") <= 0.08).as("c_tax"),
+        frac(col("l_returnflag").isin("A", "N", "R")).as("c_flag"),
+        frac(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("2002-01-01").cast("timestamp")).as("c_date"))
+      val r = T.lineitem(s, d).select("l_partkey")
+        .join(broadcast(T.part(s, d).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("c_ref"))
+      t.crossJoin(broadcast(r))
+        .select(explode(array(
+          struct(lit("complete_quantity").as("rule"), (col("c_complete") / col("n")).as("metric")),
+          struct(lit("range_quantity").as("rule"), (col("c_qty") / col("n")).as("metric")),
+          struct(lit("positive_price").as("rule"), (col("c_price") / col("n")).as("metric")),
+          struct(lit("range_discount").as("rule"), (col("c_disc") / col("n")).as("metric")),
+          struct(lit("range_tax").as("rule"), (col("c_tax") / col("n")).as("metric")),
+          struct(lit("domain_returnflag").as("rule"), (col("c_flag") / col("n")).as("metric")),
+          struct(lit("bounds_shipdate").as("rule"), (col("c_date") / col("n")).as("metric")),
+          struct(lit("ref_partkey").as("rule"), (col("c_ref") / col("n")).as("metric"))))
+          .as("x"))
+        .select(col("x.rule").as("rule"),
+          round(col("x.metric"), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .as("metric"),
+          (col("x.metric") === 1.0).as("passed"))
+        .orderBy("rule")
+    },
+
+    // PARAMETERIZED SQL (Spark 4's named parameter markers) — the API
+    // surface row next to sql_pipe: the same filtered two-phase
+    // aggregate, but the literals arrive as :named parameters through
+    // spark.sql(query, args) instead of being spliced into the text —
+    // the injection-safe path a query service uses. The pin is that
+    // the parameter binder is wired and answer-identical to the
+    // inlined-literal oracle.
+    "sql_params" -> Q(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM read_parquet('{sfDir}/lineitem.parquet')
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      T.lineitem(s, d).createOrReplaceTempView("graft_params_lineitem")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty
+          |FROM graft_params_lineitem
+          |WHERE l_shipdate >= :cutoff AND l_quantity < :maxq
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        Map("cutoff" -> java.sql.Timestamp.valueOf("1997-01-01 00:00:00"),
+            "maxq" -> Integer.valueOf(25)))
     }
   )
 }
