@@ -78,7 +78,8 @@ object Plans {
     "sql_q15" -> "top supplier: the per-supplier aggregate computed once, max branch served by ReusedExchange, 1-row max broadcast to the probe",
     "sql_q17" -> "small-quantity revenue: per-part averages pruned to qualifying parts via broadcast semi joins, threshold as hash-join residual",
     "sql_q11" -> "important stock: HAVING vs scalar subquery over the same aggregate — mean branch on ReusedExchange, one fact scan",
-    "sql_q20" -> "excess stock: both fact aggregations broadcast-semi pruned to red parts, supplier membership via semi join")
+    "sql_q20" -> "excess stock: both fact aggregations broadcast-semi pruned to red parts, supplier membership via semi join",
+    "scan_dpp" -> "dynamic partition pruning: dim broadcast feeds a dynamicpruningexpression on the partitioned fact scan, no static predicate possible")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

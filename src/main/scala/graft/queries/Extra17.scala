@@ -161,6 +161,46 @@ object Extra17 {
         lit(nFiles <= 4).as("files_ok"), col("disjoint_ok"))
     },
 
+    // DYNAMIC PARTITION PRUNING — the star-schema planner feature
+    // scan_partition_prune's STATIC PartitionFilters row cannot show:
+    // here the fact's partition predicate is not in the query text at
+    // all. The dim is the priorities used by a small customer set —
+    // filtered on o_custkey, a NON-join column, so constraint
+    // inference cannot derive any static partition predicate — and at
+    // runtime Spark turns the dim's broadcast into a
+    // dynamicpruningexpression on the partitioned scan (plan-pinned):
+    // partition directories for priorities outside the dim are never
+    // listed or read. At 100 TB this is the date-dim join that reads
+    // 3 of 2000 day partitions; without DPP the fact scan is full.
+    // The oracle replays the join semantics off the unpartitioned
+    // original.
+    "scan_dpp" -> Q(
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderpriority AS prio
+        |  FROM read_parquet('{sfDir}/orders.parquet') WHERE o_custkey <= 5)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_price
+        |FROM read_parquet('{sfDir}/orders.parquet') o
+        |JOIN dim ON o.o_orderpriority = dim.prio
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = Q.stageDir("graft_dpp", d,
+        "hive_" + Q.corpusFingerprint(s, s"$d/orders.parquet"))
+      staged.computeIfAbsent(dir, { _ =>
+        T.orders(s, d).select("o_custkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+        java.lang.Boolean.TRUE
+      })
+      val dim = T.orders(s, d)
+        .filter(col("o_custkey") <= 5)
+        .select(col("o_orderpriority").as("prio")).distinct()
+      s.read.parquet(dir)
+        .join(broadcast(dim), col("o_orderpriority") === col("prio"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Q.dec4(sum(Q.dec2(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // DATA-QUALITY CONSTRAINT SUITE (the Deequ operating model): the
     // nightly gate every large pipeline runs before publishing a
     // table. Eight constraints — completeness, range membership, value

@@ -447,6 +447,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!exec.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("scan_dpp prunes partitions dynamically from the dim broadcast") {
+    val p = planOf("scan_dpp")
+    // the dim filters on a NON-join column, so no static partition
+    // predicate can be inferred — the partitioned scan's pruning must
+    // arrive as a dynamicpruningexpression fed by the join's broadcast
+    assert(p.contains("dynamicpruning"), p)
+    assert(!p.contains("o_orderpriority IN ("), p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
