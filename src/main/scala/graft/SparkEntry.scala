@@ -65,7 +65,8 @@ object SparkEntry {
     _root_.graft.queries.Extra14.defs,
     _root_.graft.queries.Extra15.defs,
     _root_.graft.queries.Extra16.defs,
-    _root_.graft.queries.Extra17.defs
+    _root_.graft.queries.Extra17.defs,
+    _root_.graft.queries.Extra18.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)
