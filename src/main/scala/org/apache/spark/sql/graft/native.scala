@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{CosineSimilarity, HilbertIndex, MinHashSignature, SignLshBuckets, SimHash64}
+import graft.functions.{CosineSimilarity, HilbertIndex, MinHashSignature, SignLshBuckets, SimHash64, UnicodeNormalize}
 import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
 
 /** Bridge into Spark's `private[sql]` Expression↔Column surface for the
@@ -26,6 +26,10 @@ object native {
   def hilbert_index(x: Column, y: Column, bits: Int): Column =
     ExpressionUtils.column(HilbertIndex(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
+
+  /** Unicode normalization (form = NFC/NFD/NFKC/NFKD) of a string. */
+  def normalize_unicode(s: Column, form: String): Column =
+    ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(s), form))
 
   /** 64-bit SimHash over an array<bigint> of element hashes. */
   def simhash64(hashes: Column): Column =

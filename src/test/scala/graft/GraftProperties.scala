@@ -177,6 +177,25 @@ object GraftProperties extends Properties("graft") {
         exact.forall { case (h, n) => cmEstimate(whole, h) >= n }
     }
 
+  property("unicode normalize: idempotent; NFD and NFC inputs confluent") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ü', 'ñ', 'Å', ' ', '\t', '中')))
+        .map(_.mkString)) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def run(form: String, in: String): String =
+        graft.functions.UnicodeNormalize(
+          Literal(UTF8String.fromString(in),
+            org.apache.spark.sql.types.StringType), form)
+          .eval(null).asInstanceOf[UTF8String].toString
+      val nfc = run("NFC", s)
+      val nfd = run("NFD", s)
+      // idempotence, confluence (NFC of the fully-decomposed form lands
+      // on the same string), and agreement with the JDK applied directly
+      run("NFC", nfc) == nfc &&
+        run("NFC", nfd) == nfc &&
+        nfc == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
   property("count-min SQL probe replays the JVM index arithmetic") =
     forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { h =>
       // the SQL string hard-codes shift/mask constants; recompute the

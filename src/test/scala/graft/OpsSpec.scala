@@ -23,6 +23,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("normalize_unicode: codegen'd DataFrame path matches the JDK driver-side") {
+    import spark.implicits._
+    val inputs = Seq(
+      "plain ascii",
+      "Caf\u00e9",            // precomposed e-acute
+      "Cafe\u0301",           // e + combining acute
+      "A\u030Angstro\u0308m", // combining ring + diaeresis
+      "\ud83d\ude00 emoji",   // surrogate pair survives untouched
+      "")
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // runs inside WholeStageCodegen (no CodegenFallback on the expression)
+    val got = df.select(col("id"), gnative.normalize_unicode(col("t"), "NFC").as("n"))
+      .orderBy("id").collect().map(_.getString(1))
+    val want = inputs.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    // the two byte-distinct spellings of "Café" fold to one form
+    assert(got(1) == got(2))
+    // null flows through, non-string input is rejected at analysis
+    assert(df.select(gnative.normalize_unicode(lit(null).cast("string"), "NFC"))
+      .collect()(0).isNullAt(0))
+    intercept[Exception] {
+      df.select(gnative.normalize_unicode(col("id"), "NFC")).collect()
+    }
+  }
+
   test("cosine_similarity expression: identity=1, orthogonal=0, matches lambda form") {
     import spark.implicits._
     val df = Seq(
