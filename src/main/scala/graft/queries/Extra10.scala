@@ -330,7 +330,11 @@ object Extra10 {
     * variants, both measured slower end-to-end at sf0.1: a per-gram
     * source BITMASK via bit_or — the codegen'd agg is faster but the
     * broadcast id-dim machinery around it costs more than it saves at
-    * this dimension size; and a shared persisted per-doc xxhash64 array
+    * this dimension size (re-measured late r10 with the dim REMOVED —
+    * bit index from the pinned `src<int>` naming, pairs/sizes off a
+    * mask histogram: still parity-at-best, 1.64-1.79 vs 1.62 best-of-3;
+    * the query's floor is the shingle scan + signature stages, not the
+    * exact-gate aggregate class); and a shared persisted per-doc xxhash64 array
     * feeding both sides — Spark's columnar cache handles nested arrays
     * row-at-a-time, and the 2.8×-slower cached read lost to simply
     * recomputing the cheap codegen'd split+shingle+hash in each branch.)
