@@ -79,7 +79,10 @@ object Plans {
     "sql_q17" -> "small-quantity revenue: per-part averages pruned to qualifying parts via broadcast semi joins, threshold as hash-join residual",
     "sql_q11" -> "important stock: HAVING vs scalar subquery over the same aggregate — mean branch on ReusedExchange, one fact scan",
     "sql_q20" -> "excess stock: both fact aggregations broadcast-semi pruned to red parts, supplier membership via semi join",
-    "scan_dpp" -> "dynamic partition pruning: dim broadcast feeds a dynamicpruningexpression on the partitioned fact scan, no static predicate possible")
+    "scan_dpp" -> "dynamic partition pruning: dim broadcast feeds a dynamicpruningexpression on the partitioned fact scan, no static predicate possible",
+    "join_null_safe" -> "null-safe equality as hashable (coalesce, isnull) equi-join keys, never a nested loop",
+    "sim_range_search" -> "radius search: broadcast queries, threshold inside the join condition, corpus never key-shuffled",
+    "scan_csv_malformed" -> "PERMISSIVE dirty ingest: one csv scan, corrupt-column quarantine + good-row rollup in the same map-side pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

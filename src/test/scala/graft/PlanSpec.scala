@@ -98,6 +98,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), p)
   }
 
+  test("join_null_safe plans <=> as a genuine equi-join key, not a nested loop") {
+    // Spark rewrites the null-safe equality to hashable
+    // (coalesce(k), isnull(k)) composite keys — the property that keeps
+    // the unknown-bucket join usable at scale. A regression to
+    // BroadcastNestedLoopJoin/CartesianProduct would be quadratic.
+    val p = planOf("join_null_safe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("coalesce("), p) // the null-safe key rewrite
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_range_search broadcasts the queries; the corpus is never key-shuffled") {
+    // Radius search at small query count = one map-side corpus scan
+    // against broadcast queries: the similarity threshold rides INSIDE
+    // the join condition (no post-join materialization), the query-side
+    // filter is pushed to its scan, and the only exchange left is the
+    // final presentation sort.
+    val df = SparkEntry.queries("sim_range_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LessThan(vec_id,8)"), p) // query filter at the scan
+    assert(!p.contains("Exchange hashpartitioning"), p) // corpus un-shuffled
+  }
+
+  test("scan_csv_malformed quarantines bad rows in one parse pass") {
+    // PERMISSIVE + corrupt-column rollup must stay a single csv scan
+    // with map-side partial aggregation — a second scan would double the
+    // ingest cost the mode exists to avoid.
+    val df = SparkEntry.queries("scan_csv_malformed")(spark, sf)
+    df.collect()
+    // AQE's toString appends the initial plan; count scans in the final only.
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("FileScan csv".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("ts_resample broadcasts the tiny extent, never shuffles it") {
     // The calendar derives from a 1-row (lo, hi) aggregate — it must ride
     // a BroadcastExchange; shuffling it would serialize the gap-fill.
