@@ -82,7 +82,9 @@ object Plans {
     "scan_dpp" -> "dynamic partition pruning: dim broadcast feeds a dynamicpruningexpression on the partitioned fact scan, no static predicate possible",
     "join_null_safe" -> "null-safe equality as hashable (coalesce, isnull) equi-join keys, never a nested loop",
     "sim_range_search" -> "radius search: broadcast queries, threshold inside the join condition, corpus never key-shuffled",
-    "scan_csv_malformed" -> "PERMISSIVE dirty ingest: one csv scan, corrupt-column quarantine + good-row rollup in the same map-side pass")
+    "scan_csv_malformed" -> "PERMISSIVE dirty ingest: one csv scan, corrupt-column quarantine + good-row rollup in the same map-side pass",
+    "join_spatial" -> "spatial radius join: 3x3 grid-cell probe explosion, hash join on the cell key, haversine as join residual — never all-pairs",
+    "agg_cooccur" -> "market-basket pairs: per-order basket sets, map-side pair generation (no join), two-phase count, bounded-heap top-20")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -6,13 +6,14 @@ import graft.{Q, Tables => T}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** Round-10 additions, part 10: dirty-data ingest. At 100 TB the
-  * question is never IF the raw feed contains malformed records, only
-  * how the scan degrades: PERMISSIVE parsing quarantines bad rows into
-  * a corrupt-record column in the same single pass that parses the good
-  * ones — no second scan, no job failure, and the bad rows stay
-  * addressable for a quarantine sink instead of vanishing (DROPMALFORMED)
-  * or killing the job (FAILFAST).
+/** Round-10 additions, part 10: dirty-data ingest, the spatial radius
+  * join (the 2D form of the join_band grid technique), and market-basket
+  * pair co-occurrence. At 100 TB the question is never IF the raw feed
+  * contains malformed records, only how the scan degrades: PERMISSIVE
+  * parsing quarantines bad rows into a corrupt-record column in the same
+  * single pass that parses the good ones — no second scan, no job
+  * failure, and the bad rows stay addressable for a quarantine sink
+  * instead of vanishing (DROPMALFORMED) or killing the job (FAILFAST).
   */
 object Extra20 {
 
@@ -71,6 +72,103 @@ object Extra20 {
           sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
           sum(when(col("_corrupt_record").isNull, col("ck"))).as("sum_ck"),
           countDistinct(when(col("_corrupt_record").isNull, col("prio"))).as("n_prio"))
+    },
+
+    // SPATIAL RADIUS JOIN — "every (supplier, customer) pair within
+    // 100 km", the geo twin of join_band and the 2D instance of the
+    // grid-bucketing technique: a raw distance join is quadratic, so
+    // each probe point explodes to its 3×3 neighborhood of 1°×1° grid
+    // cells (cell edge ≥ the radius in BOTH axes — 1° lat = 111.0 km,
+    // 1° lon ≥ 110.9 km inside the synthesized ±5° band — so no
+    // qualifying pair can sit more than one cell apart), candidates
+    // come from a hash EQUI-join on the cell key, and the exact
+    // haversine runs only on candidates. Points derive from the keys
+    // in exact integer-then-half-degree arithmetic (replayable
+    // byte-for-byte); the distance is the fn_geo floor-meters form —
+    // FLOOR has no tie semantics, and the radius compares the floored
+    // BIGINT on both engines, so an asin/cos last-ulp divergence
+    // would need a true distance within ~1 m of the cut to flip a row
+    // (the accepted fn_geo exposure). The oracle is the QUADRATIC
+    // ground truth — candidates-vs-all-pairs is exactly what the grid
+    // must not change. Scale: probes×(9·cell occupancy) candidates,
+    // one equi-join shuffle, never |S|·|C|.
+    "join_spatial" -> Q(
+      """WITH c AS (SELECT c_custkey,
+        |    (c_custkey % 10) - 4.5 AS lat, ((c_custkey * 7) % 40) - 19.5 AS lon
+        |  FROM read_parquet('{sfDir}/customer.parquet')),
+        |s AS (SELECT s_suppkey,
+        |    (s_suppkey % 10) - 4.5 AS lat, ((s_suppkey * 11) % 40) - 19.5 AS lon
+        |  FROM read_parquet('{sfDir}/supplier.parquet')),
+        |p AS (SELECT s_suppkey, c_custkey,
+        |    CAST(FLOOR(2 * 6371.0 * asin(sqrt(least(
+        |      pow(sin(radians(c.lat - s.lat) / 2), 2)
+        |      + cos(radians(s.lat)) * cos(radians(c.lat))
+        |        * pow(sin(radians(c.lon - s.lon) / 2), 2),
+        |    1.0))) * 1000.0) AS BIGINT) AS dist_m
+        |  FROM s JOIN c ON TRUE)
+        |SELECT s_suppkey, c_custkey, dist_m FROM p
+        |WHERE dist_m <= 100000
+        |ORDER BY s_suppkey, c_custkey""".stripMargin) { (s, d) =>
+      def pts(df: org.apache.spark.sql.DataFrame, key: String, lonMul: Int) =
+        df.select(col(key),
+          (col(key) % 10 - 4.5).as("lat"),
+          ((col(key) * lonMul) % 40 - 19.5).as("lon"),
+          floor(col(key) % 10 - 4.5).cast("int").as("clat"),
+          floor((col(key) * lonMul) % 40 - 19.5).cast("int").as("clon"))
+      val cust = pts(T.customer(s, d), "c_custkey", 7)
+        .withColumnRenamed("lat", "c_lat").withColumnRenamed("lon", "c_lon")
+      val supp = pts(T.supplier(s, d), "s_suppkey", 11)
+        .withColumn("dlat", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dlon", explode(sequence(lit(-1), lit(1))))
+        .select(col("s_suppkey"), col("lat").as("s_lat"), col("lon").as("s_lon"),
+          (col("clat") + col("dlat")).as("clat"),
+          (col("clon") + col("dlon")).as("clon"))
+      supp.join(cust, Seq("clat", "clon"))
+        .select(col("s_suppkey"), col("c_custkey"), expr(
+          """cast(floor((2 * 6371.0D * asin(sqrt(least(
+            |  pow(sin(radians(c_lat - s_lat) / 2), 2)
+            |  + cos(radians(s_lat)) * cos(radians(c_lat))
+            |    * pow(sin(radians(c_lon - s_lon) / 2), 2),
+            |  1.0D)))) * 1000.0D) as bigint)""".stripMargin).as("dist_m"))
+        .filter(col("dist_m") <= 100000L)
+        .orderBy("s_suppkey", "c_custkey")
+    },
+
+    // MARKET-BASKET PAIR CO-OCCURRENCE — the support-counting first
+    // step of association mining (and of co-click/co-view analytics):
+    // which part PAIRS ship together in the most orders. The pair
+    // explosion is a SAME-KEY self-join on the order key — its fan-out
+    // is bounded by basket size squared (baskets are ≤7 lines here and
+    // small everywhere), never by table size — followed by a two-phase
+    // count and a bounded-heap top-k (TakeOrderedAndProject, no global
+    // sort). The distinct-first projection matters: duplicate
+    // (order, part) lines would inflate supports multiplicatively.
+    // Tie-break is the full (n DESC, p1, p2) total order so the k-cut
+    // is deterministic on both engines.
+    "agg_cooccur" -> Q(
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+        |      FROM d a JOIN d b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(n AS BIGINT) AS n
+        |FROM p ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
+      // basket form, not a self-join: collect_set dedups (order, part)
+      // map-side in the ONE fact shuffle, and the ordered pairs are
+      // generated inside the map task from each ≤basket-sized set — no
+      // broadcast hash relation of the distinct frame (the self-join
+      // form measured 1.23 s vs 0.5 s for this shape at sf0.1; building
+      // a 600k-row broadcast was most of the difference)
+      T.lineitem(s, d)
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, x -> transform(filter(ps, y -> x < y),
+            |  y -> struct(x as p1, y as p2))))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("p1"), col("p2"))
+        .limit(20)
     }
   )
 }

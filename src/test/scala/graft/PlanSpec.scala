@@ -137,6 +137,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), p)
   }
 
+  test("join_spatial joins on grid-cell keys with the haversine as residual") {
+    // The 2D banding contract: candidates come from a HASH join on the
+    // (clat, clon) cell key — the exact distance runs only inside the
+    // join as a residual — and never from a nested loop over all pairs
+    // (which is what the DuckDB oracle deliberately computes).
+    val p = planOf("join_spatial")
+    assert(p.contains("HashJoin [clat"), p)
+    assert(p.contains("ASIN"), p) // exact distance rides the join residual
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_cooccur generates pairs from baskets — no join, one fact shuffle") {
+    // Pairs must come from the per-order collect_set inside the map task
+    // (fan-out bounded by basket size), never a self-join: the plan has
+    // exactly one order-keyed exchange feeding a Generate, no Join node
+    // at all, and a bounded-heap k-cut. (The self-join form measured the
+    // same on the fixture but carries an extra exchange + broadcast
+    // build at scale.)
+    val df = SparkEntry.queries("agg_cooccur")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+  }
+
   test("ts_resample broadcasts the tiny extent, never shuffles it") {
     // The calendar derives from a 1-row (lo, hi) aggregate — it must ride
     // a BroadcastExchange; shuffling it would serialize the gap-fill.
