@@ -84,7 +84,9 @@ object Plans {
     "sim_range_search" -> "radius search: broadcast queries, threshold inside the join condition, corpus never key-shuffled",
     "scan_csv_malformed" -> "PERMISSIVE dirty ingest: one csv scan, corrupt-column quarantine + good-row rollup in the same map-side pass",
     "join_spatial" -> "spatial radius join: 3x3 grid-cell probe explosion, hash join on the cell key, haversine as join residual — never all-pairs",
-    "agg_cooccur" -> "market-basket pairs: per-order basket sets, map-side pair generation (no join), two-phase count, bounded-heap top-20")
+    "agg_cooccur" -> "market-basket pairs: per-order basket sets, map-side pair generation (no join), two-phase count, bounded-heap top-20",
+    "embed_quantize" -> "int8 scalar quantization: map-only row-local arithmetic, zero hash exchanges, the one exchange is the output sort",
+    "cdc_diff" -> "snapshot differential: one co-partitioned full-outer key join, classification as a projection over its null pattern")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

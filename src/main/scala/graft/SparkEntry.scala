@@ -68,7 +68,8 @@ object SparkEntry {
     _root_.graft.queries.Extra17.defs,
     _root_.graft.queries.Extra18.defs,
     _root_.graft.queries.Extra19.defs,
-    _root_.graft.queries.Extra20.defs
+    _root_.graft.queries.Extra20.defs,
+    _root_.graft.queries.Extra21.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions, part 11: the snapshot differential (CDC diff),
+  * declared connected components, int8 embedding quantization, and the
+  * exact sliding median.
+  *
+  * Each fills a distinct user-visible hole: cdc_diff is the
+  * compare-two-snapshots primitive every incremental pipeline starts
+  * from; graph_components promotes the `ops/Components` machinery
+  * (previously exercised only inside dedup_cluster's oracle path) to a
+  * first-class declared operator; embed_quantize is the storage-side
+  * half of the ANN family (int8 scalar quantization is how a 100 TB
+  * embedding corpus becomes a 25 TB one before IVF/PQ indexing); and
+  * win_median adds the order-statistic window the win_* family lacked.
+  */
+object Extra21 {
+
+  val defs: Map[String, Q] = Map(
+
+    // SNAPSHOT DIFFERENTIAL (CDC diff) — classify every key across two
+    // snapshots of the same table as insert / delete / update /
+    // unchanged. This is ONE full-outer hash join on the key — the
+    // classification is a projection over the join's null pattern, so
+    // the whole diff is a single shuffle co-partitioned on the key (at
+    // warehouse scale both snapshots are typically already bucketed or
+    // clustered by that key, making the exchange free). Snapshots
+    // derive deterministically from the orders fixture: "old" drops
+    // keys ≡0 (mod 97), "new" drops keys ≡0 (mod 89) and bumps the
+    // price by exactly +1.0 on keys ≡0 (mod 13) — +1.0 on a double of
+    // this magnitude is exact, so the update predicate is bit-precise
+    // on both engines. Checksums (count + key-sum per class) make the
+    // oracle sensitive to any misclassified row.
+    "cdc_diff" -> Q(
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p
+        |           FROM read_parquet('{sfDir}/orders.parquet')),
+        |old AS (SELECT k, p FROM o WHERE k % 97 <> 0),
+        |nw  AS (SELECT k, CASE WHEN k % 13 = 0 THEN p + 1.0 ELSE p END AS p
+        |        FROM o WHERE k % 89 <> 0)
+        |SELECT CASE WHEN a.k IS NULL THEN 'insert'
+        |            WHEN b.k IS NULL THEN 'delete'
+        |            WHEN a.p <> b.p THEN 'update'
+        |            ELSE 'unchanged' END AS change,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(coalesce(a.k, b.k)) AS BIGINT) AS key_sum
+        |FROM old a FULL OUTER JOIN nw b ON a.k = b.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      val old = o.filter(col("k") % 97 =!= 0)
+      val nw = o.filter(col("k") % 89 =!= 0)
+        .withColumn("p", when(col("k") % 13 === 0, col("p") + lit(1.0))
+          .otherwise(col("p")))
+      old.as("a").join(nw.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(
+          when(col("a.k").isNull, "insert")
+            .when(col("b.k").isNull, "delete")
+            .when(col("a.p") =!= col("b.p"), "update")
+            .otherwise("unchanged").as("change"),
+          coalesce(col("a.k"), col("b.k")).as("k"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+        .orderBy("change")
+    },
+
+    // CONNECTED COMPONENTS, declared — `ops/Components` (single-task
+    // union-find below the edge bound, iterative min-label propagation
+    // with pointer jumping above it) against a ground-truth oracle:
+    // DuckDB computes the full reachability closure via a recursive CTE
+    // and takes min(label) per node — exactly the semantics, with none
+    // of the scaling (closure is Σ|component|², affordable here because
+    // the synthesized graph keeps components small). The graph derives
+    // from customer keys: chain edges (c, c-1) broken at multiples of
+    // 13 give runs of 13, and long-range edges (c, 2c) at multiples of
+    // 97 splice runs together — the splices are what force real label
+    // propagation across distant id ranges (a sorted-range shortcut
+    // would get them wrong).
+    "graph_components" -> Q(
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS id
+        |    FROM read_parquet('{sfDir}/customer.parquet')),
+        |ed0 AS (
+        |  SELECT id AS s, id - 1 AS t FROM cust WHERE id % 13 <> 0 AND id > 0
+        |  UNION ALL
+        |  SELECT a.id AS s, b.id AS t FROM cust a JOIN cust b ON b.id = a.id * 2
+        |  WHERE a.id % 97 = 0 AND a.id > 0),
+        |ed AS (SELECT s, t FROM ed0 UNION ALL SELECT t AS s, s AS t FROM ed0),
+        |r AS (SELECT id AS node, id AS lab FROM cust
+        |      UNION
+        |      SELECT e.t AS node, r.lab FROM r JOIN ed e ON e.s = r.node),
+        |lab AS (SELECT node, min(lab) AS rep FROM r GROUP BY node)
+        |SELECT CAST(rep AS BIGINT) AS rep, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(max(node) AS BIGINT) AS max_id
+        |FROM lab GROUP BY rep ORDER BY rep""".stripMargin) { (s, d) =>
+      val c = T.customer(s, d).select(col("c_custkey").as("id"))
+      val chain = c.filter(col("id") % 13 =!= 0 && col("id") > 0)
+        .select(col("id").as("id1"), (col("id") - 1).as("id2"))
+      val far = c.as("a")
+        .filter(col("id") % 97 === 0 && col("id") > 0)
+        .join(c.as("b"), col("b.id") === col("a.id") * 2)
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      val labels = graft.ops.Components
+        .connectedComponents(c, chain.union(far))
+      labels.groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_id"))
+        .orderBy("rep")
+    },
+
+    // INT8 EMBEDDING QUANTIZATION — symmetric per-vector scalar
+    // quantization (the storage form every large embedding corpus ships
+    // in: 4× smaller than fp32 before any IVF/PQ indexing, and the
+    // rerank stage dequantizes by one multiply). scale = max|x|/127 per
+    // vector; code_i = round(x_i/scale). Everything is map-side — no
+    // shuffle at all — and the codes are pure INTEGERS, so the oracle
+    // match is exact: float→double casts are value-preserving, IEEE
+    // division is bit-deterministic across engines, and round(·, 0) is
+    // half-away-from-zero on both (Spark HALF_UP = away from zero on
+    // ties; DuckDB likewise). The only guard is the all-zero vector
+    // (scale 0 → NaN codes), floored at 1e-30 identically on both
+    // sides. The code vector ships as a comma-joined STRING because the
+    // driver's comparator cannot hash array cells (QueriesSpec pins
+    // that constraint) — int→string formatting is canonical on both
+    // engines, so the join stays exact. l1 (the sum of |code|) is the
+    // drift tripwire: one flipped code anywhere changes it.
+    "embed_quantize" -> Q(
+      """WITH s AS (SELECT vec_id, label, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+        |  FROM read_parquet('{sfDir}/embeddings.parquet')),
+        |q AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS code
+        |  FROM s)
+        |SELECT vec_id, label, array_to_string(code, ',') AS code_str,
+        |  CAST(list_aggregate(list_transform(code,
+        |    x -> abs(CAST(x AS BIGINT))), 'sum') AS BIGINT) AS l1
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      T.embeddings(s, d)
+        .withColumn("scale", greatest(
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))) / lit(127.0),
+          lit(1e-30)))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") / col("scale"), 0).cast("int"))
+            .as("code"))
+        .select(col("vec_id"), col("label"),
+          array_join(transform(col("code"), _.cast("string")), ",")
+            .as("code_str"),
+          aggregate(col("code"), lit(0L),
+            (acc, x) => acc + abs(x.cast("long"))).as("l1"))
+        .orderBy("vec_id")
+    },
+
+    // SLIDING EXACT MEDIAN — the order-statistic window (p50 over the
+    // trailing 4 rows per supplier): Spark's `percentile` aggregate
+    // rides the window frame like any other aggregate; DuckDB's
+    // `median` is the same quantile_cont(0.5). Over BIGINT inputs the
+    // 0.5-interpolation is (lo+hi)/2 of exact integers — exact halves
+    // in double on both engines, so no ulp exposure (the ADVICE-noted
+    // interpolation-formula divergence only bites on fractional
+    // quantiles of non-integers). The frame ordering includes qty so
+    // sort ties can only swap rows with equal values — frame contents
+    // are then invariant as multisets and the output is deterministic.
+    "win_median" -> Q(
+      """SELECT l_suppkey, l_orderkey, l_linenumber, qty,
+        |  median(qty) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, qty
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS med
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        CAST(l_quantity AS BIGINT) AS qty
+        |      FROM read_parquet('{sfDir}/lineitem.parquet'))
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, qty""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_orderkey", "l_linenumber", "qty")
+          .rowsBetween(-3, Window.currentRow)
+        T.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("bigint").as("qty"))
+          .withColumn("med", expr("percentile(qty, 0.5)").over(w))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "qty")
+    }
+  )
+}

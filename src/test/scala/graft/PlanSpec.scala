@@ -164,6 +164,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject(limit=20"), p)
   }
 
+  test("embed_quantize is map-only: no hash exchange, no join") {
+    // Per-vector scalar quantization must stay inside the scan's map
+    // task — scale, codes, and l1 are all row-local arithmetic. The only
+    // allowed exchange is the output-determinism range sort; a hash
+    // exchange or join would mean the quantizer is shuffling a corpus it
+    // never needs to move (at 100 TB the whole point is one read pass).
+    val df = SparkEntry.queries("embed_quantize")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("cdc_diff is one co-partitioned full-outer join, no nested loop") {
+    // The snapshot diff must be a single key-equi full outer join (SMJ
+    // or shuffled hash) — the classification is a projection over its
+    // null pattern. A nested loop or a second join would break the
+    // one-shuffle contract that makes the diff linear at scale.
+    val df = SparkEntry.queries("cdc_diff")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("FullOuter"), p)
+    assert("Join".r.findAllIn(p).size <= 2, p) // one join node (+AQE echo)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("ts_resample broadcasts the tiny extent, never shuffles it") {
     // The calendar derives from a 1-row (lo, hi) aggregate — it must ride
     // a BroadcastExchange; shuffling it would serialize the gap-fill.
