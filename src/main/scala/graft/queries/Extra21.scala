@@ -154,6 +154,86 @@ object Extra21 {
         .orderBy("vec_id")
     },
 
+    // EMBEDDING POOLING — element-wise aggregation of vectors per group
+    // (how chunk embeddings become a document embedding, or class
+    // centroids for probing): per (label, dim), the exact SUM and count
+    // — mean pooling is their ratio, left to the caller so the declared
+    // output stays hash-EXACT (each float is widened to DOUBLE — exact —
+    // then cast to DECIMAL(18,6) before summing, making the sum
+    // order-independent across partitionings AND engines; the double
+    // widening matters because Spark quantizes a bare float→decimal
+    // cast through the FLOAT's shortest string form, which rounds the
+    // 6th decimal differently than DuckDB's exact-value cast on ~20%
+    // of values — measured, not hypothetical).
+    // Shape: the ×64 posexplode fans out map-side only — with 10
+    // labels × 64 dims = 640 groups, partial aggregation collapses
+    // each map task to ≤640 rows, so the exchange moves kilobytes no
+    // matter the corpus size. The DuckDB side zips parallel unnests
+    // (values + 0-based positions) to replay the same dimension keys.
+    "embed_pool" -> Q(
+      """SELECT label, dim,
+        |  CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |        unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |      FROM read_parquet('{sfDir}/embeddings.parquet'))
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (s, d) =>
+      T.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(sum(Q.dec6(col("x").cast("double"))).cast("decimal(38,6)").as("s"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    },
+
+    // DISTRIBUTION DRIFT (population stability index) — the standard
+    // "did my feature distribution move between snapshots" gate a
+    // training pipeline runs before every data refresh: PSI_b =
+    // (p_b − q_b)·ln(p_b/q_b) per bin, with p from the baseline
+    // snapshot and q from the candidate. Drift is induced
+    // deterministically (the candidate rewrites priority to 1-URGENT on
+    // keys ≡0 mod 7, ~14% of rows — PSI lands in the 1e-2 range where
+    // ROUND-4 is meaningfully sensitive). The whole computation is ONE
+    // fact scan: both snapshots derive from the same rows, so a single
+    // groupBy on the (old_bin, new_bin) CONTINGENCY CELL (≤25 rows)
+    // carries both margins, and everything after is arithmetic over
+    // that tiny frame (both margin re-aggs and the 1-row total are
+    // sub-kilobyte — at 100 TB the fact is read and shuffled once, as
+    // partial-aggregated cells). Counts are exact; only the final psi
+    // carries the accepted round-4 double exposure (ln is last-ulp
+    // stable at these magnitudes — the agg_entropy precedent).
+    "dq_drift" -> Q(
+      """WITH o AS (SELECT o_orderpriority AS po,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '1-URGENT'
+        |         ELSE o_orderpriority END AS pn
+        |  FROM read_parquet('{sfDir}/orders.parquet')),
+        |cells AS (SELECT po, pn, count(*) AS c FROM o GROUP BY 1, 2),
+        |tot AS (SELECT sum(c) AS t FROM cells),
+        |old AS (SELECT po AS bin, sum(c) AS n_old FROM cells GROUP BY 1),
+        |nw  AS (SELECT pn AS bin, sum(c) AS n_new FROM cells GROUP BY 1)
+        |SELECT bin, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  round((n_old / t - n_new / t)
+        |        * ln((n_old / t) / (n_new / t)), 4) AS psi
+        |FROM old JOIN nw USING (bin) CROSS JOIN tot
+        |ORDER BY bin""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d).select(
+        col("o_orderpriority").as("po"),
+        when(col("o_orderkey") % 7 === 0, lit("1-URGENT"))
+          .otherwise(col("o_orderpriority")).as("pn"))
+      val cells = o.groupBy("po", "pn").agg(count(lit(1)).as("c"))
+        .persist()
+      val tot = cells.agg(sum("c").as("t"))
+      val old = cells.groupBy(col("po").as("bin")).agg(sum("c").as("n_old"))
+      val nw = cells.groupBy(col("pn").as("bin")).agg(sum("c").as("n_new"))
+      val p = col("n_old").cast("double") / col("t")
+      val q = col("n_new").cast("double") / col("t")
+      old.join(nw, Seq("bin")).crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_old"), col("n_new"),
+          round((p - q) * log(p / q), 4).as("psi"))
+        .orderBy("bin")
+    },
+
     // SLIDING EXACT MEDIAN — the order-statistic window (p50 over the
     // trailing 4 rows per supplier): Spark's `percentile` aggregate
     // rides the window frame like any other aggregate; DuckDB's
