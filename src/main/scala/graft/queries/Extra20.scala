@@ -17,6 +17,50 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Extra20 {
 
+  /** The spatial radius join's declared shape, factored for the scale
+    * probe: probe points explode to their 3×3 grid neighborhood, the
+    * hash join runs on the cell key, the exact haversine rides as a
+    * join residual. Inputs carry (key, lat, lon); cells are 1°×1°
+    * (edge ≥ the 100 km radius in both axes inside the ±5° band).
+    */
+  def spatialPairsOf(supp: org.apache.spark.sql.DataFrame,
+      cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("clat", floor(col("lat")).cast("int"))
+      .withColumn("clon", floor(col("lon")).cast("int"))
+    val c = cells(cust)
+      .withColumnRenamed("lat", "c_lat").withColumnRenamed("lon", "c_lon")
+    val sp = cells(supp)
+      .withColumn("dlat", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dlon", explode(sequence(lit(-1), lit(1))))
+      .select(col("s_suppkey"), col("lat").as("s_lat"), col("lon").as("s_lon"),
+        (col("clat") + col("dlat")).as("clat"),
+        (col("clon") + col("dlon")).as("clon"))
+    sp.join(c, Seq("clat", "clon"))
+      .select(col("s_suppkey"), col("c_custkey"), expr(
+        """cast(floor((2 * 6371.0D * asin(sqrt(least(
+          |  pow(sin(radians(c_lat - s_lat) / 2), 2)
+          |  + cos(radians(s_lat)) * cos(radians(c_lat))
+          |    * pow(sin(radians(c_lon - s_lon) / 2), 2),
+          |  1.0D)))) * 1000.0D) as bigint)""".stripMargin).as("dist_m"))
+      .filter(col("dist_m") <= 100000L)
+  }
+
+  /** The pair co-occurrence declared shape, factored for the scale
+    * probe: per-key sorted basket sets in one fact shuffle, ordered
+    * pairs by posexplode + strict-suffix slice, two-phase count.
+    */
+  def cooccurOf(fact: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    fact
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+      .select(col("p1"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n"))
+
   private val staged = new ConcurrentHashMap[String, java.lang.Boolean]()
 
   val defs: Map[String, Q] = Map(
@@ -112,25 +156,10 @@ object Extra20 {
       def pts(df: org.apache.spark.sql.DataFrame, key: String, lonMul: Int) =
         df.select(col(key),
           (col(key) % 10 - 4.5).as("lat"),
-          ((col(key) * lonMul) % 40 - 19.5).as("lon"),
-          floor(col(key) % 10 - 4.5).cast("int").as("clat"),
-          floor((col(key) * lonMul) % 40 - 19.5).cast("int").as("clon"))
-      val cust = pts(T.customer(s, d), "c_custkey", 7)
-        .withColumnRenamed("lat", "c_lat").withColumnRenamed("lon", "c_lon")
-      val supp = pts(T.supplier(s, d), "s_suppkey", 11)
-        .withColumn("dlat", explode(sequence(lit(-1), lit(1))))
-        .withColumn("dlon", explode(sequence(lit(-1), lit(1))))
-        .select(col("s_suppkey"), col("lat").as("s_lat"), col("lon").as("s_lon"),
-          (col("clat") + col("dlat")).as("clat"),
-          (col("clon") + col("dlon")).as("clon"))
-      supp.join(cust, Seq("clat", "clon"))
-        .select(col("s_suppkey"), col("c_custkey"), expr(
-          """cast(floor((2 * 6371.0D * asin(sqrt(least(
-            |  pow(sin(radians(c_lat - s_lat) / 2), 2)
-            |  + cos(radians(s_lat)) * cos(radians(c_lat))
-            |    * pow(sin(radians(c_lon - s_lon) / 2), 2),
-            |  1.0D)))) * 1000.0D) as bigint)""".stripMargin).as("dist_m"))
-        .filter(col("dist_m") <= 100000L)
+          ((col(key) * lonMul) % 40 - 19.5).as("lon"))
+      spatialPairsOf(
+          pts(T.supplier(s, d), "s_suppkey", 11),
+          pts(T.customer(s, d), "c_custkey", 7))
         .orderBy("s_suppkey", "c_custkey")
     },
 
@@ -165,14 +194,7 @@ object Extra20 {
       // measured 2.19 s vs 1.55 s for this shape at sf0.1 warm (the
       // distinct self-join form: 1.94 s, and it carries a second
       // shuffled copy of the fact at cluster scale).
-      T.lineitem(s, d)
-        .groupBy("l_orderkey")
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
-        .select(col("p1"),
-          explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
-        .groupBy("p1", "p2")
-        .agg(count(lit(1)).as("n"))
+      cooccurOf(T.lineitem(s, d))
         .orderBy(desc("n"), col("p1"), col("p2"))
         .limit(20)
     }

@@ -461,6 +461,65 @@ object PerfProbe {
         spark.sharedState.cacheManager.clearCache()
       }
     }
+    // join_spatial grid join: the claim is that candidates scale with
+    // probes × (9 · cell occupancy), never |S|·|C|. Replicas shift
+    // longitude by 40° per copy — DISJOINT grid regions, so x8 grows
+    // both sides 8× at CONSTANT density (folding replicas onto the
+    // same cells would instead multiply per-cell occupancy — the
+    // quadratic direction, like the suffix-perturbed dedup replicas).
+    // Linear-ish growth = the grid is doing its job; an all-pairs plan
+    // would read 64×.
+    // MEASURED (r10, this box, sf0.1): 0.37 → 1.20 s at x8 (3.2×,
+    // exponent ~0.56 — sublinear, fixed stage overheads still
+    // amortizing at fixture scale). Claim holds with wide margin.
+    {
+      val su = graft.Tables.supplier(spark, sfDir).select(col("s_suppkey"),
+        (col("s_suppkey") % 10 - 4.5).as("lat"),
+        ((col("s_suppkey") * 11) % 40 - 19.5).as("lon"))
+      val cu = graft.Tables.customer(spark, sfDir).select(col("c_custkey"),
+        (col("c_custkey") % 10 - 4.5).as("lat"),
+        ((col("c_custkey") * 7) % 40 - 19.5).as("lon"))
+      def shiftX(df: org.apache.spark.sql.DataFrame, key: String, n: Int) =
+        (0 until n).map { i =>
+          df.select((col(key) + lit(i * 10000000L)).as(key), col("lat"),
+            (col("lon") + lit(i * 40.0)).as("lon"))
+        }.reduce(_ unionAll _)
+      for (n <- Seq(1, 8)) {
+        val sc = graft.ops.CacheScope.begin(spark)
+        time(s"scale x$n: spatial grid join") {
+          graft.queries.Extra20.spatialPairsOf(
+            shiftX(su, "s_suppkey", n), shiftX(cu, "c_custkey", n)).count()
+        }
+        sc.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+
+    // agg_cooccur basket pairs: the claim is cost ∝ baskets (fan-out
+    // bounded by basket size², never table size). Replicas offset BOTH
+    // orderkeys and partkeys — disjoint baskets AND disjoint pairs, so
+    // x8 grows rows, baskets, and the distinct-pair domain 8× with
+    // per-basket structure constant. Any superlinearity would be the
+    // shape's own shuffles, not data adversariality.
+    // MEASURED (r10, this box, sf0.1): 1.59 → 2.85 s at x8 (1.8×,
+    // exponent ~0.28 — the basket shuffle and pair count really are
+    // the only moving parts; fixed overheads dominate at x1).
+    {
+      val li2 = graft.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey")
+      def liPX(n: Int) = (0 until n).map { i =>
+        li2.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey"))
+      }.reduce(_ unionAll _)
+      for (n <- Seq(1, 8)) {
+        val sc = graft.ops.CacheScope.begin(spark)
+        time(s"scale x$n: cooccur basket pairs") {
+          graft.queries.Extra20.cooccurOf(liPX(n)).count()
+        }
+        sc.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
     spark.stop()
   }
 }
