@@ -234,6 +234,123 @@ object Extra21 {
         .orderBy("bin")
     },
 
+    // HARD-NEGATIVE MINING — per query vector, the top-5 most-similar
+    // candidates with a DIFFERENT label: the contrastive-training data
+    // op (negatives that are hard precisely because they're close).
+    // Shape: the 8 probe vectors broadcast against the corpus (linear
+    // in N, one scan, no corpus self-join), label inequality rides the
+    // join condition, and the per-query cut is a row_number window over
+    // 8 tiny groups under the (sim DESC, nid) total order. Cosine is
+    // the native codegen'd kernel; ROUND-4 + nid tie-break is the
+    // sim-family determinism contract (same accepted last-ulp exposure
+    // as sim_cosine_topk).
+    "sim_hardneg" -> Q(
+      """WITH p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+        |         AS DECIMAL(18,4)) AS sim
+        |  FROM read_parquet('{sfDir}/embeddings.parquet') a
+        |  JOIN read_parquet('{sfDir}/embeddings.parquet') b
+        |    ON a.vec_id < 8 AND b.label <> a.label)
+        |SELECT qid, nid, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid) AS rn FROM p) t
+        |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val e = T.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val corpus = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("embedding").as("nv"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      corpus.join(broadcast(qs), col("nlabel") =!= col("qlabel"))
+        .select(col("qid"), col("nid"),
+          round(org.apache.spark.sql.graft.native
+            .cosine_similarity(col("qv"), col("nv")), 4)
+            .cast(DecimalType(18, 4)).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("qid", "nid", "sim")
+        .orderBy("qid", "nid")
+    },
+
+    // ROBUST OUTLIERS (median absolute deviation) — the z-score's
+    // (ts_outlier) robust twin: a 2σ gate is itself dragged by the
+    // outliers it hunts; med ± 3.5·MAD is not. Everything is EXACT
+    // despite the order statistics: values are floor-scaled to BIGINT
+    // identically on both engines (floor has no tie semantics; Spark's
+    // bare double→int cast truncates while DuckDB's rounds, so the
+    // explicit floor is load-bearing), medians of integers interpolate
+    // to exact halves, deviations are exact quarter-grained doubles,
+    // and 3.5·MAD stays well inside the 2^53 mantissa — so the
+    // threshold compare cannot flip across engines. Shape: two keyed
+    // aggs + two co-partitioned joins back on event_type, no window,
+    // nothing data-sized broadcast.
+    "ts_outlier_mad" -> Q(
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |m1 AS (SELECT event_type, median(v) AS med FROM e GROUP BY 1),
+        |e2 AS (SELECT e.event_type, e.v, m1.med, abs(e.v - m1.med) AS dev
+        |       FROM e JOIN m1 USING (event_type)),
+        |m2 AS (SELECT event_type, median(dev) AS mad FROM e2 GROUP BY 1)
+        |SELECT e2.event_type,
+        |  CAST(any_value(e2.med) * 2 AS BIGINT) AS med_x2,
+        |  CAST(any_value(m2.mad) * 4 AS BIGINT) AS mad_x4,
+        |  CAST(sum(CASE WHEN e2.dev > 3.5 * m2.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_out,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e2 JOIN m2 USING (event_type)
+        |GROUP BY e2.event_type ORDER BY e2.event_type""".stripMargin) {
+      (s, d) =>
+        val e = T.events(s, d).select(col("event_type"),
+          floor(col("value") * 1000000).cast("bigint").as("v"))
+        val m1 = e.groupBy("event_type")
+          .agg(expr("percentile(v, 0.5)").as("med"))
+        val e2 = e.join(m1, "event_type")
+          .withColumn("dev", abs(col("v") - col("med")))
+        val m2 = e2.groupBy("event_type")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        e2.join(m2, "event_type")
+          .groupBy("event_type")
+          .agg((first(col("med")) * 2).cast("bigint").as("med_x2"),
+            (first(col("mad")) * 4).cast("bigint").as("mad_x4"),
+            sum(when(col("dev") > lit(3.5) * col("mad"), 1L).otherwise(0L))
+              .as("n_out"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+    },
+
+    // SLIDING-WINDOW DISTINCT — distinct users per trailing 7-day
+    // window, the classic "rolling DAU/WAU" op that frame-based windows
+    // cannot express (COUNT(DISTINCT) is not frame-incremental; the
+    // cumulative form is win_count_distinct's first-occurrence trick —
+    // this is the HARDER sliding form, where users expire). Scale
+    // shape: each event fans out map-side to the ≤7 window-end days it
+    // contributes to (bounded ×7, no self-join of the fact against a
+    // date spine), a broadcast semi-join against the tiny actual-day
+    // set drops phantom trailing days, and the one exchange is the
+    // two-phase distinct aggregate on (day, user). The DuckDB oracle
+    // runs the textbook day×events range join — quadratic in days,
+    // exactly what the fan-out form avoids.
+    "win_sliding_distinct" -> Q(
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |           FROM read_parquet('{sfDir}/events.parquet')),
+        |days AS (SELECT DISTINCT day FROM e)
+        |SELECT d.day AS day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS u7
+        |FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin) { (s, d) =>
+      val e = T.events(s, d)
+        .select(to_date(col("ts_us")).as("day"), col("user_id"))
+      val days = e.select("day").distinct()
+      e.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy("day")
+    },
+
     // SLIDING EXACT MEDIAN — the order-statistic window (p50 over the
     // trailing 4 rows per supplier): Spark's `percentile` aggregate
     // rides the window frame like any other aggregate; DuckDB's
