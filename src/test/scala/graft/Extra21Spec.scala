@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the Extra21 family — properties the DuckDB
+  * hash gate can state but not *explain*: the diff really is an
+  * edit script, the quantizer really bounds reconstruction error, the
+  * component solver really computes reachability, the sliding distinct
+  * really matches its brute-force definition. Each failure names the
+  * broken law instead of surfacing as an opaque hash mismatch.
+  */
+class Extra21Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cdc_diff is a faithful edit script: old + diff == new") {
+    // Rebuild the two snapshots exactly as the query does, classify
+    // per-key (not the declared rollup — the row-level form the rollup
+    // checksums), then APPLY the script to old: drop deletes, overwrite
+    // updates, add inserts. The result must equal new exactly — the
+    // property that makes a CDC diff usable for incremental
+    // materialization, and one no per-class checksum can prove.
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val old = o.filter(col("k") % 97 =!= 0)
+    val nw = o.filter(col("k") % 89 =!= 0)
+      .withColumn("p", when(col("k") % 13 === 0, col("p") + lit(1.0))
+        .otherwise(col("p")))
+    val j = old.as("a").join(nw.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .select(
+        when(col("a.k").isNull, "insert")
+          .when(col("b.k").isNull, "delete")
+          .when(col("a.p") =!= col("b.p"), "update")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("a.k"), col("b.k")).as("k"), col("b.p").as("new_p"))
+    val applied = j.filter(col("change") =!= "delete")
+      .select(col("k"), col("new_p").as("p")) // insert/update/unchanged all carry new_p
+    assert(applied.exceptAll(nw).isEmpty && nw.exceptAll(applied).isEmpty,
+      "applying the diff to the old snapshot must reproduce the new one")
+  }
+
+  test("embed_quantize reconstruction error is bounded by scale/2") {
+    // The int8 quantizer's defining bound: |x − code·scale| ≤ scale/2
+    // per element (round-to-nearest), and every code is in [-127, 127].
+    // The declared query ships codes + l1; this is the semantic reason
+    // they're USABLE as a 4× smaller corpus.
+    val checked = Tables.embeddings(spark, sf)
+      .withColumn("scale", greatest(
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / lit(127.0), lit(1e-30)))
+      .withColumn("code", transform(col("embedding"),
+        x => round(x.cast("double") / col("scale"), 0).cast("int")))
+      .select(
+        aggregate(col("code"), lit(true),
+          (ok, c) => ok && c >= -127 && c <= 127).as("in_range"),
+        expr("""aggregate(zip_with(embedding, code,
+               |  (x, c) -> abs(cast(x as double) - c * scale)
+               |            <= scale / 2 + 1e-12),
+               |  true, (ok, b) -> ok and b)""".stripMargin).as("bounded"))
+    assert(checked.filter(!col("in_range") || !col("bounded")).count() == 0,
+      "every code in [-127,127] and every element within scale/2")
+  }
+
+  test("graph_components labels match a brute-force reachability closure") {
+    // Same synthesized graph as the declared query, but the expected
+    // labels come from an independent in-test union-find over the
+    // collected edge list (150 nodes at sf0.001) — a second
+    // implementation, not the solver under test.
+    val c = Tables.customer(spark, sf).select(col("c_custkey").as("id"))
+    val chain = c.filter(col("id") % 13 =!= 0 && col("id") > 0)
+      .select(col("id").as("id1"), (col("id") - 1).as("id2"))
+    val far = c.as("a").filter(col("id") % 97 === 0 && col("id") > 0)
+      .join(c.as("b"), col("b.id") === col("a.id") * 2)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val edges = chain.union(far)
+    val got = graft.ops.Components.connectedComponents(c, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: path-compressed union-by-min over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    edges.collect().foreach(r => union(r.getLong(0), r.getLong(1)))
+    val ids = c.collect().map(_.getLong(0))
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(got == want, "solver labels must equal brute-force reachability")
+  }
+
+  test("win_sliding_distinct matches the brute-force per-day definition") {
+    val e = Tables.events(spark, sf)
+      .select(to_date(col("ts_us")).as("day"), col("user_id"))
+    val got = SparkEntry.queries("win_sliding_distinct")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rows = e.collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = rows.map(_._1).distinct
+    val want = days.map { d =>
+      d.toString -> rows.collect {
+        case (ed, u) if !ed.isAfter(d) && !ed.isBefore(d.minusDays(6)) => u
+      }.distinct.size.toLong
+    }.toMap
+    assert(got == want, "fan-out form must equal the brute-force window")
+  }
+
+  test("ts_outlier_mad thresholds are exact (no float drift possible)") {
+    // The exactness argument the query's comment makes, checked: every
+    // med is an exact half (med_x2 integral reconstructs it), every mad
+    // an exact quarter, and recomputing the outlier count from those
+    // reconstructed exact values reproduces the declared n_out.
+    val res = SparkEntry.queries("ts_outlier_mad")(spark, sf).collect()
+    val e = Tables.events(spark, sf).select(col("event_type"),
+      floor(col("value") * 1000000).cast("bigint").as("v"))
+      .collect().groupBy(_.getString(0))
+    res.foreach { r =>
+      val (et, medX2, madX4, nOut) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val med = medX2 / 2.0
+      val mad = madX4 / 4.0
+      val vs = e(et).map(_.getLong(1))
+      val recount = vs.count(v => math.abs(v - med) > 3.5 * mad)
+      assert(recount == nOut, s"$et: recomputed $recount != declared $nOut")
+    }
+  }
+}
