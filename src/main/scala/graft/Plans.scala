@@ -86,7 +86,9 @@ object Plans {
     "join_spatial" -> "spatial radius join: 3x3 grid-cell probe explosion, hash join on the cell key, haversine as join residual — never all-pairs",
     "agg_cooccur" -> "market-basket pairs: per-order basket sets, map-side pair generation (no join), two-phase count, bounded-heap top-20",
     "embed_quantize" -> "int8 scalar quantization: map-only row-local arithmetic, zero hash exchanges, the one exchange is the output sort",
-    "cdc_diff" -> "snapshot differential: one co-partitioned full-outer key join, classification as a projection over its null pattern")
+    "cdc_diff" -> "snapshot differential: one co-partitioned full-outer key join, classification as a projection over its null pattern",
+    "ts_outlier_mad" -> "robust MAD outliers: 20-row med/mad stats broadcast onto the fact (never a 20-key shuffle join), exact integer-scaled order statistics",
+    "win_sliding_distinct" -> "rolling 7-day distinct: map-side x7 day fan-out, broadcast semi-join on the actual-day set, two-phase distinct aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -283,9 +283,15 @@ object Extra21 {
     // explicit floor is load-bearing), medians of integers interpolate
     // to exact halves, deviations are exact quarter-grained doubles,
     // and 3.5·MAD stays well inside the 2^53 mantissa — so the
-    // threshold compare cannot flip across engines. Shape: two keyed
-    // aggs + two co-partitioned joins back on event_type, no window,
-    // nothing data-sized broadcast.
+    // threshold compare cannot flip across engines. Shape: the
+    // ≤20-row med/mad frames BROADCAST back onto the fact (explicit —
+    // left to statistics, Spark broadcasts the tiny fixture FACT
+    // instead, and at scale a shuffle join on a 20-value key would
+    // funnel everything through 20 reducers), so the fact is never
+    // key-shuffled; the only wide ops are the two percentile
+    // aggregates, whose partial buffers hold per-group value counts —
+    // the honest cost of EXACT medians (at 100 TB a production gate
+    // would swap in approx_percentile and keep the identical shape).
     "ts_outlier_mad" -> Q(
       """WITH e AS (SELECT event_type,
         |    CAST(floor(value * 1000000) AS BIGINT) AS v
@@ -307,11 +313,11 @@ object Extra21 {
           floor(col("value") * 1000000).cast("bigint").as("v"))
         val m1 = e.groupBy("event_type")
           .agg(expr("percentile(v, 0.5)").as("med"))
-        val e2 = e.join(m1, "event_type")
+        val e2 = e.join(broadcast(m1), "event_type")
           .withColumn("dev", abs(col("v") - col("med")))
         val m2 = e2.groupBy("event_type")
           .agg(expr("percentile(dev, 0.5)").as("mad"))
-        e2.join(m2, "event_type")
+        e2.join(broadcast(m2), "event_type")
           .groupBy("event_type")
           .agg((first(col("med")) * 2).cast("bigint").as("med_x2"),
             (first(col("mad")) * 4).cast("bigint").as("mad_x4"),

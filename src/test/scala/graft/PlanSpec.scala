@@ -193,6 +193,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ts_outlier_mad broadcasts the stats frames; the fact is never join-shuffled") {
+    // The ≤20-row med/mad aggregates must ride BroadcastExchanges back
+    // onto the fact: left to statistics Spark broadcasts the tiny
+    // fixture FACT instead (backwards at scale), and a shuffle join on
+    // a 20-value key would funnel the corpus through 20 reducers. The
+    // only hash exchanges allowed are the percentile aggregates' own
+    // partial-buffer moves.
+    val df = SparkEntry.queries("ts_outlier_mad")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // both broadcast builds are aggregate outputs, not the raw fact
+    assert(!p.contains("BroadcastExchange HashedRelationBroadcastMode(List(input[0, string, true]),false)")
+      || "percentile".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("win_sliding_distinct semi-joins the day set as a broadcast") {
+    // The actual-day set is tiny and must broadcast; the ×7 fan-out
+    // stays a Generate (map-side), and the distinct count is two-phase
+    // (pre-distinct on (day, user) below the final count exchange).
+    val df = SparkEntry.queries("win_sliding_distinct")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("Generate explode(sequence"), p)
+    assert(p.contains("partial_count(distinct"), p)
+  }
+
   test("ts_resample broadcasts the tiny extent, never shuffles it") {
     // The calendar derives from a 1-row (lo, hi) aggregate — it must ride
     // a BroadcastExchange; shuffling it would serialize the gap-fill.
