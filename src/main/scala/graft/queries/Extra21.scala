@@ -373,16 +373,21 @@ object Extra21 {
         |    ORDER BY l_orderkey, l_linenumber, qty
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS med
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
-        |        CAST(l_quantity AS BIGINT) AS qty
+        |        CAST(floor(l_quantity) AS BIGINT) AS qty
         |      FROM read_parquet('{sfDir}/lineitem.parquet'))
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, qty""".stripMargin) {
+      // floor BEFORE the BIGINT cast on both sides: the fixture's
+      // quantities are integral today, but a bare double→int cast
+      // truncates in Spark and ROUNDS in DuckDB — a fixture refresh
+      // with fractional quantities would hash-diverge silently without
+      // the explicit floor (the ts_outlier_mad discipline).
       (s, d) =>
         val w = Window.partitionBy("l_suppkey")
           .orderBy("l_orderkey", "l_linenumber", "qty")
           .rowsBetween(-3, Window.currentRow)
         T.lineitem(s, d)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity").cast("bigint").as("qty"))
+            floor(col("l_quantity")).cast("bigint").as("qty"))
           .withColumn("med", expr("percentile(qty, 0.5)").over(w))
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "qty")
     }
