@@ -136,4 +136,23 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(bad == 0L, "documents.source drifted from the src<int> naming")
   }
+
+  test("fixture precondition: lineitem.l_quantity is integral-valued " +
+    "(the double→BIGINT cast agreement domain)") {
+    // Several declared queries (sql_q18's HAVING threshold, sql_pipe,
+    // ds_typed, agg_weighted, win_median's frame values) cast the
+    // physically-double quantity to BIGINT on both engines. Spark's
+    // bare double→int cast TRUNCATES while DuckDB's ROUNDS — identical
+    // only while every value is integral, which the generator
+    // guarantees today. A refresh shipping fractional quantities would
+    // hash-diverge confusingly across half the TPC-H family; pin the
+    // integrality here so it fails by name instead. (win_median and
+    // ts_outlier_mad additionally floor before casting — new queries
+    // should follow that pattern regardless.)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val li = Tables.lineitem(spark, s"/root/testdata/$sf")
+      val frac = li.filter(col("l_quantity") =!= floor(col("l_quantity"))).count()
+      assert(frac == 0L, s"$sf lineitem.l_quantity has $frac fractional values")
+    }
+  }
 }
