@@ -234,6 +234,84 @@ object Extra21 {
         .orderBy("bin")
     },
 
+    // BIDIRECTIONAL FLOW STITCHING — the canonical NetFlow post-process:
+    // a TCP session exports as TWO unidirectional records (client→server
+    // and server→client), and analytics want ONE bidirectional row with
+    // per-direction byte counts and an unanswered-session flag (the scan
+    // signal). Records synthesize from events via the fixed flow-address
+    // formulas (flow_top_talkers' withFlowAddrs contract) — every event
+    // a forward record, events ≢0 (mod 3) also a REVERSE record, emitted
+    // from ONE scan by a map-side explode (never a second read or a
+    // union of two scans). The stitch keys on the ORDER-CANONICAL
+    // address pair (least, greatest) — exactly how collectors pair
+    // directions without knowing which side initiated — one hash
+    // shuffle; the /16 rollup after it is a 256-group two-phase agg.
+    // Byte sums are exact integers (floor-scaled), so the oracle gate
+    // is exact.
+    "flow_bidir_merge" -> Q(
+      """WITH h0 AS (
+        |  SELECT ((user_id % 2147483647) * 2654435761) % 16777216 AS h,
+        |         event_id, value
+        |  FROM read_parquet('{sfDir}/events.parquet')
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (
+        |  SELECT concat('10.', CAST((h // 65536) % 256 AS VARCHAR), '.',
+        |                CAST((h // 256) % 256 AS VARCHAR), '.',
+        |                CAST(h % 256 AS VARCHAR)) AS src_addr,
+        |         concat('172.16.', CAST((event_id // 256) % 256 AS VARCHAR), '.',
+        |                CAST(event_id % 256 AS VARCHAR)) AS dst_addr,
+        |         event_id, value
+        |  FROM h0),
+        |recs AS (
+        |  SELECT src_addr AS src, dst_addr AS dst,
+        |         CAST(FLOOR(value * 1000) AS BIGINT) + 64 AS bytes FROM f
+        |  UNION ALL
+        |  SELECT dst_addr AS src, src_addr AS dst,
+        |         CAST(FLOOR(value * 500) AS BIGINT) + 40 AS bytes FROM f
+        |  WHERE event_id % 3 <> 0),
+        |sess AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         SUM(CASE WHEN src = least(src, dst) THEN bytes ELSE 0 END) AS ab,
+        |         SUM(CASE WHEN src = least(src, dst) THEN 0 ELSE bytes END) AS ba
+        |  FROM recs GROUP BY 1, 2)
+        |SELECT concat(string_split(a, '.')[1], '.',
+        |              string_split(a, '.')[2], '.0.0/16') AS net16,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN ab > 0 AND ba > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bidir,
+        |  CAST(SUM(ab) AS BIGINT) AS total_ab,
+        |  CAST(SUM(ba) AS BIGINT) AS total_ba
+        |FROM sess GROUP BY net16 ORDER BY net16""".stripMargin) { (s, d) =>
+      val f = graft.queries.Extra12.withFlowAddrs(
+        T.events(s, d).select("event_id", "user_id", "value"))
+      val fwd = struct(col("src_addr").as("src"), col("dst_addr").as("dst"),
+        (floor(col("value") * 1000).cast("long") + 64).as("bytes"))
+      val rev = struct(col("dst_addr").as("src"), col("src_addr").as("dst"),
+        (floor(col("value") * 500).cast("long") + 40).as("bytes"))
+      val recs = f.select(explode(
+          when(col("event_id") % 3 =!= 0, array(fwd, rev))
+            .otherwise(array(fwd))).as("r"))
+        .select(col("r.src").as("src"), col("r.dst").as("dst"),
+          col("r.bytes").as("bytes"))
+      val sess = recs
+        .withColumn("a", least(col("src"), col("dst")))
+        .withColumn("b", greatest(col("src"), col("dst")))
+        .groupBy("a", "b")
+        .agg(sum(when(col("src") === col("a"), col("bytes")).otherwise(0L))
+            .as("ab"),
+          sum(when(col("src") === col("a"), 0L).otherwise(col("bytes")))
+            .as("ba"))
+      sess
+        .withColumn("net16", concat(split(col("a"), "\\.").getItem(0),
+          lit("."), split(col("a"), "\\.").getItem(1), lit(".0.0/16")))
+        .groupBy("net16")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("ab") > 0 && col("ba") > 0, 1L).otherwise(0L))
+            .as("n_bidir"),
+          sum("ab").as("total_ab"), sum("ba").as("total_ba"))
+        .orderBy("net16")
+    },
+
     // HARD-NEGATIVE MINING — per query vector, the top-5 most-similar
     // candidates with a DIFFERENT label: the contrastive-training data
     // op (negatives that are hard precisely because they're close).
