@@ -234,6 +234,65 @@ object Extra21 {
         .orderBy("bin")
     },
 
+    // EXACT DISTRIBUTED AUC — the rank-sum (Mann-Whitney U) form, the
+    // only way AUC scales: sorting predictions once per segment and
+    // summing positive ranks replaces the quadratic "compare every
+    // (pos, neg) pair" definition. Ties get average ranks (the exact
+    // tie-adjusted estimator), computed from a per-(segment, score)
+    // pre-aggregation: the window then runs over DISTINCT scores (no
+    // per-row state), start rank = 1 + cumulative count before the
+    // group, average rank = start + (cnt−1)/2. Every term is a
+    // half-integer well under 2^52, so double summation is EXACT in
+    // any order and across engines — 2·U ships as a BIGINT (the hash
+    // gate), AUC as its round-4 ratio. Shape: one (seg, score) rollup
+    // shuffle, one per-seg window over the collapsed score domain,
+    // one 4-row final agg.
+    "agg_auc" -> Q(
+      """WITH e AS (SELECT user_id % 4 AS seg, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |g AS (SELECT seg, score, count(*) AS cnt, sum(pos) AS np
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT seg, score, cnt, np,
+        |    1 + coalesce(sum(cnt) OVER (PARTITION BY seg ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS srank
+        |  FROM g),
+        |u AS (SELECT seg,
+        |    sum((srank + (cnt - 1) / 2.0) * np) AS pos_rank_sum,
+        |    sum(np) AS n_pos, sum(cnt) - sum(np) AS n_neg
+        |  FROM r GROUP BY seg)
+        |SELECT CAST(seg AS BIGINT) AS seg,
+        |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(2 * (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) AS BIGINT)
+        |    AS u2,
+        |  round((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+        |        / (n_pos * n_neg), 4) AS auc
+        |FROM u ORDER BY seg""".stripMargin) { (s, d) =>
+      val e = T.events(s, d).select((col("user_id") % 4).as("seg"),
+        col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val g = e.groupBy("seg", "score")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+      val w = Window.partitionBy("seg").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val u = g
+        .withColumn("srank", lit(1) + coalesce(sum("cnt").over(w), lit(0L)))
+        .groupBy("seg")
+        .agg(sum((col("srank") + (col("cnt") - 1) / 2.0) * col("np"))
+            .as("pos_rank_sum"),
+          sum("np").as("n_pos"),
+          (sum("cnt") - sum("np")).as("n_neg"))
+      u.select(col("seg").cast("bigint").as("seg"),
+          col("n_pos"), col("n_neg"),
+          (lit(2) * (col("pos_rank_sum")
+            - col("n_pos") * (col("n_pos") + 1) / 2.0)).cast("bigint")
+            .as("u2"),
+          round((col("pos_rank_sum")
+            - col("n_pos") * (col("n_pos") + 1) / 2.0)
+            / (col("n_pos") * col("n_neg")), 4).as("auc"))
+        .orderBy("seg")
+    },
+
     // BIDIRECTIONAL FLOW STITCHING — the canonical NetFlow post-process:
     // a TCP session exports as TWO unidirectional records (client→server
     // and server→client), and analytics want ONE bidirectional row with

@@ -119,6 +119,47 @@ class Extra21Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "fan-out form must equal the brute-force window")
   }
 
+  test("agg_auc rank-sum equals the quadratic pair-counting definition") {
+    // AUC's definition is P(score_pos > score_neg) + ½·P(tie) over all
+    // (pos, neg) pairs — quadratic, which is why the declared query
+    // computes the rank-sum form instead. Equality of the two is the
+    // entire correctness argument for the estimator (including the
+    // average-rank tie adjustment), so check it pairwise at sf0.001.
+    val rows = SparkEntry.queries("agg_auc")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select((col("user_id") % 4).as("seg"), col("value"),
+        (col("event_type") === "purchase").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    rows.foreach { r =>
+      val seg = r.getLong(0)
+      val ps = ev.collect { case (s, v, true) if s == seg => v }
+      val ns = ev.collect { case (s, v, false) if s == seg => v }
+      val u2 = ps.iterator.map { p =>
+        2L * ns.count(p > _) + ns.count(p == _)
+      }.sum
+      assert(u2 == r.getLong(3),
+        s"seg $seg: pairwise 2U=$u2 != rank-sum ${r.getLong(3)}")
+    }
+  }
+
+  test("flow_bidir_merge conserves bytes: session sums equal record sums") {
+    // The stitch must neither drop nor double-count: Σ(total_ab +
+    // total_ba) over the /16 rollup equals the byte sum of every
+    // synthesized unidirectional record (forward bytes for all events,
+    // reverse bytes for events ≢0 mod 3) — recomputed here from the
+    // fixture without the session machinery.
+    val out = SparkEntry.queries("flow_bidir_merge")(spark, sf)
+      .agg(sum(col("total_ab") + col("total_ba"))).head().getLong(0)
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(
+        (floor(col("value") * 1000).cast("long") + 64).as("fwd"),
+        when(col("event_id") % 3 =!= 0,
+          floor(col("value") * 500).cast("long") + 40).otherwise(0L).as("rev"))
+      .agg(sum(col("fwd") + col("rev"))).head().getLong(0)
+    assert(out == ev, s"stitched byte total $out != record byte total $ev")
+  }
+
   test("ts_outlier_mad thresholds are exact (no float drift possible)") {
     // The exactness argument the query's comment makes, checked: every
     // med is an exact half (med_x2 integral reconstructs it), every mad
