@@ -234,6 +234,67 @@ object Extra21 {
         .orderBy("bin")
     },
 
+    // CONFUSION MATRIX (nearest-centroid classifier eval) — the other
+    // standard ML-eval rollup: predict each vector's class as its
+    // nearest per-label centroid, then count (true, predicted) cells.
+    // Cross-engine argmin over float distances is normally a trap (an
+    // ulp at the decision boundary flips the prediction), so distances
+    // are EXACT INTEGER: every element and centroid quantizes to
+    // micro-units (round(x·10⁶) as BIGINT — the sim_knn_label
+    // round-at-6dp discipline in integer clothing), and Σ(x−c)² of
+    // bigints stays under 2⁶³ at 64 dims — order-free, engine-free,
+    // and codegen'd (a DECIMAL form was exact too but 3× slower:
+    // BigDecimal sums force ObjectHashAggregate on the 3.2M-row
+    // fan-out; bigint sums collapse map-side in whole-stage codegen).
+    // Argmin tie-breaks on label id. Shape: corpus posexplodes ×64,
+    // joins the BROADCAST 640-row centroid table on position, one
+    // map-collapsed (vec, label) rollup shuffle, a row_number argmin
+    // over 10 rows per vector, one 100-cell final count.
+    "eval_confusion" -> Q(
+      """WITH cent AS (
+        |  SELECT label AS clabel, p AS pos,
+        |         CAST(ROUND(AVG(CAST(embedding[p] AS DOUBLE)) * 1000000, 0)
+        |              AS BIGINT) AS c
+        |  FROM read_parquet('{sfDir}/embeddings.parquet')
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS p) ps
+        |  GROUP BY label, p),
+        |x AS (SELECT vec_id, label,
+        |        unnest(generate_series(1, 64)) AS pos,
+        |        CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+        |             AS BIGINT) AS xd
+        |      FROM read_parquet('{sfDir}/embeddings.parquet')),
+        |dist AS (SELECT x.vec_id, x.label, cent.clabel,
+        |    sum((x.xd - cent.c) * (x.xd - cent.c)) AS d2
+        |  FROM x JOIN cent ON x.pos = cent.pos
+        |  GROUP BY 1, 2, 3),
+        |pred AS (SELECT vec_id, label, clabel AS pred, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        |  FROM dist)
+        |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY label, pred ORDER BY label, pred""".stripMargin) { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val cent = emb
+        .select(col("label").as("clabel"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("clabel", "pos")
+        .agg(round(avg(col("v").cast("double")) * 1000000, 0)
+          .cast("bigint").as("c"))
+      val x = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xv")))
+        .withColumn("xd",
+          round(col("xv").cast("double") * 1000000, 0).cast("bigint"))
+      val dist = x.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum((col("xd") - col("c")) * (col("xd") - col("c"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+
     // EXACT DISTRIBUTED AUC — the rank-sum (Mann-Whitney U) form, the
     // only way AUC scales: sorting predictions once per segment and
     // summing positive ranks replaces the quadratic "compare every
