@@ -295,6 +295,62 @@ object Extra21 {
         .orderBy("label", "pred")
     },
 
+    // NDCG@10 (retrieval eval) — grade a similarity ranking against
+    // binary relevance (same label = relevant): DCG = Σ rel_i/log2(i+1)
+    // over each probe's top-10 under the (sim DESC, nid) total order —
+    // the sim_hardneg ranking machinery graded instead of mined. With
+    // ≥10 relevant candidates per label in the corpus the ideal DCG is
+    // the constant Σ_{i≤10} 1/log2(i+1), so NDCG = DCG/IDCG stays a
+    // per-query scalar. Shape: 8 broadcast probes against one corpus
+    // scan, the two-phase WindowGroupLimit bounded-heap cut, an 8-row
+    // rollup. log2 rides round-4 (the agg_entropy transcendental
+    // discipline); ranks and relevance are exact ints.
+    "eval_ndcg" -> Q(
+      """WITH p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS rel,
+        |    CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+        |         AS DECIMAL(18,4)) AS sim
+        |  FROM read_parquet('{sfDir}/embeddings.parquet') a
+        |  JOIN read_parquet('{sfDir}/embeddings.parquet') b
+        |    ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT qid, rel, row_number()
+        |    OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p),
+        |d AS (SELECT qid,
+        |    sum(rel / (ln(rn + 1.0) / ln(2.0))) AS dcg,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel
+        |  FROM r WHERE rn <= 10 GROUP BY qid),
+        |i AS (SELECT sum(1.0 / (ln(k + 1.0) / ln(2.0))) AS idcg
+        |      FROM (SELECT unnest(generate_series(1, 10)) AS k))
+        |SELECT qid, n_rel, round(dcg, 4) AS dcg,
+        |  round(dcg / idcg, 4) AS ndcg
+        |FROM d CROSS JOIN i ORDER BY qid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val e = T.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val corpus = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("embedding").as("nv"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      val top = corpus.join(broadcast(qs), col("nid") =!= col("qid"))
+        .select(col("qid"),
+          when(col("nlabel") === col("qlabel"), 1).otherwise(0).as("rel"),
+          col("nid"),
+          round(org.apache.spark.sql.graft.native
+            .cosine_similarity(col("qv"), col("nv")), 4)
+            .cast(DecimalType(18, 4)).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+      val idcg = (1 to 10).map(k => 1.0 / (math.log(k + 1.0) / math.log(2.0))).sum
+      top.groupBy("qid")
+        .agg(sum(col("rel") / (log(col("rn") + 1.0) / log(lit(2.0))))
+            .as("dcg0"),
+          sum("rel").cast("bigint").as("n_rel"))
+        .select(col("qid"), col("n_rel"), round(col("dcg0"), 4).as("dcg"),
+          round(col("dcg0") / lit(idcg), 4).as("ndcg"))
+        .orderBy("qid")
+    },
+
     // EXACT DISTRIBUTED AUC — the rank-sum (Mann-Whitney U) form, the
     // only way AUC scales: sorting predictions once per segment and
     // summing positive ranks replaces the quadratic "compare every
