@@ -88,7 +88,9 @@ object Plans {
     "embed_quantize" -> "int8 scalar quantization: map-only row-local arithmetic, zero hash exchanges, the one exchange is the output sort",
     "cdc_diff" -> "snapshot differential: one co-partitioned full-outer key join, classification as a projection over its null pattern",
     "ts_outlier_mad" -> "robust MAD outliers: 20-row med/mad stats broadcast onto the fact (never a 20-key shuffle join), exact integer-scaled order statistics",
-    "win_sliding_distinct" -> "rolling 7-day distinct: map-side x7 day fan-out, broadcast semi-join on the actual-day set, two-phase distinct aggregate")
+    "win_sliding_distinct" -> "rolling 7-day distinct: map-side x7 day fan-out, broadcast semi-join on the actual-day set, two-phase distinct aggregate",
+    "eval_confusion" -> "nearest-centroid eval: broadcast centroid join, codegen bigint distance sums, WindowGroupLimit argmin",
+    "agg_auc" -> "rank-sum AUC: join-free, one (seg, score) rollup, one window over the collapsed score domain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -19,6 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Extra21 {
 
+  /** eval_confusion's declared shape, factored for the scale probe:
+    * micro-unit integer distances, broadcast centroid join, codegen'd
+    * bigint Σ(x−c)², WindowGroupLimit argmin, (true, pred) count.
+    */
+  def confusionOf(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cent = emb
+      .select(col("label").as("clabel"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("clabel", "pos")
+      .agg(round(avg(col("v").cast("double")) * 1000000, 0)
+        .cast("bigint").as("c"))
+    val x = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "xv")))
+      .withColumn("xd",
+        round(col("xv").cast("double") * 1000000, 0).cast("bigint"))
+    val dist = x.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((col("xd") - col("c")) * (col("xd") - col("c"))).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+    dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // SNAPSHOT DIFFERENTIAL (CDC diff) — classify every key across two
@@ -273,26 +299,7 @@ object Extra21 {
         |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
         |FROM pred WHERE rn = 1
         |GROUP BY label, pred ORDER BY label, pred""".stripMargin) { (s, d) =>
-      val emb = T.embeddings(s, d)
-      val cent = emb
-        .select(col("label").as("clabel"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("clabel", "pos")
-        .agg(round(avg(col("v").cast("double")) * 1000000, 0)
-          .cast("bigint").as("c"))
-      val x = emb.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "xv")))
-        .withColumn("xd",
-          round(col("xv").cast("double") * 1000000, 0).cast("bigint"))
-      val dist = x.join(broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(sum((col("xd") - col("c")) * (col("xd") - col("c"))).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
-      dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("label"), col("clabel").as("pred"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("label", "pred")
+      confusionOf(T.embeddings(s, d)).orderBy("label", "pred")
     },
 
     // NDCG@10 (retrieval eval) — grade a similarity ranking against

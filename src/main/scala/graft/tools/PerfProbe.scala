@@ -520,6 +520,30 @@ object PerfProbe {
         spark.sharedState.cacheManager.clearCache()
       }
     }
+    // eval_confusion: the claim is linear in corpus size — the centroid
+    // table stays 10×64 however big the corpus (labels are the fixed
+    // class domain), so x8 replicas with offset vec_ids and UNCHANGED
+    // labels grow only the broadcast-join probe side and the
+    // map-collapsed rollup. Superlinearity would mean the argmin or
+    // distance stage is shuffling something corpus-sized.
+    // MEASURED (r10, this box, sf0.1): 1.55 → 2.13 s at x8 (1.4×,
+    // exponent ~0.15 — fixed stage overheads dominate; the data work
+    // is a rounding error even at x8).
+    {
+      val e0 = graft.Tables.embeddings(spark, sfDir)
+      def embX(n: Int) = (0 until n).map { i =>
+        e0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      for (n <- Seq(1, 8)) {
+        val sc = graft.ops.CacheScope.begin(spark)
+        time(s"scale x$n: confusion matrix") {
+          graft.queries.Extra21.confusionOf(embX(n)).count()
+        }
+        sc.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
     spark.stop()
   }
 }

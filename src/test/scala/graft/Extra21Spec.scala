@@ -160,6 +160,65 @@ class Extra21Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == ev, s"stitched byte total $out != record byte total $ev")
   }
 
+  test("eval_ndcg DCG matches a brute-force ranking at sf0.001") {
+    // Recompute each probe's DCG@10 from scratch: collect the corpus,
+    // rank by (round(cosine,4) DESC, nid) exactly as declared, fold
+    // rel/log2(i+1). Pins both the ranking order and the gain formula.
+    val got = SparkEntry.queries("eval_ndcg")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val all = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    all.filter(_._1 < 8).foreach { case (qid, qv, qlabel) =>
+      val ranked = all.filter(_._1 != qid)
+        .map { case (nid, nv, nl) =>
+          (BigDecimal(cos(qv, nv)).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+            nid, nl == qlabel) }
+        .sortBy { case (sim, nid, _) => (-sim, nid) }
+        .take(10)
+      val dcg = ranked.zipWithIndex.map { case ((_, _, rel), i) =>
+        if (rel) 1.0 / (math.log(i + 2.0) / math.log(2.0)) else 0.0
+      }.sum
+      val nRel = ranked.count(_._3).toLong
+      assert(got(qid)._1 == nRel, s"qid $qid n_rel")
+      assert(math.abs(got(qid)._2 -
+        BigDecimal(dcg).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        <= 1e-9, s"qid $qid dcg ${got(qid)._2} vs $dcg")
+    }
+  }
+
+  test("win_median matches brute-force trailing frames at sf0.001") {
+    // Rows tied on the full sort key may validly swap positions (their
+    // quantities are equal, so any frame's MULTISET is invariant — the
+    // query's determinism argument), so the comparison is per-key
+    // multiset-of-medians, not per-row.
+    val got = SparkEntry.queries("win_median")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)),
+        r.getDouble(4)))
+    val gotByKey = got.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = got.map(_._1).groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy { case (_, ok, ln, q) => (ok, ln, q) }
+      ordered.zipWithIndex.map { case (key, i) =>
+        val frame = ordered.slice(math.max(0, i - 3), i + 1).map(_._4).sorted
+        val med =
+          if (frame.length % 2 == 1) frame(frame.length / 2).toDouble
+          else (frame(frame.length / 2 - 1) + frame(frame.length / 2)) / 2.0
+        key -> med
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(gotByKey.keySet == want.keySet)
+    gotByKey.foreach { case (k, meds) =>
+      assert(meds == want(k), s"$k got=$meds want=${want(k)}")
+    }
+  }
+
   test("ts_outlier_mad thresholds are exact (no float drift possible)") {
     // The exactness argument the query's comment makes, checked: every
     // med is an exact half (med_x2 integral reconstructs it), every mad

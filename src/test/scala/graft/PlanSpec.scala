@@ -224,6 +224,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count(distinct"), p)
   }
 
+  test("eval_confusion broadcasts centroids and keeps the distance sum in codegen") {
+    // The 640-row centroid table must ride a broadcast into the position
+    // join, the Σ(x−c)² must be a codegen'd bigint HashAggregate (the
+    // DECIMAL form forced ObjectHashAggregate and measured 3× slower),
+    // and the per-vector argmin must be the bounded WindowGroupLimit,
+    // not a full sort-and-filter.
+    val df = SparkEntry.queries("eval_confusion")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin [pos"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg_auc is join-free: rollup, one window over the collapsed domain, agg") {
+    // The rank-sum AUC must never join or self-join the fact: one
+    // (seg, score) rollup exchange, one per-seg window exchange over the
+    // COLLAPSED score domain, and the final ordering exchange — any Join
+    // node would mean the quadratic pair form sneaked back in.
+    val df = SparkEntry.queries("agg_auc")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p)
+    assert("Window \\[sum".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("ts_resample broadcasts the tiny extent, never shuffles it") {
     // The calendar derives from a 1-row (lo, hi) aggregate — it must ride
     // a BroadcastExchange; shuffling it would serialize the gap-fill.
