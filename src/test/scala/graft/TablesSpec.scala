@@ -137,6 +137,21 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0L, "documents.source drifted from the src<int> naming")
   }
 
+  test("fixture precondition: events.event_type carries the five known values " +
+    "(33 declared-query literals depend on the domain)") {
+    // 'click'/'purchase'/'view'/'signup'/'error' appear as literals in
+    // 33 places across the declared queries (agg_auc's positive class,
+    // the funnel/session/stream families' step predicates, collation
+    // probes). A refresh that renames or drops a type would surface as
+    // dozens of confusing hash diffs — or worse, a silently-empty
+    // positive class (agg_auc's n_pos=0 divides by zero differently per
+    // engine). Pin the domain here by name.
+    val types = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val want = Set("click", "purchase", "view", "signup", "error")
+    assert(types == want, s"event_type domain drifted: $types")
+  }
+
   test("fixture precondition: lineitem.l_quantity is integral-valued " +
     "(the double→BIGINT cast agreement domain)") {
     // Several declared queries (sql_q18's HAVING threshold, sql_pipe,
