@@ -219,6 +219,27 @@ class Extra21Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("observe() metrics ride a declared query without a second job") {
+    // The production-monitoring surface: Dataset.observe attaches
+    // accumulator-backed metrics (row counts, null counts, sums) to an
+    // EXISTING query's execution — the dq_check family's counters for
+    // free, with no second scan and no extra action. Pin the API works
+    // against this Spark version and that the observed values match an
+    // independently-computed aggregate.
+    import org.apache.spark.sql.Observation
+    val obs = Observation("graft_dq")
+    val df = Tables.orders(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_nonpos"),
+        count(when(col("o_orderpriority").isNull, 1)).as("n_null_prio"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val statusTotal = df.collect().map(_.getLong(1)).sum
+    val m = obs.get
+    assert(m("n_rows") == statusTotal,
+      s"observed ${m("n_rows")} != aggregated $statusTotal")
+    assert(m("n_nonpos") == 0L && m("n_null_prio") == 0L, m.toString)
+  }
+
   test("ts_outlier_mad thresholds are exact (no float drift possible)") {
     // The exactness argument the query's comment makes, checked: every
     // med is an exact half (med_x2 integral reconstructs it), every mad
