@@ -98,7 +98,12 @@ object Bench {
     // AFTER spark.stop(): round-1's full-double-repr line was clipped by
     // the driver's stdout tail window (BENCH_r01.json parsed: null).
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // Ascending by time: the driver's stdout window keeps line TAILS, so
+    // at 241 queries the head of this line is clipped — sorting slowest-
+    // last puts every query anyone would ask about (the >0.5 s tail)
+    // inside the visible window, adjacent to the total (VERDICT r10 #3).
+    val qs = results.toSeq.sortBy { case (k, v) => (v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
@@ -117,7 +122,14 @@ object Bench {
     // 118 queries (the window keeps line TAILS, so the leading total was
     // clipped — BENCH_r01..r04 all parsed null). This final compact line
     // is what the driver actually gets to parse; it always fits.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"min_of":"2, 3 if >1s"$calibJson$onlyJson,"sf":"$sfDir"}""")
+    // top20: the 20 slowest queries inline in the parsed line, so the
+    // board's expensive tail is graded even if the full per-query line
+    // above is clipped entirely (~600 B, always fits the tail window).
+    val topJson = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+      .sortBy { case (k, v) => (v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString(""","top20":{""", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"min_of":"2, 3 if >1s"$calibJson$onlyJson$topJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -60,9 +60,27 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        // NTZ: the cast UTC-reinterprets under the session zone pinned by
+        // Q.session; LTZ: the cast is the identity (LTZ already stores
+        // the instant) — both land on the true epoch value (TablesSpec).
         raw
           .withColumn("ts_us", col("ts").cast("timestamp"))
           .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        // Closed whitelist (VERDICT r10 #7): only encodings with a pinned
+        // interpretation pass — ns-since-epoch INT64, µs TIMESTAMP_NTZ,
+        // and instant-typed TIMESTAMP. Anything else a driver refresh
+        // could ship (ms-INT64 would alias into the LONG branch by type
+        // alone; INT32 seconds; DOUBLE epoch; ISO-8601 STRING) must fail
+        // HERE by name, not downstream as an oracle hash diff with every
+        // event silently 1970-adjacent or unit-shifted.
+        throw new IllegalArgumentException(
+          s"graft.Tables.normalizeEvents: unsupported events.ts encoding " +
+            s"$other; expected LongType (ns since epoch), TimestampNTZType " +
+            s"(session-local microseconds), or TimestampType. A new driver " +
+            s"fixture encoding needs an explicit branch with its own " +
+            s"TablesSpec pin, not a silent fallthrough.")
     }
 }

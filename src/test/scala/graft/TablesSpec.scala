@@ -60,6 +60,28 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsA.head.contains(instantsNs.min.toString))
   }
 
+  test("normalizeEvents REJECTS un-pinned ts encodings by name " +
+    "(closed whitelist, VERDICT r10 #7)") {
+    // A fourth refresh encoding (INT32 seconds, DOUBLE epoch, ISO
+    // STRING, DATE) must fail loudly at load, not flow through a generic
+    // cast branch and surface as a silent unit/zone shift in every
+    // events oracle. ms-INT64 is the one un-catchable alias (same
+    // physical type as ns-INT64); the fixture-range pin below is the
+    // batch-side tripwire for that.
+    import spark.implicits._
+    for (bad <- Seq(
+        Seq(1704067200).toDF("ts"),                    // INT32 seconds
+        Seq(1.704067200e9).toDF("ts"),                 // DOUBLE epoch
+        Seq("2024-01-01T00:00:00Z").toDF("ts"),        // ISO string
+        Seq(1704067200L).toDF("s")
+          .select(expr("cast(timestamp_seconds(s) as date)").as("ts")))) {
+      val e = intercept[IllegalArgumentException](Tables.normalizeEvents(bad))
+      assert(e.getMessage.contains("unsupported events.ts encoding"),
+        e.getMessage)
+      assert(e.getMessage.contains("normalizeEvents"), e.getMessage)
+    }
+  }
+
   test("the shipped events fixture loads to the canonical schema") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType == LongType, ev.schema.treeString)
