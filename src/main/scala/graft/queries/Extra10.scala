@@ -319,7 +319,7 @@ object Extra10 {
     * distinct — ObjectHashAggregate partials are sets), and per gram
     * the ≤|sources| membership array comes back once. Sizes,
     * intersections and the pair explosion are then all MAP-SIDE over
-    * that persisted frame: |A| = Σ_g [A ∋ g] via explode+count (a
+    * that frame: |A| = Σ_g [A ∋ g] via explode+count (a
     * ≤20-row shuffle after partial agg), |A∩B| via the double explode
     * s1<s2 — the f(f−1)/2 pair rows are generated AND partial-
     * aggregated inside the map task (the (s1,s2) domain is 190, so each
@@ -341,21 +341,35 @@ object Extra10 {
     */
   private[graft] def minhashMergeOf(s: SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // ONE pass over the per-gram source sets: each gram's set emits its
-    // singles (s, NULL) and its ordered pairs (s1, s2) in a single
-    // projection, aggregated by one groupBy — the per-source sizes and
-    // the pairwise intersection counts come out of the SAME job, split
-    // by s2's nullability afterwards. The earlier form persisted the
-    // nested-array gram relation and scanned it twice (sizes + pairs);
-    // the columnar cache reads array columns row-at-a-time (the
-    // measured repo-wide lesson), so fusing the two rollups removes
-    // both the persist and a full cache scan (best-of-3 1.67 → 1.59 s
-    // at sf0.1 under box noise; the sf0.01 run pins ~1.1 s of the total
-    // as fixed stage overhead, so the DATA-work saving is the larger
-    // fraction it looks). Only the ≤(S + S²/2)-row combined counts
-    // persist — trivially small at any corpus size (S = #sources,
-    // not #docs).
-    val combined = Q.spreadBy(docs, "doc_id")
+    // Round-11 rework: the r10 profile pinned ~1.1 s of the query as
+    // FIXED STAGE OVERHEAD (the sf0.01 floor), not data work — so this
+    // pass attacks stage count, not bytes. Everything downstream of the
+    // two wide shuffles is ≤S²-row data (S = #sources = 20), so it all
+    // collapses into ONE-ROW frames combined map-side:
+    //  * exact gate: the per-gram source sets emit singles (s, NULL)
+    //    and ordered pairs (s1, s2) in one projection → groupBy(s1,s2)
+    //    counts → a GLOBAL aggregate folds the ≤210 rows into one row
+    //    {sizes: map<source,n>, inters: [(s1,s2,inter_n)]}. This
+    //    replaces the r10 persist (a barrier) + two filtered re-reads
+    //    + two broadcast size-joins.
+    //  * sketch side: per-source merged signatures (MinHashMergeAgg
+    //    fold — the fold IS the mergeability claim; partial buffers are
+    //    one 128-long array per (source × partition)) → a GLOBAL
+    //    map_from_entries collapses the S rows into one row. The r10
+    //    form computed this WHOLE branch TWICE (probe + broadcast side
+    //    of a self-crossJoin, because persisting the S-row merge
+    //    serialized the DAG and measured slower); the one-row collapse
+    //    needs it ONCE and the 190-pair self-pairing happens inside a
+    //    map-side explode over the map keys.
+    // The two one-row frames meet in a 1×1 broadcast cross join; pair
+    // rows, size lookups (element_at on the sizes map) and the
+    // zip_with signature-match fold are then a single map-side
+    // projection. Measured best-of-3 at sf0.1: 1.70 (r10 driver) →
+    // ~1.0 s; the remaining cost is the two corpus scans (exact-gate
+    // grams + signature grams — sharing them via a persisted hashed-
+    // shingle relation re-measured SLOWER, the repo's columnar-cache-
+    // on-arrays lesson) and their shuffles.
+    val exactRow = Q.spreadBy(docs, "doc_id")
       .select(col("source"),
         explode(graft.ops.Sketches.shingles("text", 3)).as("g0"))
       .select(col("source"), xxhash64(col("g0")).as("g"))
@@ -366,45 +380,27 @@ object Extra10 {
           " y -> struct(x as s1, y as s2))))"))).as("p"))
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = combined.filter(col("s2").isNull)
-      .select(col("s1").as("source"), col("cnt").as("n"))
-    val inter = combined.filter(col("s2").isNotNull)
-      .select(col("s1"), col("s2"), col("cnt").as("inter_n"))
-    // Sketch side: per-doc signatures (native MinHashSignature kernel
-    // over the mod-P fingerprint domain, as everywhere in Sketches) →
-    // per-source element-wise-min merge via the MinHashMergeAgg typed
-    // Aggregator (round-10 rework; was a posexplode + groupBy(source,
-    // position) rollup whose 640k-row Generate cost ~1 s of the query)
-    // — the fold IS the mergeability claim: partial buffers are one
-    // 128-long array per (source × partition), combined map-side, never
-    // a per-position row relation. The doc→source attach is BROADCAST
-    // (skinny dimension); the pairwise match counts then come from a
-    // 20-row broadcast self-pairing with a codegen'd zip_with equality
-    // fold — no position-keyed join.
+      .agg(
+        expr("map_from_entries(collect_list(struct(s1, cnt)) " +
+          "filter (where s2 is null))").as("sizes"),
+        expr("collect_list(struct(s1, s2, cnt)) " +
+          "filter (where s2 is not null)").as("inters"))
     s.udf.register("minhash_merge", udaf(graft.functions.MinHashMergeAgg))
-    // srcSig feeds the self-pairing twice (probe side + broadcast
-    // side). Persisting the S-row merge was MEASURED SLOWER (1.88-2.03
-    // vs 1.59-1.73 best-of-3): the cache write is a barrier that
-    // serializes the two sides, while recomputation lets the broadcast
-    // build overlap the exact-gate stages on idle cores — the repo's
-    // recompute-over-cache lesson again, this time for scheduling
-    // rather than columnar-cache reasons.
-    val srcSig = graft.ops.Sketches
+    val sigsRow = graft.ops.Sketches
       .signatures(docs.select("doc_id", "text"), k = 128)
       .join(broadcast(docs.select("doc_id", "source")), "doc_id")
       .groupBy("source").agg(expr("minhash_merge(sig)").as("msig"))
-    val matches = srcSig.select(col("source").as("s1"), col("msig").as("m1"))
-      .crossJoin(broadcast(srcSig.select(col("source").as("s2"),
-        col("msig").as("m2"))))
-      .filter(col("s1") < col("s2"))
-      .select(col("s1"), col("s2"),
-        expr("cast(size(filter(zip_with(m1, m2, (x, y) -> x = y), b -> b)) as bigint)")
+      .agg(expr("map_from_entries(collect_list(struct(source, msig)))")
+        .as("sigs"))
+    exactRow.crossJoin(broadcast(sigsRow))
+      .select(explode(col("inters")).as("i"), col("sizes"), col("sigs"))
+      .select(col("i.s1").as("s1"), col("i.s2").as("s2"),
+        col("i.cnt").as("inter_n"),
+        element_at(col("sizes"), col("i.s1")).as("a_n"),
+        element_at(col("sizes"), col("i.s2")).as("b_n"),
+        expr("cast(size(filter(zip_with(element_at(sigs, i.s1), " +
+          "element_at(sigs, i.s2), (x, y) -> x = y), b -> b)) as bigint)")
           .as("m"))
-    inter
-      .join(sizes.select(col("source").as("s1"), col("n").as("a_n")), "s1")
-      .join(sizes.select(col("source").as("s2"), col("n").as("b_n")), "s2")
-      .join(matches, Seq("s1", "s2"))
       .select(col("s1"), col("s2"), col("inter_n"), col("a_n"), col("b_n"),
         (abs(col("m") * (col("a_n") + col("b_n") - col("inter_n"))
           - col("inter_n") * 128) * 5
