@@ -526,13 +526,27 @@ object Extra12 {
     * Everything derives from ONE per-(order, supplier) rollup — a
     * double countDistinct would instead Expand the fact 2× before its
     * exchange, and joining raw late LINES back to per-order stats would
-    * re-run the fact join on a second branch. Here the fact crosses one
-    * exchange carrying (pair, n_late_lines); both downstream branches
-    * (the per-order supplier/late-supplier counts and the
-    * qualifying-pair probe) read the same deduped pair relation, so
-    * Catalyst reuses the aggregation's exchange rather than rescanning
-    * lineitem (plan-pinned in PlanSpec). numwait then sums n_late_lines
-    * per supplier — identical to counting the correlated form's l1 rows.
+    * re-run the fact join on a second branch. Round-11 rework: the r10
+    * form still JOINED the late pairs back to the per-order stats
+    * (ReusedExchange served the second read, but the join itself — two
+    * sorts + merge over the pair relation — was the query's largest
+    * post-agg cost, ~0.4 s at sf0.1). The join is unnecessary: a
+    * qualifying order has EXACTLY ONE late supplier (n_late_supp = 1
+    * is the filter), so the per-order rollup can carry that supplier
+    * along — max(when(n_late_lines > 0, struct(suppkey, n_late_lines)))
+    * picks the unique late pair — and the probe branch disappears. The
+    * fact now crosses exactly two shrinking exchanges ((order,
+    * supplier) pairs, then orders) before the ≤|suppliers|-row rollup;
+    * no self-join, no exchange reuse needed (plan-pinned: one lineitem
+    * scan, zero joins above the fact join, TakeOrderedAndProject).
+    * numwait sums the qualifying orders' n_late_lines per supplier —
+    * identical to counting the correlated form's l1 rows. Measured
+    * (Q21Probe, same-session alternation ×4 at sf0.1): old min 1.53 /
+    * new min 1.43 — a real but modest cut, which PINS the floor: the
+    * cost is the fact join + the (order, supplier) pair shuffle, not
+    * the tail. ×8 offset-replicated facts cost 2.59× (exponent 0.46,
+    * min-of-3) — the sf0.1 number is mostly fixed stage overhead, and
+    * the shape scales on group COUNT, never group depth.
     */
   private[graft] def q21Of(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -540,16 +554,16 @@ object Extra12 {
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+    l.groupBy("l_orderkey", "l_suppkey")
       .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
-    val perOrder = perSupp.groupBy("l_orderkey")
+      .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp"),
-        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
-    perSupp.filter(col("n_late_lines") > 0)
-      .join(perOrder, Seq("l_orderkey"))
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("n_late_lines") > 0,
+          struct(col("l_suppkey"), col("n_late_lines")))).as("late"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .groupBy(col("l_suppkey").as("s_suppkey"))
-      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
+      .groupBy(col("late.l_suppkey").as("s_suppkey"))
+      .agg(sum(col("late.n_late_lines")).cast("long").as("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(100)
   }

@@ -537,15 +537,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Window \\[".r.findAllIn(exec).size == 2, p)
   }
 
-  test("sql_q21 scans the fact once: both existence branches reuse one exchange") {
+  test("sql_q21 scans the fact once and needs no self-join above the fact join") {
     val p = planOf("sql_q21")
     val cut = p.indexOf("== Initial Plan ==")
     val exec = if (cut >= 0) p.substring(0, cut) else p
-    // the correlated-subquery rewrite must not re-run the fact join per
-    // branch: the per-order stats and the qualifying-pair probe both
-    // read the per-(order, supplier) aggregation's exchange
+    // the correlated-subquery rewrite collapses BOTH existence tests
+    // into the per-order rollup (the unique late supplier rides the
+    // aggregate as a struct), so the only join in the plan is the
+    // lineitem-orders attach: one fact scan, exactly one join node, no
+    // exchange reuse required, bounded-heap top-k
     assert("FileScan parquet.*lineitem".r.findAllIn(exec).size == 1, p)
-    assert(exec.contains("ReusedExchange"), p)
+    assert("Join".r.findAllIn(exec).size == 1, p)
+    assert(!exec.contains("ReusedExchange"), p)
     assert(exec.contains("TakeOrderedAndProject(limit=100"), p)
   }
 
