@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Local tuning tool (NOT on any declared path): deep scale points for
+  * the sign-LSH pair law (VERDICT r10 #5). The r8 sweep measured the
+  * lshParamsFor hold up to ×8; this probe extends to ×64 (and any grid
+  * passed as args), where nbits/tables actually step — pinning the
+  * exponent where bucket geometry bites rather than extrapolating the
+  * (1-P)^T argument. Replicas are distinct 64-cyclic rotations of the
+  * corpus ((i·7) mod 64, gcd(7,64)=1 → all 64 rotations distinct), so
+  * no replica is a true near-dup of another and bucket occupancy
+  * reflects corpus SIZE, not injected duplicates. Run:
+  *   sbt -batch "runMain graft.tools.LshScaleProbe /root/testdata/sf0.1 1 8 64"
+  */
+object LshScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val grid = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1, 8, 64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val embs1 = graft.Tables.embeddings(spark, sfDir)
+    val n1 = embs1.count()
+    def embsX(n: Int) = (0 until n).map { i =>
+      val r = (i * 7) % 64
+      embs1.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${r + 1}, ${64 - r})," +
+          s" slice(embedding, 1, $r))").as("embedding"))
+    }.reduce(_ unionAll _)
+
+    // JVM warm on the smallest point so the grid's first measured entry
+    // doesn't absorb codegen/classload.
+    graft.ops.Sketches.annPairsAt(embsX(1),
+      graft.ops.Sketches.lshParamsFor(n1, graft.ops.Sketches.LshDemand.Threshold)).count()
+
+    for (n <- grid) {
+      val params = graft.ops.Sketches.lshParamsFor(n1 * n,
+        graft.ops.Sketches.LshDemand.Threshold)
+      // min-of-3 by default: this box's ambient speed swings ±40%
+      // (round-11 finding); a single sample cannot carry an exponent
+      // claim. MIN_OF=1 for grid points too heavy to repeat.
+      val minOf = sys.env.get("MIN_OF").map(_.toInt).getOrElse(3)
+      val best = (1 to minOf).map { i =>
+        val scope = graft.ops.CacheScope.begin(spark)
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.Sketches.annPairsAt(embsX(n), params).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        scope.release()
+        spark.sharedState.cacheManager.clearCache()
+        println(f"[lshscale]   x$n pass $i: $dt%7.2f s ($pairs pairs)")
+        (dt, pairs)
+      }
+      println(f"[lshscale] x$n%-3d nbits=${params.nbits} " +
+        f"tables=${params.tables} probe=${params.probe} " +
+        f"pairs=${best.head._2}%8d  best=${best.map(_._1).min}%7.2f s (min of 3)")
+    }
+    spark.stop()
+  }
+}

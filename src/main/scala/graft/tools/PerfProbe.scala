@@ -194,10 +194,15 @@ object PerfProbe {
     // evidence for SURVEY's scale claims - measured, not argued.
     val embs1 = graft.Tables.embeddings(spark, sfDir)
     val docs1 = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    // Rotation taken mod 64 (identical to the bare i*7 for the x8 grid,
+    // where i*7 <= 49): gcd(7, 64) = 1 makes all 64 rotations DISTINCT,
+    // so the grid extends to x64 without any replica being a true
+    // near-dup of another (LshScaleProbe uses the same construction).
     def embsX(n: Int) = (0 until n).map { i =>
+      val r = (i * 7) % 64
       embs1.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        expr(s"concat(slice(embedding, ${i * 7 + 1}, ${64 - i * 7})," +
-          s" slice(embedding, 1, ${i * 7}))").as("embedding"))
+        expr(s"concat(slice(embedding, ${r + 1}, ${64 - r})," +
+          s" slice(embedding, 1, $r))").as("embedding"))
     }.reduce(_ unionAll _)
     def docsX(n: Int) = (0 until n).map { i =>
       docs1.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
