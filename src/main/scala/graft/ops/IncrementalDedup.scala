@@ -85,7 +85,8 @@ object IncrementalDedup {
       .join(hf.select(col("doc_id").as("fid"), col("hs").as("g1")), "fid")
       .join(hc.select(col("doc_id").as("cid"), col("hs").as("g2")), "cid")
       .select(col("fid"),
-        size(array_intersect(col("g1"), col("g2"))).as("inter_n"),
+        org.apache.spark.sql.graft.native
+          .intersect_size_sorted(col("g1"), col("g2")).as("inter_n"),
         (size(col("g1")) + size(col("g2"))).as("sz_sum"))
       .filter(col("inter_n") >= (col("sz_sum") - col("inter_n")) * threshold)
       .select(col("fid").as("doc_id")).distinct()

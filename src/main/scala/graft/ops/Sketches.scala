@@ -181,8 +181,12 @@ object Sketches {
     graft.Q.spreadBy(docs, "doc_id")
       .select(col("doc_id"), shingles("text", shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      // SORTED since r11: every consumer is order-invariant (the
+      // minhash fold is a set min, property-pinned), and sorted arrays
+      // let the exact-verify stages intersect by two-pointer scan
+      // (intersect_size_sorted) instead of a per-row hash set.
       .select(col("doc_id"),
-        expr(s"array_distinct(transform(sh, s -> pmod(xxhash64(s), $P)))").as("hs"))
+        expr(s"sort_array(array_distinct(transform(sh, s -> pmod(xxhash64(s), $P))))").as("hs"))
 
   /** docs(doc_id, text) → (doc_id, sig array<long>).
     * Shingle strings are hashed once (xxhash64 mod P); the k-permutation
@@ -245,11 +249,17 @@ object Sketches {
     val cands = lshCandidates(signaturesOf(hs, k), bands, rows)
     val a = hs.select(col("doc_id").as("id1"), col("hs").as("g1"))
     val b = hs.select(col("doc_id").as("id2"), col("hs").as("g2"))
+    // Exact verify on the SORTED gram arrays (hashedShingles' r11
+    // contract) — the native two-pointer count replaces the SQL form's
+    // per-candidate hash-set intersection (the dedup family's measured
+    // verify elephant; see IntersectSizeSorted).
+    import org.apache.spark.sql.graft.{native => gn}
     cands.join(a, "id1").join(b, "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("g1"), col("g2"))).as("inter_n"),
-        (size(col("g1")) + size(col("g2"))
-          - size(array_intersect(col("g1"), col("g2")))).as("union_n"))
+        gn.intersect_size_sorted(col("g1"), col("g2")).as("inter_n"),
+        (size(col("g1")) + size(col("g2"))).as("sz_sum"))
+      .select(col("id1"), col("id2"), col("inter_n"),
+        (col("sz_sum") - col("inter_n")).as("union_n"))
       .filter(col("inter_n") >= col("union_n") * threshold)
   }
 

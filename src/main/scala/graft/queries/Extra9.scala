@@ -95,7 +95,14 @@ object Extra9 {
       .select(explode(col("ids")).as("doc_id"),
         struct(size(col("ids")).as("df"), col("g")).as("dg"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("dg"))).as("sg"))
-      .select(col("doc_id"), expr("transform(sg, x -> x.g)").as("grams"))
+      // Two views of the same gram set: `grams` in the global (df, g)
+      // order (the prefix theorem's order — the slice below must take
+      // the RAREST grams), and `gsorted` ascending by g for the verify
+      // stage's two-pointer exact intersection (intersect_size_sorted;
+      // the SQL array_intersect here was ~1.1 s of the query's 1.9 s —
+      // ContainProbe r11). Same doc-length bound on both.
+      .select(col("doc_id"), expr("transform(sg, x -> x.g)").as("grams"),
+        expr("sort_array(transform(sg, x -> x.g))").as("gsorted"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = docGrams.select(col("doc_id").as("id1"), explode(expr(
       "slice(grams, 1, cast(floor(size(grams) * 0.2) as int) + 1)")).as("g"))
@@ -104,11 +111,12 @@ object Extra9 {
     val cands = probe
       .join(index, col("g") === col("g2") && col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()
-    val a = docGrams.select(col("doc_id").as("id1"), col("grams").as("ga"))
-    val b = docGrams.select(col("doc_id").as("id2"), col("grams").as("gb"))
+    val a = docGrams.select(col("doc_id").as("id1"), col("gsorted").as("ga"))
+    val b = docGrams.select(col("doc_id").as("id2"), col("gsorted").as("gb"))
     cands.join(broadcast(a), "id1").join(broadcast(b), "id2")
       .select(col("id1"), col("id2"),
-        expr("cast(size(array_intersect(ga, gb)) as bigint)").as("inter_n"),
+        org.apache.spark.sql.graft.native.intersect_size_sorted(
+          col("ga"), col("gb")).cast("bigint").as("inter_n"),
         expr("cast(size(ga) as bigint)").as("a_n"))
       .filter(col("inter_n") * 1000 >= col("a_n") * 800)
       .orderBy("id1", "id2")

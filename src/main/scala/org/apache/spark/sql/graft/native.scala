@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{CosineSimilarity, HilbertIndex, MinHashSignature, SignLshBuckets, SimHash64, UnicodeNormalize}
+import graft.functions.{CosineSimilarity, FirstCommonSorted, HilbertIndex, IntersectSizeSorted, MinHashSignature, SignLshBuckets, SimHash64, UnicodeNormalize}
 import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
 
 /** Bridge into Spark's `private[sql]` Expression↔Column surface for the
@@ -21,6 +21,22 @@ object native {
   def cosine_similarity(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** First common element of two SORTED bigint arrays (null if none) —
+    * the allocation-free form of `array_min(array_intersect(a, b))` for
+    * exactly-once minimal-shared-key emission filters.
+    */
+  def first_common_sorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FirstCommonSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** |A ∩ B| of two SORTED duplicate-free bigint arrays — the
+    * allocation-free form of `size(array_intersect(a, b))` for the
+    * dedup family's exact-overlap verify stages.
+    */
+  def intersect_size_sorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntersectSizeSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Hilbert-curve index of two bigint coords on the 2^bits grid. */
   def hilbert_index(x: Column, y: Column, bits: Int): Column =

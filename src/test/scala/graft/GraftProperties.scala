@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, FirstCommonSorted, IntersectSizeSorted, MinHashSignature, SimHash64}
 import graft.streaming.NetFlowCodec
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
@@ -119,6 +119,33 @@ object GraftProperties extends Properties("graft") {
     val scaled = v.map(_ * k)
     math.abs(cosEval(v, scaled) - 1.0) < 1e-9
   }
+
+  // first_common_sorted == min(A ∩ B) on sorted inputs — the contract
+  // that lets IvfIndex swap it in for array_min(array_intersect).
+  private def fcsEval(a: Array[Long], b: Array[Long]): Any =
+    FirstCommonSorted(
+      Literal(new GenericArrayData(a), ArrayType(LongType)),
+      Literal(new GenericArrayData(b), ArrayType(LongType))).eval(null)
+
+  private val genSortedLongs: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct.sorted.toArray)
+
+  property("first_common_sorted = min of intersection") =
+    forAll(genSortedLongs, genSortedLongs) { (a, b) =>
+      val inter = a.toSet.intersect(b.toSet)
+      val expect: Any = if (inter.isEmpty) null else inter.min
+      fcsEval(a, b) == expect
+    }
+
+  // intersect_size_sorted == |A ∩ B| on sorted duplicate-free inputs —
+  // the contract behind the dedup verify-stage swap.
+  property("intersect_size_sorted = exact intersection size") =
+    forAll(genSortedLongs, genSortedLongs) { (a, b) =>
+      IntersectSizeSorted(
+        Literal(new GenericArrayData(a), ArrayType(LongType)),
+        Literal(new GenericArrayData(b), ArrayType(LongType)))
+        .eval(null) == a.toSet.intersect(b.toSet).size
+    }
 
   private def sigEval(hs: Array[Long], k: Int): Seq[Long] =
     MinHashSignature(Literal(new GenericArrayData(hs), ArrayType(LongType)), k)

@@ -218,6 +218,30 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"asym-only=${(asym -- symCross).size} sym-only=${(symCross -- asym).size}")
   }
 
+  test("first_common_sorted codegen equals array_min(array_intersect) on sorted arrays") {
+    // The IvfIndex minimal-cell filter swapped the SQL form for the
+    // native kernel (r11); GraftProperties pins interpreted eval, this
+    // pins the whole-stage-codegen path on DataFrame-scale input —
+    // 10k pseudo-random sorted-array pairs, including disjoint ones.
+    import org.apache.spark.sql.graft.{native => gn}
+    val df = spark.range(10000).selectExpr(
+      "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 7 as int)), " +
+        "i -> xxhash64(id, i) % 20))) as a",
+      "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 5 as int)), " +
+        "i -> xxhash64(id + 1, i * 3) % 20))) as b")
+    val n = df.filter(
+      !(gn.first_common_sorted(col("a"), col("b")) <=>
+        expr("array_min(array_intersect(a, b))"))).count()
+    assert(n == 0)
+    // Non-vacuous both ways: some rows share an element, some do not.
+    assert(df.filter(gn.first_common_sorted(col("a"), col("b")).isNotNull).count() > 0)
+    assert(df.filter(gn.first_common_sorted(col("a"), col("b")).isNull).count() > 0)
+    // Sibling kernel, same codegen-path pin: exact intersection size.
+    val m = df.filter(gn.intersect_size_sorted(col("a"), col("b")) =!=
+      expr("size(array_intersect(a, b))")).count()
+    assert(m == 0)
+  }
+
   test("ivf ann recovers most of the brute-force top pairs") {
     val embs = graft.Tables.embeddings(spark, sf)
     val ann = graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = 3)
