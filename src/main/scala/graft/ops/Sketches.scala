@@ -329,39 +329,60 @@ object Sketches {
     * suffices for pair mining: hamming(b₁,b₂) ≤ 1 ⟺ b₂ ∈ flips(b₁), so
     * left-probes × right-anchors covers every unordered pair (the flip
     * relation is symmetric; probing both sides would only duplicate
-    * candidates into the dedup).
+    * candidates).
+    *
+    * Exactly-once WITHOUT a distinct (r11, the IvfIndex minimal-cell
+    * move applied to LSH): each vector carries its sorted composite-key
+    * arrays — anchors (tbl·2^nbits + bucket, one per table) and the
+    * probe set (anchors ∪ flips) — built MAP-SIDE straight from the
+    * sign_lsh_buckets array, no explode-regroup round trip. A pair
+    * colliding in several tables would match once per shared key; it
+    * is emitted ONLY from its minimal shared key (first_common_sorted,
+    * the native two-pointer kernel) as a codegen'd filter on the
+    * pipelined join output. The old `.distinct()` over the collided
+    * pair rows was this pipeline's dominant exchange (millions of
+    * skinny rows at probe volumes); the arrays it replaces it with are
+    * per-VECTOR (tables·(1+nbits) longs), never per pair, so the
+    * trade scales with the corpus, not the candidate count.
     */
   def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16,
       broadcastReattach: Boolean = true, probe: Int = 0): DataFrame = {
     import org.apache.spark.sql.graft.{native => gn}
     require(probe == 0 || probe == 1, s"probe ∈ {0, 1}, got $probe")
-    // Skinny bucket relation (vec_id, tbl, bucket) feeds both sides of
-    // the self-join — persist so the embedding scan + per-table LSH
-    // kernel run once instead of twice.
-    val b = graft.Q.spreadBy(embs, "vec_id")
-      .select(col("vec_id"), posexplode(
-        gn.sign_lsh_buckets(col("embedding"), nbits, tables))
-        .as(Seq("tbl", "bucket")))
+    val m = 1L << nbits
+    // Anchor and probe key arrays per vector. Keys never collide across
+    // tables (bucket and its one-bit flips stay < 2^nbits, so key ∈
+    // [tbl·2^nbits, (tbl+1)·2^nbits)); within a table the anchor and
+    // its nbits flips are pairwise distinct — both arrays are
+    // duplicate-free, satisfying first_common_sorted's contract.
+    val anchorsExpr = s"sort_array(transform(bks, (b, t) -> CAST(t AS BIGINT) * $m + b))"
+    val probedExpr =
+      if (probe == 0) anchorsExpr
+      else
+        s"""sort_array(flatten(transform(bks, (b, t) ->
+           |  transform(sequence(0, $nbits), i ->
+           |    CAST(t AS BIGINT) * $m +
+           |    (CASE WHEN i = 0 THEN b
+           |          ELSE b ^ shiftleft(CAST(1 AS BIGINT), i - 1) END)))))"""
+          .stripMargin
+    // Persist the per-vector key arrays — the embedding scan + LSH
+    // kernel + key-array build run once and feed both join sides.
+    val base = graft.Q.spreadBy(embs, "vec_id")
+      .select(col("vec_id"),
+        gn.sign_lsh_buckets(col("embedding"), nbits, tables).as("bks"))
+      .select(col("vec_id"), expr(anchorsExpr).as("anchors"),
+        expr(probedExpr).as("probes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Anchor bucket first (i = 0), then the nbits 1-bit flips: the probe
-    // set as a generated array so the explode stays pure Catalyst.
-    val probed =
-      if (probe == 0) b.select(col("vec_id").as("id1"), col("tbl"), col("bucket"))
-      else b.select(col("vec_id").as("id1"), col("tbl"),
-        explode(expr(
-          s"""transform(sequence(0, $nbits), i ->
-             |  CASE WHEN i = 0 THEN bucket
-             |       ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), i - 1) END)"""
-            .stripMargin)).as("bucket"))
-    val r = b.select(col("vec_id").as("id2"), col("tbl").as("tbl2"),
-      col("bucket").as("bucket2"))
-    // Dedup candidates on the skinny (id1, id2) pair first, then re-attach
-    // embeddings — shuffling/deduping the float arrays themselves through
-    // the bucket join is the expensive wrong plan.
-    val cands = probed.join(r,
-        col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
-          && col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val l = base.select(col("vec_id").as("id1"), col("probes"),
+      explode(col("probes")).as("k"))
+    val r = base.select(col("vec_id").as("id2"), col("anchors"),
+      explode(col("anchors")).as("k2"))
+    // Re-attach embeddings only after the skinny exactly-once pair
+    // projection — shuffling the float arrays through the bucket join
+    // is the expensive wrong plan.
+    val cands = l.join(r, col("k") === col("k2") && col("id1") < col("id2"))
+      .filter(col("k") === gn.first_common_sorted(col("probes"), col("anchors")))
+      .select("id1", "id2")
     reattachCosine(cands, embs, broadcastReattach)
   }
 

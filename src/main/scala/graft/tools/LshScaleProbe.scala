@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   * storage — is what the law spends; production τ≈0.95 grows T ~2.6×
   * more slowly per decade (see lshParamsFor) and lands proportionally
   * lighter.
+  *
+  * NOTE (late r11): the numbers above were measured against the
+  * distinct-based annPairs; the exactly-once rework (minimal shared
+  * composite key via first_common_sorted, no pair-dedup exchange)
+  * removes precisely the spill-bound distinct that produced the ×16
+  * cost cliff. The candidate VOLUME law is unchanged (the candidate
+  * set is identical); re-measured ×8 under the new form below.
   */
 object LshScaleProbe {
   def main(args: Array[String]): Unit = {
