@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * so Catalyst's column pruning / predicate pushdown reach the scan.
   */
 object Tables {
+  // Plausible event-timestamp band in EPOCH NANOSECONDS:
+  // 2000-01-01T00:00Z and 2100-01-01T00:00Z (946684800 / 4102444800 s).
+  // Used by normalizeEvents' LongType magnitude guard.
+  private[graft] val NS_EPOCH_LO = 946684800000000000L
+  private[graft] val NS_EPOCH_HI = 4102444800000000000L
+
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     s.read.parquet(s"$d/$name.parquet")
 
@@ -37,11 +43,15 @@ object Tables {
     * A third plausible refresh encoding — adjusted-to-UTC µs, read as
     * TimestampType (LTZ) — flows through the same generic branch, where
     * the cast is the identity (TablesSpec pins all three encodings to
-    * identical canonical rows). The remaining unhandled class is a RAW
-    * int64 in non-ns units (ms/µs/s epoch without a parquet timestamp
-    * annotation), which the LongType branch would misread as ns; the
+    * identical canonical rows). The last aliasing class — a RAW int64
+    * in non-ns units (ms/µs/s epoch without a parquet timestamp
+    * annotation), which the LongType branch would otherwise misread as
+    * ns — is closed structurally since r12 by the per-row ns-epoch
+    * magnitude guard in that branch (any sub-2000/post-2100 value
+    * raises the named encoding error; ms/µs/s epochs for real event
+    * years are 3–9 orders of magnitude below the band). The
     * fixture-agreement pin in TablesSpec (ts vs ts_us on the shipped
-    * file) is the loud tripwire for that one.
+    * file) remains as a second, independent tripwire.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,7 +69,28 @@ object Tables {
   def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        // Magnitude guard (VERDICT r11 #4): a refresh that ships RAW
+        // INT64 in ms/µs/s units aliases into this branch BY TYPE — the
+        // whitelist below can't see it. Nanosecond epochs for any
+        // plausible event year (2000–2100) sit in [9.47e17, 4.10e18];
+        // ms (~1e12), µs (~1e15), and s (~1e9) encodings are 3–9 orders
+        // below, so a closed band check per ROW converts the silent
+        // unit shift into the same named failure as an unknown type.
+        // Pure projection (streaming-safe; min(ts) would be an action),
+        // one between() per row inside codegen, nulls pass through
+        // unchanged (null-ts is a data question, not an encoding one).
+        raw
+          .withColumn("ts",
+            when(col("ts").isNull ||
+                col("ts").between(NS_EPOCH_LO, NS_EPOCH_HI), col("ts"))
+              .otherwise(raise_error(concat(
+                lit("graft.Tables.normalizeEvents: INT64 ts="),
+                col("ts").cast("string"),
+                lit(s" outside the ns-epoch band [$NS_EPOCH_LO, " +
+                  s"$NS_EPOCH_HI] (years 2000-2100). A ms/us/s-encoded " +
+                  "refresh must get its own branch + TablesSpec pin, " +
+                  "not alias as nanoseconds."))).cast("bigint")))
+          .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType |
            org.apache.spark.sql.types.TimestampType =>
         // NTZ: the cast UTC-reinterprets under the session zone pinned by

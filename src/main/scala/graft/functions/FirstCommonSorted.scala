@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * two-pointer scan — no allocation, early exit on the first hit, and
   * it stays inside whole-stage codegen.
   *
-  * PRECONDITION (the caller's contract, not checked): both arrays are
+  * PRECONDITION (the caller's contract; the non-null half is enforced
+  * with a named error when the input type admits nulls — ADVICE r11,
+  * see the guard below): both arrays are
   * sorted ascending with non-null elements — exactly what
   * `sort_array(collect_list(...))` over non-null keys produces. On
   * sorted inputs the first common element IS the minimum of the
@@ -49,12 +51,29 @@ case class FirstCommonSorted(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  // Null-element guard (ADVICE r11): getLong on a null slot silently
+  // reads 0, which could MATCH and emit a wrong minimal key. Enforced
+  // only when the input TYPE admits null elements — the shipped call
+  // sites build cells via sort_array(collect_list(..)) whose type is
+  // containsNull=false, so they compile the guard out entirely.
+  private def leftMayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private def rightMayHaveNullElems: Boolean =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+  private def nullElemError(): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: null array element — inputs must be sorted arrays " +
+        "of non-null bigints (the sort_array(collect_list(..)) contract)")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val gx = leftMayHaveNullElems; val gy = rightMayHaveNullElems
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0
     while (i < nx && j < ny) {
+      if (gx && x.isNullAt(i)) nullElemError()
+      if (gy && y.isNullAt(j)) nullElemError()
       val xi = x.getLong(i); val yj = y.getLong(j)
       if (xi == yj) return xi
       else if (xi < yj) i += 1
@@ -68,6 +87,12 @@ case class FirstCommonSorted(left: Expression, right: Expression)
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val err = "\"first_common_sorted: null array element — inputs " +
+        "must be sorted arrays of non-null bigints\""
+      val guardX = if (leftMayHaveNullElems)
+        s"if ($x.isNullAt($i)) throw new IllegalArgumentException($err);" else ""
+      val guardY = if (rightMayHaveNullElems)
+        s"if ($y.isNullAt($j)) throw new IllegalArgumentException($err);" else ""
       // nullSafeCodeGen pre-sets ev.isNull = false once both inputs are
       // non-null; re-raise it unless the scan finds a common element.
       s"""
@@ -76,6 +101,8 @@ case class FirstCommonSorted(left: Expression, right: Expression)
          |int $i = 0, $j = 0;
          |${ev.isNull} = true;
          |while ($i < $nx && $j < $ny) {
+         |  $guardX
+         |  $guardY
          |  long $xi = $x.getLong($i);
          |  long $yj = $y.getLong($j);
          |  if ($xi == $yj) { ${ev.isNull} = false; ${ev.value} = $xi; break; }

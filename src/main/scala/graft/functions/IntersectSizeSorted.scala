@@ -20,12 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * [[FirstCommonSorted]]; kept separate because the fused count loop
   * and the early-exit first-hit loop share nothing worth abstracting.
   *
-  * PRECONDITION (caller's contract, not checked): both arrays sorted
-  * ascending, elements non-null and duplicate-free — what
+  * PRECONDITION (caller's contract): both arrays sorted ascending,
+  * elements non-null and duplicate-free — what
   * `sort_array(array_distinct(...))` produces. Under it the count
   * equals the SQL form exactly (set semantics; GraftProperties +
   * SketchesSpec pin equivalence on generated and DataFrame-scale
-  * inputs, interpreted and codegen paths).
+  * inputs, interpreted and codegen paths). The non-null part is
+  * ENFORCED, not assumed: getLong on a null slot silently reads 0, so
+  * a null element would corrupt the count rather than fail (ADVICE
+  * r11). When the input TYPE already proves containsNull=false (e.g.
+  * sort_array(collect_list(..))) the guard is compiled out entirely;
+  * only the lambda-built shingle paths — whose transform() output is
+  * containsNull=true at the type level though never null in fact —
+  * pay one bitmap probe per element advance (~15M probes across
+  * dedup_minhash's 300k candidates: sub-ms, unmeasurable).
   */
 case class IntersectSizeSorted(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,12 +52,27 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  // The guard is needed only when the TYPE admits null elements; when
+  // the input proves containsNull=false it costs literally nothing
+  // (compiled out of codegen, skipped in the interpreted loop).
+  private def leftMayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private def rightMayHaveNullElems: Boolean =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+  private def nullElemError(): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: null array element — inputs must be sorted arrays " +
+        "of non-null bigints (the sort_array(array_distinct(..)) contract)")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val gx = leftMayHaveNullElems; val gy = rightMayHaveNullElems
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
+      if (gx && x.isNullAt(i)) nullElemError()
+      if (gy && y.isNullAt(j)) nullElemError()
       val xi = x.getLong(i); val yj = y.getLong(j)
       if (xi == yj) { c += 1; i += 1; j += 1 }
       else if (xi < yj) i += 1
@@ -64,11 +87,19 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val err = "\"intersect_size_sorted: null array element — inputs " +
+        "must be sorted arrays of non-null bigints\""
+      val guardX = if (leftMayHaveNullElems)
+        s"if ($x.isNullAt($i)) throw new IllegalArgumentException($err);" else ""
+      val guardY = if (rightMayHaveNullElems)
+        s"if ($y.isNullAt($j)) throw new IllegalArgumentException($err);" else ""
       s"""
          |int $nx = $x.numElements();
          |int $ny = $y.numElements();
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $nx && $j < $ny) {
+         |  $guardX
+         |  $guardY
          |  long $xi = $x.getLong($i);
          |  long $yj = $y.getLong($j);
          |  if ($xi == $yj) { $c++; $i++; $j++; }

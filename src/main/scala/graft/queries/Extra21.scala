@@ -60,9 +60,22 @@ object Extra21 {
         expr("transform(embedding, v -> " +
           "cast(round(cast(v as double) * 1000000, 0) as bigint))").as("xvec"))
       .crossJoin(broadcast(cent))
+      // Length guard (ADVICE r11): zip_with pads the shorter array
+      // with nulls, so a malformed embedding (size ≠ centroid dim)
+      // would make d2 NULL — and nulls sort FIRST in the struct-min
+      // argmin, silently classifying the corrupt vector as the
+      // lexicographically smallest label. raise_error names the bad
+      // row instead; the conditional is constant-folded against the
+      // size comparison per row (one branch, no plan change).
       .select(col("vec_id"), col("label"), struct(
-        expr("aggregate(zip_with(xvec, cvec, (x, c) -> (x - c) * (x - c)), " +
-          "0L, (a, v) -> a + v)").as("d2"),
+        when(size(col("xvec")) =!= size(col("cvec")),
+          raise_error(concat(lit("eval_confusion: embedding length "),
+            size(col("xvec")).cast("string"),
+            lit(" != centroid dim "), size(col("cvec")).cast("string"),
+            lit(" at vec_id="), col("vec_id").cast("string"))).cast("bigint"))
+          .otherwise(
+            expr("aggregate(zip_with(xvec, cvec, (x, c) -> (x - c) * (x - c)), " +
+              "0L, (a, v) -> a + v)")).as("d2"),
         col("clabel")).as("cand"))
       .groupBy("vec_id", "label")
       .agg(min(col("cand")).as("best"))

@@ -59,12 +59,20 @@ object LshScaleProbe {
 
     val embs1 = graft.Tables.embeddings(spark, sfDir)
     val n1 = embs1.count()
-    def embsX(n: Int) = (0 until n).map { i =>
+    def embsX(n: Int) = {
+      // The (i*7)%64 rotation yields 64 DISTINCT replicas (gcd(7,64)=1);
+      // beyond x64 rotations repeat and replicas become exact duplicates,
+      // silently breaking the probe's "no replica is a true near-dup"
+      // premise (ADVICE r11) — fail loudly instead.
+      require(n <= 64, s"embsX: grid x$n exceeds the 64 distinct " +
+        "rotations of a 64-dim embedding; replicas would repeat")
+      (0 until n).map { i =>
       val r = (i * 7) % 64
       embs1.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         expr(s"concat(slice(embedding, ${r + 1}, ${64 - r})," +
           s" slice(embedding, 1, $r))").as("embedding"))
-    }.reduce(_ unionAll _)
+      }.reduce(_ unionAll _)
+    }
 
     // JVM warm on the smallest point so the grid's first measured entry
     // doesn't absorb codegen/classload.

@@ -198,12 +198,18 @@ object PerfProbe {
     // where i*7 <= 49): gcd(7, 64) = 1 makes all 64 rotations DISTINCT,
     // so the grid extends to x64 without any replica being a true
     // near-dup of another (LshScaleProbe uses the same construction).
-    def embsX(n: Int) = (0 until n).map { i =>
-      val r = (i * 7) % 64
-      embs1.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        expr(s"concat(slice(embedding, ${r + 1}, ${64 - r})," +
-          s" slice(embedding, 1, $r))").as("embedding"))
-    }.reduce(_ unionAll _)
+    def embsX(n: Int) = {
+      // Distinct rotations exist only up to the embedding dim (64);
+      // beyond that replicas silently repeat — fail loudly (ADVICE r11).
+      require(n <= 64, s"embsX: grid x$n exceeds the 64 distinct " +
+        "rotations of a 64-dim embedding; replicas would repeat")
+      (0 until n).map { i =>
+        val r = (i * 7) % 64
+        embs1.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${r + 1}, ${64 - r})," +
+            s" slice(embedding, 1, $r))").as("embedding"))
+      }.reduce(_ unionAll _)
+    }
     def docsX(n: Int) = (0 until n).map { i =>
       docs1.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
         concat(col("text"), lit(s" rep$i token$i")).as("text"))

@@ -25,6 +25,36 @@ class Extra21Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("eval_confusion REJECTS length-mismatched embeddings by name " +
+    "instead of argmin-ing a null distance (ADVICE r11)") {
+    // zip_with pads the shorter array with nulls → d2 would be NULL, and
+    // nulls sort FIRST in the min(struct(d2, label)) argmin — a corrupt
+    // vector would silently classify as the smallest label. The guard
+    // must raise the named error on the malformed row, and leave
+    // well-formed frames byte-identical to the unguarded form.
+    import spark.implicits._
+    val good = Seq(
+      (0L, "a", Seq(1.0f, 0.0f)), (1L, "a", Seq(0.9f, 0.1f)),
+      (2L, "b", Seq(0.0f, 1.0f)), (3L, "b", Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.queries.Extra21.confusionOf(good)
+      .orderBy("label", "pred").collect()
+    // Perfectly separable 2-cluster data: diagonal confusion matrix.
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "a", 2L), ("b", "b", 2L)), out.mkString(", "))
+    val bad = good.unionAll(
+      Seq((4L, "a", Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "label", "embedding"))
+    val e = intercept[Exception](
+      graft.queries.Extra21.confusionOf(bad).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // The malformed row also pollutes its label's CENTROID dimension, so
+    // the first row the guard trips on may be a well-formed sibling —
+    // either way the failure is the named one, not a silent argmin.
+    assert(msgs(e).exists(_.contains("embedding length")),
+      s"expected the named guard, got: $e")
+  }
+
   test("cdc_diff is a faithful edit script: old + diff == new") {
     // Rebuild the two snapshots exactly as the query does, classify
     // per-key (not the declared rollup — the row-level form the rollup

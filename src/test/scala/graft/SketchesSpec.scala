@@ -242,6 +242,43 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == 0)
   }
 
+  test("sorted kernels REJECT null array elements by name instead of " +
+    "silently reading 0 (ADVICE r11)") {
+    // getLong on a null slot reads 0, so a null element would corrupt
+    // the count / match a spurious 0 key. The guard is emitted only when
+    // the input TYPE admits nulls (the shingle paths' transform() output)
+    // and must throw the kernel's named error, not miscount.
+    import org.apache.spark.sql.graft.{native => gn}
+    // transform with a nullable lambda → ArrayType(Long, containsNull=true).
+    // The null sits at position 0: first_common_sorted early-exits on its
+    // first MATCH, so a later null would be legitimately unreachable.
+    val withNull = spark.range(3).selectExpr(
+      "transform(sequence(0, 3), i -> if(i = 0, cast(null as bigint), cast(i as bigint))) as a",
+      "transform(sequence(0, 3), i -> cast(i as bigint)) as b")
+    assert(withNull.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    for (kernel <- Seq(
+        gn.intersect_size_sorted(col("a"), col("b")),
+        gn.first_common_sorted(col("a"), col("b")))) {
+      val e = intercept[Exception](withNull.select(kernel).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null array element")),
+        s"expected the named guard, got: $e")
+    }
+    // Same containsNull=true TYPE with no actual nulls: works unchanged
+    // (this is the shipped dedup-verify shape — guard present, never hit).
+    val clean = spark.range(100).selectExpr(
+      "array_sort(array_distinct(transform(sequence(1, 5), i -> xxhash64(id, i) % 20))) as a",
+      "array_sort(array_distinct(transform(sequence(1, 4), i -> xxhash64(id + 1, i) % 20))) as b")
+    val bad = clean.filter(
+      gn.intersect_size_sorted(col("a"), col("b")) =!=
+        expr("size(array_intersect(a, b))") ||
+      !(gn.first_common_sorted(col("a"), col("b")) <=>
+        expr("array_min(array_intersect(a, b))"))).count()
+    assert(bad == 0)
+  }
+
   test("ivf ann recovers most of the brute-force top pairs") {
     val embs = graft.Tables.embeddings(spark, sf)
     val ann = graft.ops.IvfIndex.annPairs(embs, k = 16, nProbe = 3)

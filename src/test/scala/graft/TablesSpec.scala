@@ -65,9 +65,9 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // A fourth refresh encoding (INT32 seconds, DOUBLE epoch, ISO
     // STRING, DATE) must fail loudly at load, not flow through a generic
     // cast branch and surface as a silent unit/zone shift in every
-    // events oracle. ms-INT64 is the one un-catchable alias (same
-    // physical type as ns-INT64); the fixture-range pin below is the
-    // batch-side tripwire for that.
+    // events oracle. ms-INT64 (same physical type as ns-INT64) is the
+    // one type-invisible alias — since r12 the LongType branch's per-row
+    // ns-epoch magnitude guard catches it too (next test).
     import spark.implicits._
     for (bad <- Seq(
         Seq(1704067200).toDF("ts"),                    // INT32 seconds
@@ -80,6 +80,35 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
         e.getMessage)
       assert(e.getMessage.contains("normalizeEvents"), e.getMessage)
     }
+  }
+
+  test("normalizeEvents REJECTS ms/us/s-encoded INT64 by magnitude " +
+    "(the type-invisible alias, VERDICT r11 #4)") {
+    // A RAW int64 in non-ns units has the SAME Spark type as the pinned
+    // ns encoding, so the whitelist can't see it — without the guard,
+    // every event lands unit-shifted (ms: x10^6 toward 1970) and the
+    // failure surfaces rounds later as an oracle hash diff. The LongType
+    // branch's per-row band check [2000, 2100) in ns must raise the
+    // named error on the first action instead. Null ts passes (data
+    // question, not an encoding one); in-band ns rows are untouched.
+    import spark.implicits._
+    val inst = 1704067200000000000L // 2024-01-01T00:00:00Z in ns
+    for (bad <- Seq(
+        Seq(inst / 1000000L).toDF("ts"),  // ms-INT64
+        Seq(inst / 1000L).toDF("ts"),     // µs-INT64 (unannotated)
+        Seq(inst / 1000000000L).toDF("ts"))) { // s-INT64
+      val e = intercept[Exception] {
+        Tables.normalizeEvents(bad).collect()
+      }
+      // raise_error surfaces as SparkRuntimeException wrapping the
+      // message; match on the named substring, not the class.
+      assert(e.getMessage.contains("outside the ns-epoch band"),
+        s"wrong failure for ${bad.head()}: ${e.getMessage}")
+    }
+    // Null ts is not an encoding problem: flows through as null.
+    val withNull = Seq(Some(inst), None).toDF("ts")
+    val out = Tables.normalizeEvents(withNull).collect()
+    assert(out.length == 2 && out.exists(_.isNullAt(0)))
   }
 
   test("the shipped events fixture loads to the canonical schema") {
