@@ -177,23 +177,31 @@ object IvfPq {
     // The nq lowest-id vectors as queries (the PqIndex selection).
     val queries = embs.orderBy("vec_id").limit(nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    // Query-side coarse assignment: the nq query rows (not the corpus)
-    // cross the broadcast centroid table — per-vector ranks are
-    // independent, so this equals the corpus-wide assignment restricted
-    // to the queries, at nq · kCells rows of work.
-    val qasg = IvfIndex.assignTo(
-      queries.select(col("q_id").as("vec_id"), col("qe").as("embedding")),
-      cents, nProbe = qp)
-    // Query-side residual LUT per PROBED cell: nq · qp · m · k rows —
-    // kilobytes, broadcast. Each probed cell gets its own residual
-    // (q - centroid(cell)), mirroring how the corpus codes in that cell
-    // were formed — the asymmetric-distance identity that makes
-    // per-cell ADC meaningful.
-    val qcells = qasg.join(broadcast(queries), col("vec_id") === col("q_id"))
-      .filter(col("probe_rank") <= qp)
-      .join(broadcast(cents), "cid")
-      .select(col("q_id"), col("cid"),
-        zip_with(col("qe"), col("cvec"), (x, y) => x - y).as("resid"))
+    // Query-side coarse assignment + residual, FOLDED (VERDICT r11 #6):
+    // the r11 form ran assignTo (crossJoin → rank rollup → posexplode)
+    // and then joined BACK to queries (for qe) and to cents (for cvec) —
+    // two broadcast builds + two join stages whose only purpose was to
+    // re-attach columns the crossJoin had already seen. Carrying qe and
+    // cvec THROUGH the rank rollup (cvec rides inside the candidate
+    // struct — kCells · d doubles per query row, single-digit KB)
+    // removes both joins; the (negsim, cid) prefix of the struct is
+    // unique per query, so the array_sort order — and therefore the
+    // probed cell set — is unchanged (the cvec tail never decides).
+    // first(qe) is order-insensitive: every row in a q_id group carries
+    // the same query embedding. Per-probed-cell residual
+    // (q − centroid(cell)) mirrors how that cell's corpus codes were
+    // formed — the asymmetric-distance identity that makes per-cell ADC
+    // meaningful; the LUT is nq · qp · m · k rows, kilobytes, broadcast.
+    val qcells = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"),
+        struct((-gn.cosine_similarity(col("qe"), col("cvec"))).as("negsim"),
+          col("cid").as("cid"), col("cvec").as("cvec")).as("cand"))
+      .groupBy("q_id")
+      .agg(first(col("qe")).as("qe"),
+        slice(array_sort(collect_list(col("cand"))), 1, qp).as("top"))
+      .select(col("q_id"), col("qe"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.cid").as("cid"),
+        zip_with(col("qe"), col("c.cvec"), (x, y) => x - y).as("resid"))
     val lut = subvecsR(qcells, Seq("q_id", "cid"), m, sub)
       .join(broadcast(cb), "j")
       .select(col("q_id"), col("cid"), col("j"), col("ccode").as("code"),
