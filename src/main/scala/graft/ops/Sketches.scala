@@ -29,6 +29,16 @@ object Sketches {
   /** Large prime < 2^31 for permutation arithmetic (fits 64-bit products). */
   private val P = 2147483647L
 
+  /** Form switch for [[annPairs]]' exactly-once emission: array-carry
+    * while tables·(1+probe·nbits) ≤ this, skinny+distinct beyond (the
+    * carried-array join bytes grow quadratically in that product — see
+    * the annPairs doc for the ×16 disk-exhaustion measurement). 128
+    * covers every declared-query parameterization (Threshold tier at
+    * the fixtures: 16·7 = 112) with the flip landing where the r11/r12
+    * probes put the crossover (×8 = 490 keys already favored skinny).
+    */
+  val AnnEmitCarryMaxKeys = 128
+
   /** Joint sign-LSH parameterization (nbits, tables, probe) for a given
     * corpus size — ONE shared definition so the gated queries
     * (sim_ann_lsh, dedup_semantic) cannot diverge, and so the at-scale
@@ -331,22 +341,44 @@ object Sketches {
     * relation is symmetric; probing both sides would only duplicate
     * candidates).
     *
-    * Exactly-once WITHOUT a distinct (r11, the IvfIndex minimal-cell
-    * move applied to LSH): each vector carries its sorted composite-key
-    * arrays — anchors (tbl·2^nbits + bucket, one per table) and the
-    * probe set (anchors ∪ flips) — built MAP-SIDE straight from the
-    * sign_lsh_buckets array, no explode-regroup round trip. A pair
-    * colliding in several tables would match once per shared key; it
-    * is emitted ONLY from its minimal shared key (first_common_sorted,
-    * the native two-pointer kernel) as a codegen'd filter on the
-    * pipelined join output. The old `.distinct()` over the collided
-    * pair rows was this pipeline's dominant exchange (millions of
-    * skinny rows at probe volumes); the arrays it replaces it with are
-    * per-VECTOR (tables·(1+nbits) longs), never per pair, so the
-    * trade scales with the corpus, not the candidate count.
+    * Exactly-once emission has TWO forms, chosen by the key-array
+    * volume the parameters imply (r12 — the ×16 probe falsified the
+    * r11 one-form story):
+    *
+    *  - ARRAY-CARRY (r11, the IvfIndex minimal-cell move applied to
+    *    LSH): each vector carries its sorted composite-key arrays —
+    *    anchors (tbl·2^nbits + bucket, one per table) and the probe
+    *    set (anchors ∪ flips) — built MAP-SIDE from the
+    *    sign_lsh_buckets array. A pair colliding in several tables is
+    *    emitted ONLY from its minimal shared key (first_common_sorted,
+    *    the native two-pointer kernel) as a codegen'd filter on the
+    *    pipelined join output — no pair-dedup exchange at all.
+    *    Measured at fixture scale: sim_ann_ivf warm 1.54→0.88 s (r11).
+    *  - SKINNY+DISTINCT: (id, k) rows only through the join, then one
+    *    pair-dedup exchange (map-side partial dedup compresses it).
+    *
+    *    The trade INVERTS with scale: the probe side explodes
+    *    tables·(1+nbits) rows per vector, and the array-carry form
+    *    attaches that same tables·(1+nbits)-long array to EVERY
+    *    exploded row — join-input bytes grow QUADRATICALLY in
+    *    tables·(1+nbits) while the skinny form grows linearly. At the
+    *    fixtures (T=10–16, nbits=6 → ~112-long arrays) the carry wins;
+    *    at the LshScaleProbe ×16 point (T=71, nbits=10, probe=1 → a
+    *    781-long array on each of 781 exploded rows per vector, ~5 MB
+    *    logical per vector) the r12 re-measure EXHAUSTED THIS BOX'S
+    *    DISK (>60 GB of sort spill) where the skinny+distinct form had
+    *    finished in 275 s (r11) — the bottleneck the kernel removed at
+    *    small T reappears, amplified, as the carried-array sort at
+    *    large T. The switch picks carry while tables·(1+probe·nbits) ≤
+    *    [[AnnEmitCarryMaxKeys]] (128 — covers every declared-query
+    *    parameterization; lshParamsFor grows tables with corpus size,
+    *    so deep-scale runs flip to skinny+distinct automatically).
     */
   def annPairs(embs: DataFrame, nbits: Int = 4, tables: Int = 16,
-      broadcastReattach: Boolean = true, probe: Int = 0): DataFrame = {
+      broadcastReattach: Boolean = true, probe: Int = 0,
+      // Test/probe-only override of the emission-form switch (None =
+      // auto by key-array volume); SketchesSpec pins both forms equal.
+      carryForm: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.graft.{native => gn}
     require(probe == 0 || probe == 1, s"probe ∈ {0, 1}, got $probe")
     val m = 1L << nbits
@@ -373,16 +405,29 @@ object Sketches {
       .select(col("vec_id"), expr(anchorsExpr).as("anchors"),
         expr(probedExpr).as("probes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = base.select(col("vec_id").as("id1"), col("probes"),
-      explode(col("probes")).as("k"))
-    val r = base.select(col("vec_id").as("id2"), col("anchors"),
-      explode(col("anchors")).as("k2"))
     // Re-attach embeddings only after the skinny exactly-once pair
     // projection — shuffling the float arrays through the bucket join
     // is the expensive wrong plan.
-    val cands = l.join(r, col("k") === col("k2") && col("id1") < col("id2"))
-      .filter(col("k") === gn.first_common_sorted(col("probes"), col("anchors")))
-      .select("id1", "id2")
+    val keyArrayLen = tables * (1 + (if (probe == 1) nbits else 0))
+    val cands = if (carryForm.getOrElse(keyArrayLen <= AnnEmitCarryMaxKeys)) {
+      // Array-carry exactly-once: no pair-dedup exchange; the carried
+      // key arrays are small by the switch's guarantee.
+      val l = base.select(col("vec_id").as("id1"), col("probes"),
+        explode(col("probes")).as("k"))
+      val r = base.select(col("vec_id").as("id2"), col("anchors"),
+        explode(col("anchors")).as("k2"))
+      l.join(r, col("k") === col("k2") && col("id1") < col("id2"))
+        .filter(col("k") === gn.first_common_sorted(col("probes"), col("anchors")))
+        .select("id1", "id2")
+    } else {
+      // Skinny+distinct: 16-byte (id, k) rows through the join, one
+      // pair-dedup exchange with map-side partial dedup — the linear-
+      // bytes form that survives deep-scale table counts (see doc).
+      val l = base.select(col("vec_id").as("id1"), explode(col("probes")).as("k"))
+      val r = base.select(col("vec_id").as("id2"), explode(col("anchors")).as("k2"))
+      l.join(r, col("k") === col("k2") && col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+    }
     reattachCosine(cands, embs, broadcastReattach)
   }
 

@@ -39,9 +39,29 @@ import org.apache.spark.sql.functions._
   * NOTE (late r11): the numbers above were measured against the
   * distinct-based annPairs; the exactly-once rework (minimal shared
   * composite key via first_common_sorted, no pair-dedup exchange)
-  * removes precisely the spill-bound distinct that produced the ×16
-  * cost cliff. The candidate VOLUME law is unchanged (the candidate
-  * set is identical); re-measured ×8 under the new form below.
+  * was HYPOTHESIZED to remove the spill-bound distinct behind the ×16
+  * cost cliff.
+  *
+  * RE-MEASURED (r12) — the hypothesis is REFUTED at deep scale. Under
+  * the array-carry form, ×16 (T=71, nbits=10, probe=1 → a 781-long
+  * key array attached to each of 781 exploded probe rows per vector,
+  * ~5 MB of logical join input per vector) EXHAUSTED THIS BOX'S DISK:
+  * >40 GB of sort spill, killed by "No space left on device" ~30 min
+  * in — strictly worse than the 275 s the skinny+distinct form had
+  * posted in r11. The carried-array join bytes grow QUADRATICALLY in
+  * tables·(1+nbits); the pair-dedup exchange they replace grows
+  * linearly in candidates. Re-run under the r12 volume switch
+  * (Sketches.AnnEmitCarryMaxKeys → skinny+distinct at these points):
+  *   x8  nbits=9  T=49  78.6M  pairs  39.1 s (1 pass, compile overlap
+  *       inflated it; r11 quiet-window old-form 9.4 s is the floor)
+  *   x16 nbits=10 T=71  276.9M pairs 372.9 s (1 pass, completes — no
+  *       disk death; r11 old-form 275 s, same order)
+  * Pair counts are bit-identical to r11 (78579683 / 276852649) — the
+  * candidate SET is form-invariant, so the volume law stands. The
+  * engineering conclusion shipped in Sketches.annPairs: array-carry
+  * exactly-once below ~128 keys per vector (where it measurably wins:
+  * sim_ann_ivf warm 1.54→0.88), skinny+distinct beyond (where the
+  * carry is a disk bomb); SketchesSpec pins both forms equal.
   */
 object LshScaleProbe {
   def main(args: Array[String]): Unit = {

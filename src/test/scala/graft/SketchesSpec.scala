@@ -192,6 +192,24 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed.size > exact.size, "probe=1 added nothing — vacuous fixture")
   }
 
+  test("annPairs emission forms agree: array-carry == skinny+distinct (r12 switch)") {
+    // The r12 volume switch picks the emission form from
+    // tables·(1+probe·nbits); this pins that BOTH forms produce the
+    // identical candidate set at identical params (the forms differ
+    // only in how exactly-once is enforced — minimal-shared-key filter
+    // vs pair-dedup exchange), so whichever side of the threshold a
+    // parameterization lands on, results cannot move.
+    val embs = graft.Tables.embeddings(spark, sf)
+    def pairsOf(carry: Boolean) =
+      Sketches.annPairs(embs, nbits = 5, tables = 8, probe = 1,
+          carryForm = Some(carry))
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pairsOf(true); val b = pairsOf(false)
+    assert(a == b, s"carry-only=${(a -- b).size} distinct-only=${(b -- a).size}")
+    assert(a.nonEmpty)
+  }
+
   test("asymmetric annJoin equals annPairs restricted to cross pairs (flip symmetry)") {
     // The oracle-inheritance argument for dedup_incremental_semantic
     // rests on this: the asymmetric probe (fresh multi-probes, corpus
