@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   * drift note describes — not per-row compute, so no kernel can cut
   * it. The ~1.1 s residual is the pipeline's stage-count floor here;
   * on a real cluster the same stages amortize over real data volume.
+  *
+  * r12 re-probe (VERDICT r11 #3's two suggestions + one more, each
+  * A/B'd interleaved in one JVM at local[32] with a calibration query
+  * before every sample, results byte-equal in all cases):
+  *   V1 current form                     quiet-window min 1.25-1.41 s
+  *   V2 one-row doc_id→grams MAP combine (the agg_minhash_merge
+  *      discipline: single map_from_arrays agg, 1-row broadcast,
+  *      element_at lookups replacing both broadcast joins)  1.65-1.77 s
+  *      — SLOWER: the single-partition map agg + per-row map hashing
+  *      cost more than the two tiny broadcast builds they replace.
+  *   V3 V2 + verify-before-distinct (dedupe survivors)       1.35-1.46 s
+  *   V5 candidates from the persisted inverted index (probe joins
+  *      byGram on g, reusing its groupBy partitioning; no 260k-row
+  *      index re-explode)        statistically tied with V1 (±0.05 s)
+  * Conclusion: the current form IS the stage floor; the driver-visible
+  * 1.9 s vs the ~1.2-1.4 s quiet floor is host-window jitter (compare
+  * BENCH calib_at), not plan damage. No change shipped.
   */
 object ContainProbe {
   def main(args: Array[String]): Unit = {
