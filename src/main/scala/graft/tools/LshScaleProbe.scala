@@ -52,10 +52,11 @@ import org.apache.spark.sql.functions._
   * tables·(1+nbits); the pair-dedup exchange they replace grows
   * linearly in candidates. Re-run under the r12 volume switch
   * (Sketches.AnnEmitCarryMaxKeys → skinny+distinct at these points):
-  *   x8  nbits=9  T=49  78.6M  pairs  39.1 s (1 pass, compile overlap
-  *       inflated it; r11 quiet-window old-form 9.4 s is the floor)
-  *   x16 nbits=10 T=71  276.9M pairs 372.9 s (1 pass, completes — no
-  *       disk death; r11 old-form 275 s, same order)
+  *   x8  nbits=9  T=49  78.6M  pairs   5.61 s (min of 3, quiet window;
+  *       the array-carry form measured 15.2 s on the same day — the
+  *       crossover is already behind us at 490 keys)
+  *   x16 nbits=10 T=71  276.9M pairs 372.9  s (1 pass, loaded window,
+  *       completes — no disk death; r11 old-form 275 s, same order)
   * Pair counts are bit-identical to r11 (78579683 / 276852649) — the
   * candidate SET is form-invariant, so the volume law stands. The
   * engineering conclusion shipped in Sketches.annPairs: array-carry
