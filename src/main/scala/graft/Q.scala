@@ -64,6 +64,25 @@ object Q {
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Memoized `spark.read.parquet` for per-JVM STAGED state (the ANN
+    * index warm paths): each bare read re-resolves the datasource —
+    * driver-side file listing + footer schema read, ~50-150 ms — and a
+    * staged search pays it 2-4× per call (index frames + dimension).
+    * The returned DataFrame is an immutable logical plan, safe to reuse
+    * within its session; the key folds in the session identity so a new
+    * session never sees a stopped session's plan. ONLY for staged dirs,
+    * whose content is immutable for the JVM's lifetime by the
+    * `computeIfAbsent` write-once contract — the cached plan pins the
+    * file listing at first-read time, which is exactly wrong for a dir
+    * that changes (that is what corpusFingerprint-keyed REBUILDS are
+    * for, and why fixture tables are never read through this).
+    */
+  def readStagedParquet(spark: SparkSession, path: String): DataFrame =
+    stagedReadCache.computeIfAbsent(System.identityHashCode(spark).toString + "|" + path,
+      _ => spark.read.parquet(path))
+  private val stagedReadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Cheap corpus fingerprint (sorted file list → fold of path, length,
     * mtime) for keying staged per-JVM state — indexes, bucketed layouts
     * (ADVICE r9): staging memoized only on (tag, params) silently serves

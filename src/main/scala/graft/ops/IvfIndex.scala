@@ -133,7 +133,10 @@ object IvfIndex {
     })
     // No persist: the parquet read serves both join sides — rescanning
     // the skinny staged table is cheaper than pinning executor memory.
-    pairsFromCells(spark.read.parquet(dir), embs, broadcastReattach)
+    // Memoized read (r12): the bare spark.read re-resolved the
+    // datasource (listing + footer) on every warm call.
+    pairsFromCells(graft.Q.readStagedParquet(spark, dir), embs,
+      broadcastReattach)
   }
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -155,7 +158,7 @@ object IvfIndex {
       centroids(embs, k, refine).write.mode("overwrite").parquet(dir)
       java.lang.Boolean.TRUE
     })
-    spark.read.parquet(dir)
+    graft.Q.readStagedParquet(spark, dir)
   }
 
   private def pairsFromCells(cells: DataFrame, embs: DataFrame,

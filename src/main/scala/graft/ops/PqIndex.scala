@@ -121,7 +121,11 @@ object PqIndex {
     val spark = embs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
     val dir = s"/tmp/graft_pq_${graft.Q.perJvmId}/${safe}_m${m}_k${k}_r$rounds"
-    val d = embeddingDim(embs, m) // one probe for the whole pipeline
+    // Dimension probe memoized under the staged key (a small Spark job
+    // otherwise paid per WARM call — r12; the dir folds in the corpus
+    // fingerprint, so a refresh re-probes with the rebuild).
+    val d = stagedDim.computeIfAbsent(System.identityHashCode(spark).toString + "|" + dir,
+      _ => Integer.valueOf(embeddingDim(embs, m))).intValue()
     staged.computeIfAbsent(dir, { _ =>
       val cb = trainCodebooksD(embs, m, k, rounds, d)
       cb.write.mode("overwrite").parquet(s"$dir/cb")
@@ -130,11 +134,13 @@ object PqIndex {
         .write.mode("overwrite").parquet(s"$dir/codes")
       java.lang.Boolean.TRUE
     })
-    searchIndexD(embs, d, spark.read.parquet(s"$dir/cb"),
-      spark.read.parquet(s"$dir/codes"), nq, m, shortlist, topK)
+    searchIndexD(embs, d, graft.Q.readStagedParquet(spark, s"$dir/cb"),
+      graft.Q.readStagedParquet(spark, s"$dir/codes"), nq, m, shortlist, topK)
   }
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val stagedDim =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The search half against a prebuilt (cb, codes) flat-PQ index. */
   def searchIndex(embs: DataFrame, cb: DataFrame, codes: DataFrame,
