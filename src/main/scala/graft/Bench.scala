@@ -26,7 +26,8 @@ object Bench {
         java.nio.file.Paths.get("/root/testdata/sf0.001"))) "/root/testdata/sf0.001"
       else sfDir
     Seq("agg_pricing", "win_rank", "stream_tumbling", "sim_cosine_topk",
-        "dedup_minhash", "text_tfidf", "sim_ann_ivf", "sim_ann_pq").foreach { w =>
+        "dedup_minhash", "text_tfidf", "sim_ann_ivf", "sim_ann_pq",
+        "sim_ann_ivfpq").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
