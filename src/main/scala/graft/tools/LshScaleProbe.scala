@@ -57,6 +57,15 @@ import org.apache.spark.sql.functions._
   *       crossover is already behind us at 490 keys)
   *   x16 nbits=10 T=71  276.9M pairs 372.9  s (1 pass, loaded window,
   *       completes — no disk death; r11 old-form 275 s, same order)
+  *   x32 nbits=11 T=102 961.5M pairs 2561.6 s (1 pass — COMPLETES at
+  *       ~1e9 pairs where the array-carry form cannot even finish x16.
+  *       Two box caveats, both diagnosed: the first attempt died to
+  *       local-mode's own 120 s heartbeat timeout during a driver
+  *       stall — probe now raises spark.network.timeout for deep
+  *       points — and the 6.9x cost for 3.5x the pairs is the agg
+  *       working set leaving single-box memory again, the same spill
+  *       regime x16 showed in r11. Pair growth x16→x32 measured 3.47x
+  *       vs ~3.1x predicted by the volume law — the law holds to 1e9.)
   * Pair counts are bit-identical to r11 (78579683 / 276852649) — the
   * candidate SET is form-invariant, so the volume law stands. The
   * engineering conclusion shipped in Sketches.annPairs: array-carry
@@ -75,6 +84,14 @@ object LshScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Deep-scale points push ~10^9-row aggregates through one JVM:
+      // a single long GC pause (or one of this host's measured multi-
+      // minute stalls) exceeds the default 120 s heartbeat window and
+      // local-mode then kills its own executor mid-job (observed at the
+      // first ×32 attempt, r12). Probe-only settings — the declared
+      // paths never run volumes that dwarf the box like this.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
