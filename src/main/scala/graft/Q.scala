@@ -78,10 +78,25 @@ object Q {
     * for, and why fixture tables are never read through this).
     */
   def readStagedParquet(spark: SparkSession, path: String): DataFrame =
-    stagedReadCache.computeIfAbsent(System.identityHashCode(spark).toString + "|" + path,
-      _ => spark.read.parquet(path))
-  private val stagedReadCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    sessionMemo(spark, "read|" + path)(spark.read.parquet(path))
+
+  /** Per-SESSION memo for staged per-JVM state (staged-dir reads, index
+    * dimension probes). Keyed on the SparkSession INSTANCE inside a
+    * WeakHashMap (ADVICE r12): the previous identityHashCode-string key
+    * was not unique — two sessions can share a hash code, and one would
+    * have received a DataFrame bound to the other (possibly stopped)
+    * session — and it held every stopped session's plans forever. The
+    * weak key releases a session's whole memo when the session itself
+    * is collected, and instance identity cannot collide by construction.
+    */
+  def sessionMemo[T <: AnyRef](spark: SparkSession, key: String)(v: => T): T = {
+    val m = perSessionMemo.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
+    m.computeIfAbsent(key, _ => v).asInstanceOf[T]
+  }
+  private val perSessionMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
 
   /** Cheap corpus fingerprint (sorted file list → fold of path, length,
     * mtime) for keying staged per-JVM state — indexes, bucketed layouts

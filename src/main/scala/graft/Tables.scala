@@ -79,6 +79,13 @@ object Tables {
         // Pure projection (streaming-safe; min(ts) would be an action),
         // one between() per row inside codegen, nulls pass through
         // unchanged (null-ts is a data question, not an encoding one).
+        // Known tradeoff (ADVICE r12): wrapping ts in CaseWhen makes it
+        // a DERIVED column for every LongType consumer, so direct ts
+        // predicates no longer push to the parquet scan (no row-group
+        // pruning on ts), and a legitimate ns epoch outside 2000–2100
+        // hard-fails. Accepted: no declared query filters raw ts at the
+        // scan today; if one ever regresses on this, validate via a
+        // one-time min/max footer check instead of rewriting the column.
         raw
           .withColumn("ts",
             when(col("ts").isNull ||

@@ -143,8 +143,8 @@ object IvfPq {
     // so a corpus refresh re-probes along with the rebuild (r12: the
     // warm path was paying this job plus three datasource re-resolutions
     // per call, ~0.5 s of the declared query's fixed cost).
-    val d = stagedDim.computeIfAbsent(System.identityHashCode(spark).toString + "|" + dir,
-      _ => Integer.valueOf(PqIndex.embeddingDim(embs, m))).intValue()
+    val d = graft.Q.sessionMemo(spark, "ivfpqDim|" + dir)(
+      Integer.valueOf(PqIndex.embeddingDim(embs, m))).intValue()
     staged.computeIfAbsent(dir, { _ =>
       val f = buildFrames(embs, d, kCells, rc, m, k, refine)
       f.cents.write.mode("overwrite").parquet(s"$dir/cents")
@@ -163,8 +163,6 @@ object IvfPq {
   }
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private val stagedDim =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The SEARCH half against a prebuilt (cents, cb, codes) index: the
     * nq lowest-id vectors as queries, their own qp-cell coarse

@@ -124,8 +124,8 @@ object PqIndex {
     // Dimension probe memoized under the staged key (a small Spark job
     // otherwise paid per WARM call — r12; the dir folds in the corpus
     // fingerprint, so a refresh re-probes with the rebuild).
-    val d = stagedDim.computeIfAbsent(System.identityHashCode(spark).toString + "|" + dir,
-      _ => Integer.valueOf(embeddingDim(embs, m))).intValue()
+    val d = graft.Q.sessionMemo(spark, "pqDim|" + dir)(
+      Integer.valueOf(embeddingDim(embs, m))).intValue()
     staged.computeIfAbsent(dir, { _ =>
       val cb = trainCodebooksD(embs, m, k, rounds, d)
       cb.write.mode("overwrite").parquet(s"$dir/cb")
@@ -139,8 +139,6 @@ object PqIndex {
   }
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private val stagedDim =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The search half against a prebuilt (cb, codes) flat-PQ index. */
   def searchIndex(embs: DataFrame, cb: DataFrame, codes: DataFrame,

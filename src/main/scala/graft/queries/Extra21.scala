@@ -67,10 +67,17 @@ object Extra21 {
       // lexicographically smallest label. raise_error names the bad
       // row instead; the conditional is constant-folded against the
       // size comparison per row (one branch, no plan change).
+      // A NULL embedding must trip the same guard explicitly (ADVICE
+      // r12): size(NULL) is NULL, so `=!=` alone evaluates to NULL —
+      // the when falls through and d2 goes NULL, i.e. exactly the
+      // silent-smallest-label corruption the guard exists to close,
+      // via a different corrupt input. isNull is checked FIRST.
       .select(col("vec_id"), col("label"), struct(
-        when(size(col("xvec")) =!= size(col("cvec")),
+        when(col("xvec").isNull || size(col("xvec")) =!= size(col("cvec")),
           raise_error(concat(lit("eval_confusion: embedding length "),
-            size(col("xvec")).cast("string"),
+            // coalesce: a NULL xvec must not null out the concat and
+            // degrade the named error into a message-less one
+            coalesce(size(col("xvec")).cast("string"), lit("NULL")),
             lit(" != centroid dim "), size(col("cvec")).cast("string"),
             lit(" at vec_id="), col("vec_id").cast("string"))).cast("bigint"))
           .otherwise(

@@ -53,6 +53,17 @@ class Extra21Spec extends AnyFunSuite with BeforeAndAfterAll {
     // either way the failure is the named one, not a silent argmin.
     assert(msgs(e).exists(_.contains("embedding length")),
       s"expected the named guard, got: $e")
+    // A NULL embedding is the OTHER corrupt input (ADVICE r12):
+    // size(NULL) is NULL, so the length inequality alone evaluates to
+    // NULL and the when falls through — d2 would go NULL and argmin
+    // silently. The explicit isNull arm must raise the same named error.
+    val withNull = good.unionAll(
+      Seq((5L, "a", null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "label", "embedding"))
+    val e2 = intercept[Exception](
+      graft.queries.Extra21.confusionOf(withNull).collect())
+    assert(msgs(e2).exists(_.contains("embedding length")),
+      s"expected the named guard on a NULL embedding, got: $e2")
   }
 
   test("cdc_diff is a faithful edit script: old + diff == new") {
