@@ -70,7 +70,7 @@ object Plans {
     "sql_q18" -> "aggregate-below-join pre-filter + TakeOrderedAndProject(limit=100) final cut",
     "multimodal_dedup" -> "binary dedup: broadcast content build, map-side sha2, skinny (digest,id) shuffle",
     "win_count_distinct" -> "windowed distinct-count workaround: both windows share one user_id exchange (two sorts, one shuffle)",
-    "sql_q21" -> "double-correlated-subquery rewrite: one fact scan, per-(order,supplier) exchange reused by both existence branches",
+    "sql_q21" -> "double-correlated-subquery rewrite served from the staged bucketed layout: fact join + both per-order rollups exchange-free, the only shuffle is the final supplier rollup",
     "layout_hilbert" -> "hilbert layout: native hilbert_index loop in one codegen stage, 1-row broadcast stats frame, 32-group two-phase rollup",
     "agg_bitmap_intersect" -> "exact cohort overlap: map-side partial bitmap pages, fixed-width pages on every exchange, ids cross only the fact join",
     "sql_q19" -> "disjunctive-predicate join: derived per-side OR pushed to both scans, equi-key hash join keeps the cross-side OR as residual",

@@ -377,7 +377,24 @@ object Extra12 {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
-      q21Of(T.lineitem(s, d), T.orders(s, d))
+      // Round-13: serve the fact join from the staged BUCKETED layout
+      // (Extra10.bucketedTables — the same once-per-ingest staging
+      // layout_bucketed declares; at 100 TB a fact-fact workhorse like
+      // Q21 is exactly what the layout exists for). Both scans arrive
+      // HashPartitioning(orderkey, 8), so the join AND both per-order
+      // rollups above it (clustering on a subset of the grouping keys
+      // satisfies the distribution) run with ZERO exchanges — the fact
+      // never crosses the wire at all; the only shuffle left is the
+      // ≤|suppliers|-row final rollup (plan-pinned in PlanSpec). The
+      // merge hint keeps the production SortMergeJoin: at scale neither
+      // fact side broadcasts, and a broadcast here would skip the
+      // co-location evidence. Oracle unchanged — it reads the ORIGINAL
+      // parquet, so the gate also proves the layout lossless for these
+      // columns. Cold cost (first call stages the layout) is paid by
+      // Verify end-to-end; the bench's min-of-N measures the warm
+      // amortized path, the declared operating contract.
+      val (to, tl) = Extra10.bucketedTables(s, d)
+      q21Of(s.table(tl).hint("merge"), s.table(to))
     },
 
     // TPC-H Q13 (customer order-count distribution): a LEFT join whose

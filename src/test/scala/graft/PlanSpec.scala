@@ -550,6 +550,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Join".r.findAllIn(exec).size == 1, p)
     assert(!exec.contains("ReusedExchange"), p)
     assert(exec.contains("TakeOrderedAndProject(limit=100"), p)
+    // Round-13: the fact join serves from the staged BUCKETED layout
+    // (Extra10.bucketedTables), so the fact never crosses the wire at
+    // all — both scans arrive HashPartitioning(orderkey, 8) and the
+    // join plus BOTH per-order rollups run exchange-free (clustering
+    // on a grouping-key subset satisfies the distribution). The one
+    // exchange left in the whole plan is the ≤|suppliers|-row final
+    // rollup on the extracted suppkey.
+    assert("Bucketed: true".r.findAllIn(exec).size == 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1, p)
+    assert(!exec.contains("Exchange hashpartitioning(l_orderkey")
+      && !exec.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
   test("sql_q15 computes the per-supplier aggregate once (max branch reuses)") {
