@@ -274,6 +274,51 @@ object Approx {
         topK = 10, refine = 1)
     },
 
+    // IVF-SQ8 ANN (round-13) — the FOURTH index shape, wiring the
+    // declared int8 quantizer (embed_quantize) into the index family:
+    // the corpus is STORED as per-vector symmetric int8 codes (4×
+    // smaller than fp32 — Int8Index.int8Code, the same column
+    // expression embed_quantize emits), IVF cells bound which codes a
+    // query touches, and candidates are scored by the cosine of the
+    // INTEGER code arrays (per-vector scales cancel in cosine — see
+    // Int8Index's scaladoc; the native kernel's double accumulation is
+    // integer-exact at |code| ≤ 127). Ground-truth oracle: the same
+    // per-query exact top-10 contract as sim_ann_pq/ivfpq — the hash
+    // gate asserts the probed cells + int8 shortlist CONTAIN every true
+    // top-10 neighbor and the exact rerank orders them identically.
+    // Parameters (rc=3, qp=6/16 cells, shortlist 25% of N) sit a notch
+    // above the measured containment edges (AnnSweep INT8 grid, all
+    // three fixtures): CELL ADMISSION is the binding constraint — rc=2
+    // drops a neighbor at sf0.001 at every swept qp≤7, and rc=3/qp=4
+    // drops one at sf0.01; rc=3/qp≥5 is green everywhere. The shortlist
+    // never binds (10%, the lowest swept, is green on every fixture
+    // once cells admit): int8 scoring ranks far closer to exact cosine
+    // than PQ-ADC (≤0.4% error/component vs lossy 16-entry subspace
+    // codebooks), which is why 25% carries wide margin where flat PQ
+    // needs 55%. Int8IndexSpec pins declared AND one notch weaker
+    // (qp=5), plus the measured edges themselves.
+    "sim_ann_int8" -> Q(
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+        |           FROM read_parquet('{sfDir}/embeddings.parquet')
+        |           ORDER BY vec_id LIMIT 8),
+        |p AS (SELECT q_id, x.vec_id AS nb_id,
+        |        CAST(ROUND(list_cosine_similarity(qe, x.embedding), 4) AS DECIMAL(18,4)) AS sim
+        |      FROM q JOIN read_parquet('{sfDir}/embeddings.parquet') x
+        |        ON x.vec_id <> q.q_id),
+        |r AS (SELECT q_id, nb_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nb_id) AS rn
+        |      FROM p)
+        |SELECT q_id, nb_id, sim FROM r WHERE rn <= 10
+        |ORDER BY q_id, sim DESC, nb_id""".stripMargin) { (s, d) =>
+      val embs = T.embeddings(s, d)
+      // driver-side footer read — the sim_ann_pq plan-build hygiene
+      val short = math.max(64L,
+        (graft.Q.parquetRowCount(s, s"$d/embeddings.parquet") + 3) / 4).toInt
+      graft.ops.Int8Index.searchStaged(embs, tag = annTag(s, d), nq = 8,
+        kCells = 16, rc = 3, qp = 6, shortlist = short, topK = 10,
+        refine = 1)
+    },
+
     // The winnowing gram hash is a polynomial hash mod 2147483647 (see
     // Sketches.fingerprints) — pure integer arithmetic, so DuckDB can
     // replay it exactly: Spark folds (acc·257 + c) % P, the oracle takes

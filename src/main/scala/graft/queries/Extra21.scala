@@ -208,15 +208,13 @@ object Extra21 {
         |  CAST(list_aggregate(list_transform(code,
         |    x -> abs(CAST(x AS BIGINT))), 'sum') AS BIGINT) AS l1
         |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // The formula lives in Int8Index.int8Code (round-13): the IVF-SQ8
+      // index (sim_ann_int8) stores EXACTLY this record, provably —
+      // both bind the same column expression. tinyint→string prints the
+      // same digits the old int cast did, so the oracle is unchanged.
       T.embeddings(s, d)
-        .withColumn("scale", greatest(
-          array_max(transform(col("embedding"),
-            x => abs(x.cast("double")))) / lit(127.0),
-          lit(1e-30)))
         .select(col("vec_id"), col("label"),
-          transform(col("embedding"),
-            x => round(x.cast("double") / col("scale"), 0).cast("int"))
-            .as("code"))
+          graft.ops.Int8Index.int8Code(col("embedding")).as("code"))
         .select(col("vec_id"), col("label"),
           array_join(transform(col("code"), _.cast("string")), ",")
             .as("code_str"),

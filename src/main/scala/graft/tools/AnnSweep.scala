@@ -30,7 +30,7 @@ object AnnSweep {
     // Section filter for quick re-sweeps (e.g. SWEEP_SECTIONS=lsh,thr).
     val sections = sys.env.get("SWEEP_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("lsh", "thr", "pq", "ivf", "ivfpq"))
+      .getOrElse(Set("lsh", "thr", "pq", "ivf", "ivfpq", "int8"))
     def intsEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
     val nbitsGrid = intsEnv("SWEEP_NBITS", Seq(4, 6))
@@ -135,6 +135,23 @@ object AnnSweep {
           .select("q_id", "nb_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         println(f"IVFPQ kCells=16 rc=$rc qp=$qp refine=$refine S=$s%4d ($sFrac%2d%%) " +
+          f"match=${(qtruth & got).size}/${qtruth.size} " +
+          f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      // IVF-SQ8: per-query top-10 containment like PQ/IVFPQ, candidates
+      // scored on int8 codes — sweep (rc × qp × shortlist fraction) for
+      // the containment edge at the lowest probe + shortlist budget.
+      if (sections("int8"))
+      for (rc <- intsEnv("SWEEP_RC", Seq(2, 3));
+           qp <- intsEnv("SWEEP_QP", Seq(4, 5, 6, 7));
+           sFrac <- intsEnv("SWEEP_SFRAC", Seq(10, 15, 20, 25, 35))) {
+        val s = math.max(1, (nCorpus * sFrac / 100).toInt)
+        val t0 = System.nanoTime()
+        val got = graft.ops.Int8Index.search(embs, nq = 8, kCells = 16,
+          rc = rc, qp = qp, shortlist = s, topK = 10, refine = 1)
+          .select("q_id", "nb_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"INT8 kCells=16 rc=$rc qp=$qp S=$s%4d ($sFrac%2d%%) " +
           f"match=${(qtruth & got).size}/${qtruth.size} " +
           f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
