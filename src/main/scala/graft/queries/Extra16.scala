@@ -181,6 +181,69 @@ object Extra16 {
       bpePairsOf(T.documents(s, d).select("text"))
     },
 
+    // ITERATIVE BPE TRAINING (round-13) — the merge LOOP text_bpe_pairs
+    // declared round 1 of: 4 rounds of count-pairs → argmax → greedy
+    // merge over the frequency-compressed vocabulary (ops/BpeTrainer —
+    // token state as a chr(31)-joined string, merge = one literal
+    // replace, left-to-right non-overlapping on BOTH engines = greedy
+    // BPE). Output per round: the picked pair, its weighted count at
+    // pick time, and the corpus token total AFTER the merge — the total
+    // gates merge APPLICATION (overlap handling included), not just
+    // pair ranking. The oracle unrolls the identical 4 rounds as a CTE
+    // chain (the sql_recursive per-round materialization discipline);
+    // argmax ties break (n DESC, a, b) under binary string order on
+    // both engines. Scale: every round is two vocab-sized rollups + a
+    // 1-row broadcast — corpus-independent after the word-count rollup
+    // (Heaps' law), the SentencePiece trainer's operating model.
+    "text_bpe_merge" -> Q(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |wf0 AS (SELECT array_to_string([word[i] for i in range(1, length(word)+1)], chr(31)) AS ws,
+        |               COUNT(*) AS f
+        |        FROM w WHERE length(word) >= 2 GROUP BY 1),
+        |p1 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf0) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        |wf1 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf0, b1),
+        |t1 AS (SELECT SUM(f * len(string_split(ws, chr(31)))) AS tot FROM wf1),
+        |p2 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf1) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        |wf2 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf1, b2),
+        |t2 AS (SELECT SUM(f * len(string_split(ws, chr(31)))) AS tot FROM wf2),
+        |p3 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf2) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+        |wf3 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf2, b3),
+        |t3 AS (SELECT SUM(f * len(string_split(ws, chr(31)))) AS tot FROM wf3),
+        |p4 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf3) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a, b LIMIT 1),
+        |wf4 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf3, b4),
+        |t4 AS (SELECT SUM(f * len(string_split(ws, chr(31)))) AS tot FROM wf4)
+        |SELECT CAST(1 AS INT) AS round, a AS p1, b AS p2, CAST(n AS BIGINT) AS n_occ,
+        |       CAST((SELECT tot FROM t1) AS BIGINT) AS tot_tokens FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), a, b, CAST(n AS BIGINT),
+        |       CAST((SELECT tot FROM t2) AS BIGINT) FROM b2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), a, b, CAST(n AS BIGINT),
+        |       CAST((SELECT tot FROM t3) AS BIGINT) FROM b3
+        |UNION ALL
+        |SELECT CAST(4 AS INT), a, b, CAST(n AS BIGINT),
+        |       CAST((SELECT tot FROM t4) AS BIGINT) FROM b4
+        |ORDER BY round""".stripMargin) { (s, d) =>
+      graft.ops.BpeTrainer.merges(T.documents(s, d).select("text"), 4)
+    },
+
     // BIGRAM LANGUAGE MODEL conditionals: P(w2 | w1) = c(w1,w2)/c(w1,·)
     // with the top-3 continuations per context — the n-gram scoring
     // primitive perplexity/fluency quality filters are built on (the
