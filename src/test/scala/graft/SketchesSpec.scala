@@ -505,4 +505,50 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.keySet == dct.keySet && m.keySet.nonEmpty)
     for ((src, sig) <- m) assert(sig == dct(src), s"merge mismatch for $src")
   }
+
+  test("production τ=0.95: planted-near-dup recall complete at declared " +
+    "tables AND one notch weaker; the T=1 edge is real (r13 probe)") {
+    // Every other LSH gate runs at the fixture-forced τ=0.44 design
+    // point; lshParamsFor's claim that the table law is CONSERVATIVE at
+    // production τ≈0.95 was analytic only (VERDICT r12 #3). This pins
+    // the tools/LshTauProbe measurement on its seeded planted corpora
+    // (deterministic pipelines — exact counts): 40 replicas rotated to
+    // cosine ∈ [0.952, 0.985] over gaussian base vectors, at the two
+    // law bit depths. Measured edges: recall 40/40 from T=2 at BOTH
+    // nbits=6 (N=2000) and nbits=9 (N=16000); T=1 misses 1 resp. 4 —
+    // so the declared Threshold tables (16; law-scaled ~24 at 9 bits)
+    // carry ≥8× margin at production τ, and the edge is measured, not
+    // structural. N=16000 is pinned at the edge + an arithmetic margin
+    // assertion instead of the full law tables — a 24-table run on the
+    // spec's 4 threads buys no extra information for its cost.
+    import graft.ops.Sketches
+    def recall(embs: org.apache.spark.sql.DataFrame,
+        truth: Seq[(Long, Long)], nbits: Int, t: Int): Int = {
+      val got = Sketches.annPairs(embs, nbits = nbits, tables = t, probe = 1)
+        .filter(col("sim") >= 0.95)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth.toSet & got).size
+    }
+    val (e2k, t2k) = graft.tools.LshTauProbe.plantedCorpus(spark, 1960, 40)
+    val c2k = e2k.persist()
+    val declared = Sketches.lshParamsFor(2000, Sketches.LshDemand.Threshold)
+    assert(declared.nbits == 6 && declared.tables == 16, declared)
+    assert(recall(c2k, t2k, 6, declared.tables) == 40, "declared missed")
+    assert(recall(c2k, t2k, 6, declared.tables - 2) == 40, "notch missed")
+    assert(recall(c2k, t2k, 6, 2) == 40, "measured T=2 edge regressed")
+    assert(recall(c2k, t2k, 6, 1) < 40,
+      "T=1 unexpectedly recall-complete — re-run tools/LshTauProbe")
+    c2k.unpersist()
+    val (e16k, t16k) = graft.tools.LshTauProbe.plantedCorpus(spark, 15960, 40)
+    val c16k = e16k.persist()
+    assert(Sketches.lshBitsFor(16000) == 9)
+    assert(recall(c16k, t16k, 9, 2) == 40, "measured T=2 edge regressed")
+    assert(recall(c16k, t16k, 9, 1) < 40,
+      "T=1 unexpectedly recall-complete — re-run tools/LshTauProbe")
+    val law = Sketches.lshParamsFor(16000, Sketches.LshDemand.Threshold)
+    assert(law.nbits == 9 && law.tables >= 8 * 2,
+      s"law tables lost the >=8x margin over the measured edge: $law")
+    c16k.unpersist()
+  }
 }
