@@ -80,6 +80,28 @@ object Q {
   def readStagedParquet(spark: SparkSession, path: String): DataFrame =
     sessionMemo(spark, "read|" + path)(spark.read.parquet(path))
 
+  /** Conf-gated persist for pipeline INTERMEDIATES (the sketch/dedup/
+    * ANN/graph multi-branch pipelines): `spark.graft.sketch.persistLevel`
+    * picks the storage level — default MEMORY_AND_DISK (the measured-
+    * fastest level on the bench box), `DISK_ONLY` for memory-constrained
+    * executors, `NONE` to disable persistence entirely (branches
+    * recompute — slower, never wrong; SketchesSpec pins the equality).
+    * The knob exists because these persists are sized by the CORPUS
+    * (skinny signature/label relations, but still O(N) rows): at 100 TB
+    * MEMORY_AND_DISK intermediates can evict hot executor memory or
+    * fill local disks, and the right level is a deployment decision,
+    * not a code constant (VERDICT r12 #6). Unknown values fail by name
+    * via StorageLevel.fromString.
+    */
+  def sketchPersist(df: DataFrame): DataFrame =
+    df.sparkSession.conf
+      .get("spark.graft.sketch.persistLevel", "MEMORY_AND_DISK")
+      .toUpperCase match {
+      case "NONE" => df
+      case lvl =>
+        df.persist(org.apache.spark.storage.StorageLevel.fromString(lvl))
+    }
+
   /** Per-SESSION memo for staged per-JVM state (staged-dir reads, index
     * dimension probes). Keyed on the SparkSession INSTANCE inside a
     * WeakHashMap (ADVICE r12): the previous identityHashCode-string key

@@ -109,7 +109,7 @@ object Components {
       case _ => false
     }
     val ed = edges.select(col("id1").as("s"), col("id2").as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     if (integralIds && localSolveMaxEdges > 0) {
       try {
         val labels = localSolveEdgesOnly(ed, idType, localSolveMaxEdges)
@@ -146,7 +146,7 @@ object Components {
     // this it would recompute per consumer.
     val sym = edges.select(col("id1").as("s"), col("id2").as("t"))
       .union(edges.select(col("id2").as("s"), col("id1").as("t")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     // Branch on the measured subgraph size. The count doubles as the
     // persist's materialization action — work the first round's join
     // would otherwise have absorbed, not an extra pass over the pairs.
@@ -183,7 +183,7 @@ object Components {
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Q.sketchPersist)
       // Pointer jumping: adopt rep(rep). Labels are ≤ their node id and
       // monotonically shrinking, so this only ever tightens — it halves
       // the remaining path to the component minimum each round.
@@ -276,7 +276,7 @@ object Components {
       }
       .toDF("id", "rep")
       .select(col("id").cast(idType).as("id"), col("rep").cast(idType).as("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     // Materialize before the caller unpersists the pair blocks; on ANY
     // failure (too-large marker or genuine) release the half-built cache
     // entry — otherwise a later equivalent plan would get the dead

@@ -64,9 +64,9 @@ object IncrementalDedup {
     // branched twice (banding + verify), so persist the skinny
     // (doc_id, array<long>) rows once each.
     val hf = Sketches.hashedShingles(fresh.select("doc_id", "text"), shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     val hc = Sketches.hashedShingles(corpus.select("doc_id", "text"), shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     val bf = Sketches.bandedSigs(Sketches.signaturesOf(hf, k), bands, rows)
       .select(col("doc_id").as("fid"), col("band"), col("bsig"))
     val bc = Sketches.bandedSigs(Sketches.signaturesOf(hc, k), bands, rows)

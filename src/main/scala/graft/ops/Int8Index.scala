@@ -66,7 +66,7 @@ object Int8Index {
   def buildIndex(embs: DataFrame, kCells: Int, rc: Int,
       refine: Int): (DataFrame, DataFrame) = {
     val cents = IvfIndex.centroids(embs, kCells, refine)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     val codes = IvfIndex.assignTo(embs, cents, nProbe = rc)
       .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("cid"), int8Code(col("embedding")).as("code"))

@@ -103,7 +103,7 @@ object IvfIndex {
     // + the arg-top fold) runs once.
     val cells = assign(embs, k, nProbe, refine)
       .groupBy("vec_id").agg(sort_array(collect_list(col("cid"))).as("cells"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     pairsFromCells(cells, embs, broadcastReattach)
   }
 

@@ -73,7 +73,7 @@ object IvfPq {
     // Centroids feed assignment AND two residual joins — persist (lazy)
     // so the Lloyd lineage runs once; kilobytes either way.
     val cents = IvfIndex.centroids(embs, kCells, refine)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     val asg = IvfIndex.assignTo(embs, cents, nProbe = rc)
     // Corpus residuals per (vector, cell): v - centroid(cell).
     val resid = asg.filter(col("probe_rank") <= rc)
@@ -81,7 +81,7 @@ object IvfPq {
       .join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"), col("probe_rank"),
         zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("resid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     // Shared residual codebooks (j, ccode, cbvec), seeded from the k
     // lowest-vec_id PRIMARY residuals — the PqIndex seeding discipline
     // applied to residual space (rounds = 0 on the fixtures, like

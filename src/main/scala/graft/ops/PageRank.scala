@@ -49,7 +49,7 @@ object PageRank {
     // persist carries it ACROSS checkpoint barriers for deep runs.
     // Released by the caller's cache scope / LRU eviction.
     val ed = e.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     val nv = v.agg(count(lit(1)).as("nv"))
     var r = v.join(broadcast(nv))
       .select(col("vid"), expr("1000000000000L div nv").as("r"))

@@ -18,11 +18,14 @@ import org.apache.spark.storage.StorageLevel
   * exact verification.
   *
   * Cache lifecycle: the multi-branch pipelines persist their skinny
-  * intermediates (MEMORY_AND_DISK) and cannot unpersist them — the
-  * returned DataFrame is lazy. Entries age out via Spark's LRU block
-  * eviction; a long-lived service that builds these repeatedly should
-  * call `spark.catalog.clearCache()` between jobs (or persist the
-  * signature relation to a table, the production shape).
+  * intermediates (via [[graft.Q.sketchPersist]] — MEMORY_AND_DISK by
+  * default, `spark.graft.sketch.persistLevel` overrides to DISK_ONLY
+  * or NONE for memory-constrained deployments; r12 VERDICT #6) and
+  * cannot unpersist them — the returned DataFrame is lazy. Entries age
+  * out via Spark's LRU block eviction; a long-lived service that
+  * builds these repeatedly should call `spark.catalog.clearCache()`
+  * between jobs (or persist the signature relation to a table, the
+  * production shape).
   */
 object Sketches {
 
@@ -255,7 +258,7 @@ object Sketches {
     // across the self-join dedup, so materialize explicitly — the same
     // move a production pipeline makes by writing the signature table out
     // once. Skinny (doc_id, array<long>) rows: spill-safe MEMORY_AND_DISK.
-    val hs = hashedShingles(docs, shingleN).persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = hashedShingles(docs, shingleN).transform(graft.Q.sketchPersist)
     val cands = lshCandidates(signaturesOf(hs, k), bands, rows)
     val a = hs.select(col("doc_id").as("id1"), col("hs").as("g1"))
     val b = hs.select(col("doc_id").as("id2"), col("hs").as("g2"))
@@ -303,7 +306,7 @@ object Sketches {
       .select(col("doc_id"), simhash("text").as("sh"))
     val banded = hashed.select(col("doc_id"), col("sh"), posexplode(expr(
       "transform(sequence(0, 3), q -> (sh >> (q * 16)) & 65535)")).as(Seq("q", "qv")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     val l = banded.select(col("doc_id").as("id1"), col("sh").as("sh1"), col("q"), col("qv"))
     val r = banded.select(col("doc_id").as("id2"), col("sh").as("sh2"),
       col("q").as("q2"), col("qv").as("qv2"))
@@ -404,7 +407,7 @@ object Sketches {
         gn.sign_lsh_buckets(col("embedding"), nbits, tables).as("bks"))
       .select(col("vec_id"), expr(anchorsExpr).as("anchors"),
         expr(probedExpr).as("probes"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     // Re-attach embeddings only after the skinny exactly-once pair
     // projection — shuffling the float arrays through the bucket join
     // is the expensive wrong plan.

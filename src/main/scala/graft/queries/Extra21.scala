@@ -291,7 +291,7 @@ object Extra21 {
         when(col("o_orderkey") % 7 === 0, lit("1-URGENT"))
           .otherwise(col("o_orderpriority")).as("pn"))
       val cells = o.groupBy("po", "pn").agg(count(lit(1)).as("c"))
-        .persist()
+        .transform(graft.Q.sketchPersist)
       val tot = cells.agg(sum("c").as("t"))
       val old = cells.groupBy(col("po").as("bin")).agg(sum("c").as("n_old"))
       val nw = cells.groupBy(col("pn").as("bin")).agg(sum("c").as("n_new"))

@@ -481,7 +481,7 @@ object Extra5 {
           greatest(col("v"), col("o")).as("b"))
         .agg(min(struct(col("dg"), col("v"), col("o"))).as("m"))
         .select(col("m.v").as("s"), col("m.o").as("t"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Q.sketchPersist)
       val e1 = e.select(col("s").as("s1"), col("t").as("t1"))
       val e2 = e.select(col("s").as("s2"), col("t").as("t2"))
       val e3 = e.select(col("s").as("s3"), col("t").as("t3"))

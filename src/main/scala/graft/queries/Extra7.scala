@@ -111,7 +111,7 @@ object Extra7 {
         .select(col("source"), col("doc_id"),
           explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Q.sketchPersist)
       val f = w.groupBy("word").agg(count(lit(1)).as("nw"))
       val t = f.agg(sum("nw").as("ntot"))
       val u = f.crossJoin(broadcast(t))

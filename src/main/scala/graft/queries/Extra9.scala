@@ -103,7 +103,7 @@ object Extra9 {
       // ContainProbe r11). Same doc-length bound on both.
       .select(col("doc_id"), expr("transform(sg, x -> x.g)").as("grams"),
         expr("sort_array(transform(sg, x -> x.g))").as("gsorted"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Q.sketchPersist)
     val probe = docGrams.select(col("doc_id").as("id1"), explode(expr(
       "slice(grams, 1, cast(floor(size(grams) * 0.2) as int) + 1)")).as("g"))
     val index = docGrams.select(col("doc_id").as("id2"),

@@ -506,6 +506,38 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((src, sig) <- m) assert(sig == dct(src), s"merge mismatch for $src")
   }
 
+  test("spark.graft.sketch.persistLevel: NONE and DISK_ONLY leave every " +
+    "pipeline byte-identical (persistence is a deployment knob, not semantics)") {
+    // The sketch/ANN/graph pipelines persist corpus-sized intermediates
+    // (r12 VERDICT #6: at 100 TB those persists are disk-sized and the
+    // right storage level is a deployment decision). The conf must only
+    // change WHERE branches recompute from — never what they compute.
+    // Unknown levels fail by name (StorageLevel.fromString).
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, sf)
+    def runAll(): Seq[Seq[String]] = {
+      val scope = graft.ops.CacheScope.begin(spark)
+      try Seq(
+        graft.ops.Sketches.minhashNearDups(docs, threshold = 0.5)
+          .orderBy("id1", "id2").collect().map(_.toString).toSeq,
+        graft.ops.IvfIndex.annPairs(embs, 16, 5, refine = 1)
+          .orderBy("id1", "id2").collect().map(_.toString).toSeq,
+        graft.ops.Int8Index.search(embs, nq = 4, kCells = 8, rc = 2,
+          qp = 4, shortlist = 64, topK = 5).collect().map(_.toString).toSeq)
+      finally { scope.release(); spark.sharedState.cacheManager.clearCache() }
+    }
+    val base = runAll()
+    for (lvl <- Seq("NONE", "DISK_ONLY")) {
+      spark.conf.set("spark.graft.sketch.persistLevel", lvl)
+      try assert(runAll() == base, s"pipelines diverged at persistLevel=$lvl")
+      finally spark.conf.unset("spark.graft.sketch.persistLevel")
+    }
+    spark.conf.set("spark.graft.sketch.persistLevel", "BOGUS")
+    try intercept[IllegalArgumentException] {
+      graft.ops.Sketches.minhashNearDups(docs, threshold = 0.5).count()
+    } finally spark.conf.unset("spark.graft.sketch.persistLevel")
+  }
+
   test("production τ=0.95: planted-near-dup recall complete at declared " +
     "tables AND one notch weaker; the T=1 edge is real (r13 probe)") {
     // Every other LSH gate runs at the fixture-forced τ=0.44 design
