@@ -63,6 +63,8 @@ object Plans {
     "dedup_containment" -> "containment dedup: df-capped inverted-index equi-join, ordered-pair counts, size attach on doc_id",
     "layout_zorder" -> "z-order layout: 1-row broadcast stats frame, map-side Morton key, 32-group two-phase rollup",
     "sim_ann_ivfpq" -> "IVF-PQ: broadcast centroids/codebooks/LUT, per-cell ADC equi-join touching probed cells only, bounded-heap shortlist + rerank",
+    "sim_ann_int8" -> "IVF-SQ8: staged int8 code table, probed-cell equi-join, native code-cosine scoring, bounded-heap shortlist + fp32 rerank",
+    "text_bpe_merge" -> "iterative BPE: per-round vocab rollup, TakeOrdered(1) argmax broadcast back as the merge, lineage cut per round",
     "sample_bottomk" -> "deterministic bottom-k sample: TakeOrderedAndProject over md5 priority, per-partition heaps, no global sort",
     "agg_sketch_merge" -> "re-aggregatable HLL: nation-level sketches built in one scan, region rollup merges sketches (hll_union_agg)",
     "layout_bucketed" -> "bucketed co-located join: both scans Bucketed: true, zero exchanges below the join",

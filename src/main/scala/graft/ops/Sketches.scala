@@ -448,13 +448,39 @@ object Sketches {
     * flip relation is symmetric). Both inputs: (vec_id, embedding).
     */
   def annJoin(fresh: DataFrame, corpus: DataFrame, p: LshParams,
-      broadcastReattach: Boolean = true): DataFrame = {
+      broadcastReattach: Boolean = true): DataFrame =
+    annJoinWith(fresh, corpus, corpusAnchors(corpus, p), p, broadcastReattach)
+
+  /** The corpus-side bucket ANCHORS of [[annJoin]] — (id2, tbl2,
+    * bucket2), one row per (vector, table). Exposed separately because
+    * at scale this relation is INGEST-TIME STATE: it only needs
+    * APPENDING as the corpus grows, and persisting it across
+    * micro-batches is the production form of the streaming admission
+    * gate ([[IncrementalDedup.admitNovelSemantic]]'s `stageCorpus` —
+    * AdmitRateProbe measured staging at ~2× throughput on small
+    * batches / ~1.3× on large; the probe also showed the LARGER lever
+    * is τ-appropriate table counts — see its doc).
+    */
+  def corpusAnchors(corpus: DataFrame, p: LshParams): DataFrame = {
     import org.apache.spark.sql.graft.{native => gn}
-    def buckets(df: DataFrame) = graft.Q.spreadBy(df, "vec_id")
+    graft.Q.spreadBy(corpus, "vec_id")
+      .select(col("vec_id").as("id2"), posexplode(
+        gn.sign_lsh_buckets(col("embedding"), p.nbits, p.tables))
+        .as(Seq("tbl2", "bucket2")))
+  }
+
+  /** [[annJoin]] against a prebuilt corpus anchor relation (same rows
+    * as [[corpusAnchors]] — the caller may have persisted or staged
+    * it). `corpus` itself is still needed for the exact-cosine
+    * reattach of candidate ids.
+    */
+  def annJoinWith(fresh: DataFrame, corpus: DataFrame, anchors: DataFrame,
+      p: LshParams, broadcastReattach: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.{native => gn}
+    val bf0 = graft.Q.spreadBy(fresh, "vec_id")
       .select(col("vec_id"), posexplode(
         gn.sign_lsh_buckets(col("embedding"), p.nbits, p.tables))
         .as(Seq("tbl", "bucket")))
-    val bf0 = buckets(fresh)
     val bf =
       if (p.probe == 0) bf0.select(col("vec_id").as("id1"), col("tbl"), col("bucket"))
       else bf0.select(col("vec_id").as("id1"), col("tbl"),
@@ -463,9 +489,7 @@ object Sketches {
              |  CASE WHEN i = 0 THEN bucket
              |       ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), i - 1) END)"""
             .stripMargin)).as("bucket"))
-    val bc = buckets(corpus).select(col("vec_id").as("id2"),
-      col("tbl").as("tbl2"), col("bucket").as("bucket2"))
-    val cands = bf.join(bc,
+    val cands = bf.join(anchors,
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2"))
       .select("id1", "id2").distinct()
     def side(src: DataFrame, idCol: String, eCol: String): DataFrame = {

@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Throughput probe for the streaming SEMANTIC ADMISSION gate
+  * (IncrementalDedup.admitNovelSemantic) — VERDICT r12 #7: the
+  * correctness of the gate is StreamingSpec-pinned, but the streaming-
+  * dedup claim carried no RATE. Script: a 16,000-vector standing corpus
+  * (the LshTauProbe seeded generator — production-shaped: nbits lands
+  * on 9 under the occupancy law), admission batches of three sizes,
+  * each batch HALF novel vectors / HALF replicas of corpus vectors at
+  * cosine ≥ 0.96 (so both the probe-join and the drop path do real
+  * work; admitted counts are asserted = novel counts per batch, every
+  * batch, both forms). Per batch size, 3 batches are timed after one
+  * warm batch; the rate is rows / median batch wall time.
+  *
+  * MEASURED (this box, r13, local[16], corpus 16k × 64-dim, τ = 0.95):
+  *
+  *   production-τ params (nbits 9, tables 8 = LshTauProbe edge ×4):
+  *     recompute-per-batch: 1k → 252 · 4k → 763 · 16k →   945 rows/s
+  *     stageCorpus = true:  1k → 490 · 4k → 1,240 · 16k → 1,221 rows/s
+  *   τ=0.44-designed law point (lshParamsFor → nbits 9, tables 49):
+  *     recompute-per-batch: ~330-430 rows/s FLAT across batch sizes
+  *     (candidate volume scales with tables·(1+nbits); at 49 tables the
+  *     probe join emits ~6× the candidates a 0.95 gate needs)
+  *
+  * Two findings, in order of size: (1) the TABLE COUNT is the dominant
+  * lever — an admission gate must be parameterized for its ACTUAL τ
+  * (the law point exists for τ=0.44 threshold recall; at τ=0.95 it
+  * buys nothing but candidate volume, 2.2-2.9× slower end-to-end);
+  * (2) staging the corpus anchors (`stageCorpus = true`) buys ~2× at
+  * small batches (where the per-batch anchor rebuild is a fixed cost)
+  * and ~1.3× at large (where the candidate join dominates), at the
+  * documented growing-corpus restriction. Both forms' admitted sets
+  * are asserted identical to the planted truth on every batch.
+  */
+object AdmitRateProbe {
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val nCorpus = 16000
+    val dim = 64
+    val (corpusDf, _) = LshTauProbe.plantedCorpus(spark, nCorpus, 0, dim)
+    val corpus = corpusDf.persist()
+    println(s"corpus rows = ${corpus.count()}")
+    // Production-τ parameterization: the admission gate runs at τ=0.95,
+    // where LshTauProbe measured the recall edge at T=2 on this exact
+    // bit depth — 8 tables is the edge ×4 margin. The τ=0.44-designed
+    // law point (lshParamsFor → 49 tables) was also measured (below):
+    // it is recall-overkill for 0.95 and its candidate volume caps
+    // throughput at ~400 rows/s regardless of batch size.
+    val p = graft.ops.Sketches.LshParams(nbits = 9, tables = 8, probe = 1)
+    println(s"params = $p (law point: ${graft.ops.Sketches.lshParamsFor(
+      nCorpus.toLong, graft.ops.Sketches.LshDemand.Threshold)})")
+
+    // Deterministic batch generator: half fresh unit vectors (novel),
+    // half rotated replicas of corpus rows at cosine ~0.96-0.985
+    // (dropped). Same rotation math as LshTauProbe.plantedCorpus.
+    val rnd = new scala.util.Random(41)
+    val corpusVecs = corpus.orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    var nextId = 1000000L
+    def batch(size: Int): (Seq[(Long, Array[Float])], Set[Long]) = {
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+      val novel = scala.collection.mutable.Set[Long]()
+      (0 until size).foreach { i =>
+        val id = nextId; nextId += 1
+        if (i % 2 == 0) {
+          rows += ((id, unit().map(_.toFloat))); novel += id
+        } else {
+          val v = corpusVecs(rnd.nextInt(corpusVecs.length))
+          val g = unit()
+          val dot = v.zip(g).map { case (a, b) => a * b }.sum
+          val o = g.zip(v).map { case (b, a) => b - dot * a }
+          val on = math.sqrt(o.map(x => x * x).sum)
+          val u = o.map(_ / on)
+          val c = 0.96 + 0.025 * rnd.nextDouble()
+          val s = math.sqrt(1.0 - c * c)
+          rows += ((id, v.zip(u).map { case (a, b) => (c * a + s * b).toFloat }))
+        }
+      }
+      (rows.toSeq, novel.toSet)
+    }
+
+    for (stage <- Seq(false, true)) {
+      val input = MemoryStream[(Long, Array[Float])]
+      val admitted = scala.collection.mutable.Set[Long]()
+      val q = graft.ops.IncrementalDedup.admitNovelSemantic(
+          input.toDF().toDF("vec_id", "embedding"), corpus, p, tau = 0.95,
+          stageCorpus = stage) {
+        (b, _) =>
+          val ids = b.select("vec_id").collect().map(_.getLong(0))
+          admitted.synchronized { admitted ++= ids }
+      }.start()
+      for (size <- Seq(1000, 4000, 16000)) {
+        // one warm batch (codegen/plan/anchor persist), then 3 timed
+        val (w, wn) = batch(size)
+        admitted.clear(); input.addData(w); q.processAllAvailable()
+        require(admitted.toSet == wn, s"warm batch admitted wrong set @ $size")
+        val times = (1 to 3).map { _ =>
+          val (rows, novel) = batch(size)
+          admitted.clear()
+          val t0 = System.nanoTime()
+          input.addData(rows); q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          require(admitted.toSet == novel,
+            s"admitted set wrong @ size=$size: ${admitted.size} vs ${novel.size}")
+          dt
+        }.sorted
+        val med = times(1)
+        println(f"ADMIT staged=$stage%-5s batch=$size%6d " +
+          f"times=${times.map(t => f"$t%.2f").mkString("/")} " +
+          f"median=$med%.2fs rate=${size / med}%.0f rows/s")
+      }
+      q.stop()
+      // drop the staged anchors (and the corpus cache — re-pinned below;
+      // it rebuilds from driver-local rows, not worth excluding)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      corpus.persist().count()
+    }
+    spark.stop()
+  }
+}

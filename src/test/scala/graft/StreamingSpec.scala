@@ -244,26 +244,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def unit(i: Int): Array[Float] =
       Array.tabulate(dim)(j => if (j == i) 1f else 0f)
     val corpus = Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding")
-    val input = MemoryStream[(Long, Array[Float])]
     val p = graft.ops.Sketches.LshParams(nbits = 6, tables = 10, probe = 1)
-    val got = scala.collection.mutable.ArrayBuffer[Long]()
-    val q = graft.ops.IncrementalDedup.admitNovelSemantic(
-        input.toDF().toDF("vec_id", "embedding"), corpus, p, tau = 0.6) {
-      (batch, _) =>
-        val ids = batch.select("vec_id").collect().map(_.getLong(0))
-        got.synchronized { got ++= ids }
-    }.start()
-    // near-but-not-identical corpus-2 neighbor: cosine ~ 0.98 >= tau
-    val near2 = Array.tabulate(dim)(j =>
-      if (j == 1) 0.98f else if (j == 2) 0.2f else 0f)
-    input.addData((10L, unit(0)), (11L, unit(3))) // 10 = corpus dup, 11 novel
-    q.processAllAvailable()
-    input.addData((12L, near2), (13L, unit(3)))   // 12 near corpus → dropped;
-                                                  // 13 dups a STREAM doc only
-                                                  // → still admitted
-    q.processAllAvailable()
-    q.stop()
-    assert(got.sorted.toSeq == Seq(11L, 13L), s"semantic admission wrong: $got")
+    // Both corpus-side forms must admit the identical set: recompute-
+    // per-batch (default — growing corpus picked up without restart)
+    // and stageCorpus = true (anchors persisted once — the production
+    // standing-corpus form, AdmitRateProbe's throughput winner).
+    for (staged <- Seq(false, true)) {
+      val input = MemoryStream[(Long, Array[Float])]
+      val got = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = graft.ops.IncrementalDedup.admitNovelSemantic(
+          input.toDF().toDF("vec_id", "embedding"), corpus, p, tau = 0.6,
+          stageCorpus = staged) {
+        (batch, _) =>
+          val ids = batch.select("vec_id").collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }
+      }.start()
+      // near-but-not-identical corpus-2 neighbor: cosine ~ 0.98 >= tau
+      val near2 = Array.tabulate(dim)(j =>
+        if (j == 1) 0.98f else if (j == 2) 0.2f else 0f)
+      input.addData((10L, unit(0)), (11L, unit(3))) // 10 = corpus dup, 11 novel
+      q.processAllAvailable()
+      input.addData((12L, near2), (13L, unit(3)))   // 12 near corpus → dropped;
+                                                    // 13 dups a STREAM doc only
+                                                    // → still admitted
+      q.processAllAvailable()
+      q.stop()
+      assert(got.sorted.toSeq == Seq(11L, 13L),
+        s"semantic admission wrong (staged=$staged): $got")
+    }
   }
 
   test("streaming dropDuplicates matches the declared batch dedup shape") {
