@@ -29,7 +29,11 @@ object Extra18 {
     // each recursive step is a full frontier-against-base shuffle join
     // and a driver-side iteration barrier, so tree ARITY is the lever —
     // log32 levels cost ~3x less wall-clock than log2 for the same node
-    // count (measured 2.15s binary / 1.32 8-ary / 0.97 32-ary at sf0.1), the same reason production hierarchy walks batch levels). Spark executes
+    // count (measured 2.15s binary / 1.32 8-ary / 0.97 32-ary at sf0.1), the same reason production hierarchy walks batch levels;
+    // r13 floor note: at 32-ary the remaining ~1 s is the per-level
+    // driver barrier × ⌈log32 N⌉ levels plus the final rollup — the
+    // arity lever is spent, and pushing arity further only shifts work
+    // into a wider per-level join for the same barrier count). Spark executes
     // each recursive step as a distributed join of the frontier against
     // the base relation (UNION ALL semantics only — the probe-verified
     // 4.1.2 surface; UNION-distinct recursion is unsupported), so the

@@ -416,33 +416,36 @@ object Extra2 {
         |WHERE rn <= 3
         |ORDER BY doc_id, word""".stripMargin) {
       // TF-IDF top-3 terms per document — the quality-scoring/feature
-      // primitive of a text pipeline. Shapes that scale: tf and df are
-      // two-phase aggs on (doc, word)/(word); the doc count broadcasts
-      // (1 row); ranking shuffles once on doc_id. df derives FROM tf
-      // (its rows are already distinct (doc,word) pairs, so the
-      // expensive countDistinct collapses to a plain count) and the doc
-      // count comes from the raw table — the explode+shuffle word
-      // relation is built twice instead of four times. df BROADCASTS:
-      // it is vocab-sized, and vocabulary grows sublinearly in corpus
-      // size (Heaps' law — tens of millions of terms at petabyte
-      // scale, megabytes as a (word, count) relation), so shipping it
-      // beats re-exchanging the corpus-sized tf relation by word on
-      // both join sides (measured 1.20 → 0.83 s at sf0.1: the word
-      // SortMergeJoin was a third of this query).
+      // primitive of a text pipeline. Shape (r13 rework, TfidfProbe
+      // A/B'd byte-equal, min 1.07 → 0.88 at sf0.1): ONE up-front
+      // doc_id repartition of the RAW documents makes every doc-side
+      // stage exchange-free — HashPartitioning(doc_id) satisfies both
+      // the (doc_id, word) tf grouping and the top-k clustering (the
+      // subset rule) — and the rank window is the bounded-heap
+      // TopKPerGroup exec (no per-partition sort). df derives FROM tf
+      // (its rows are already distinct (doc,word) pairs, so
+      // countDistinct collapses to a plain count) and BROADCASTS: it is
+      // vocab-sized — sublinear in corpus size (Heaps' law), megabytes
+      // at petabyte scale — so shipping it beats re-exchanging the
+      // corpus-sized tf relation (measured 1.20 → 0.83 in r10). The
+      // 100 TB trade of the up-front repartition: shuffle raw text
+      // ONCE instead of tf partials twice + a window sort — holds as
+      // long as per-doc distinct-word bytes ≈ text bytes, which
+      // natural text gives.
       (s, d) =>
-        val words = T.documents(s, d)
+        val gn = org.apache.spark.sql.graft.native
+        val docs = T.documents(s, d)
+        val words = graft.Q.spreadBy(docs.select("doc_id", "text"), "doc_id")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        val n = T.documents(s, d).agg(countDistinct("doc_id").as("n"))
-        val byScore = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("word"))
-        tf.join(broadcast(df), "word").crossJoin(broadcast(n))
+        val n = docs.agg(countDistinct("doc_id").as("n"))
+        val sc = tf.join(broadcast(df), "word").crossJoin(broadcast(n))
           .select(col("doc_id"), col("word"),
             round(col("tf") * log(col("n").cast("double") / col("df")), 6)
               .cast(DecimalType(18, 6)).as("score"))
-          .withColumn("rn", row_number().over(byScore))
-          .filter(col("rn") <= 3)
+        gn.top_k_per_group(sc, Seq("doc_id"),
+            Seq(col("score").desc, col("word").asc), 3)
           .select("doc_id", "word", "score")
           .orderBy("doc_id", "word")
     }

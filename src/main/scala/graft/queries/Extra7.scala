@@ -205,7 +205,11 @@ object Extra7 {
     // the unordered source pair. Ground-truth oracle: DuckDB
     // recomputes the exact ≥0.5-Jaccard pair set via its
     // inverted-index self-join — a hash fail means LSH dropped a true
-    // cross-source near-dup.
+    // cross-source near-dup. Perf floor (r13): this query IS
+    // minhashNearDups (dedup_minhash's whole pipeline, ~1.0 s at
+    // sf0.1) plus two broadcast attaches and a ≤|sources|²-row rollup
+    // — its driver-visible time tracks dedup_minhash's by
+    // construction; any future cut lands in ops/Sketches, not here.
     "dedup_cross_source" -> Q(
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM '{sfDir}/documents.parquet'),
