@@ -49,7 +49,31 @@ object BpeTrainer {
     * tot = Σ f·(tokens per word), so one wrong replacement anywhere
     * shifts it.
     */
-  def merges(docs: DataFrame, rounds: Int): DataFrame = {
+  def merges(docs: DataFrame, rounds: Int): DataFrame =
+    trainLoop(docs, rounds)._2.reduce(_ unionAll _).orderBy("round")
+
+  /** The trained tokenizer's ENCODE side: the vocabulary after `rounds`
+    * merges as (word, ntok) — each distinct corpus word with the number
+    * of tokens the trained merges leave it at. Encoding a document is a
+    * word-keyed join against this relation (the inference half of the
+    * trainer loop — together they close the tokenizer lifecycle):
+    * stripping the separators recovers the original word (merges only
+    * remove separators, never characters), so `word` stays unique and
+    * joinable. Single-character words never enter the trainer (no pairs
+    * to carry) and encode as 1 token — callers coalesce the join miss.
+    */
+  def encodedVocab(docs: DataFrame, rounds: Int): DataFrame =
+    trainLoop(docs, rounds)._1.select(
+      expr("replace(ws, chr(31), '')").as("word"),
+      size(split(col("ws"), "")).cast("long").as("ntok"))
+
+  /** The shared k-round loop: (final vocab state, one 1-row frame per
+    * round). The per-round frames are lazy — `merges` unions them,
+    * `encodedVocab` never executes them (each round's argmax is already
+    * embedded in the final state's lineage either way).
+    */
+  private def trainLoop(
+      docs: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"BpeTrainer: rounds must be >= 1, got $rounds")
     val sep = "\u001f"
     // Frequency-compressed vocab: (ws = chars joined by chr(31), f).
@@ -86,6 +110,6 @@ object BpeTrainer {
           col("n").as("n_occ"))
         .crossJoin(broadcast(tot))
     }
-    out.reduce(_ unionAll _).orderBy("round")
+    (wf, out)
   }
 }

@@ -244,6 +244,89 @@ object Extra16 {
       graft.ops.BpeTrainer.merges(T.documents(s, d).select("text"), 4)
     },
 
+    // BPE ENCODE (round-13) — the INFERENCE half of the tokenizer
+    // lifecycle text_bpe_merge trains: apply the 4 learned merges to
+    // the whole corpus and report per-language token statistics
+    // (n_words / n_chars / n_tokens / chars-per-token) — the
+    // compression-fairness readout multilingual tokenizer teams compute
+    // (a jointly-trained vocab compresses its dominant language best;
+    // the per-lang ratio quantifies the skew). Scale shape: encoding
+    // never touches the token stream — the corpus compresses to a
+    // (lang, word) count rollup FIRST, then joins the trained
+    // vocabulary (word → ntok) on the compressed relation, so the join
+    // input is vocab-sized per language (Heaps-sublinear), not
+    // corpus-sized; AQE broadcasts the vocab when it fits, and at full
+    // scale it is the same skewed word-keyed equi-join text_surprisal
+    // documents. Join misses are exactly the single-char words the
+    // trainer excludes (no pairs to merge) — they encode as 1 token via
+    // coalesce, and the oracle replays the identical LEFT JOIN. The
+    // hash gate inherits text_bpe_merge's sensitivity: one wrong merge
+    // application anywhere shifts a language's n_tokens.
+    "text_bpe_encode" -> Q(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |wf0 AS (SELECT array_to_string([word[i] for i in range(1, length(word)+1)], chr(31)) AS ws,
+        |               COUNT(*) AS f
+        |        FROM w WHERE length(word) >= 2 GROUP BY 1),
+        |p1 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf0) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        |wf1 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf0, b1),
+        |p2 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf1) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        |wf2 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf1, b2),
+        |p3 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf2) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b3 AS (SELECT a, b FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+        |wf3 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf2, b3),
+        |p4 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(f) AS n
+        |       FROM (SELECT string_split(ws, chr(31)) AS t, f FROM wf3) x,
+        |            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |       GROUP BY 1,2),
+        |b4 AS (SELECT a, b FROM p4 ORDER BY n DESC, a, b LIMIT 1),
+        |wf4 AS (SELECT replace(ws, a || chr(31) || b, a || b) AS ws, f FROM wf3, b4),
+        |wt AS (SELECT replace(ws, chr(31), '') AS word,
+        |              len(string_split(ws, chr(31))) AS ntok FROM wf4),
+        |lw AS (SELECT lang, word, COUNT(*) AS c
+        |       FROM (SELECT lang,
+        |               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        |             FROM read_parquet('{sfDir}/documents.parquet'))
+        |       GROUP BY 1, 2),
+        |e AS (SELECT lang, c, length(word) AS nch, COALESCE(ntok, 1) AS ntok
+        |      FROM lw LEFT JOIN wt USING (word))
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+        |       CAST(SUM(c * nch) AS BIGINT) AS n_chars,
+        |       CAST(SUM(c * ntok) AS BIGINT) AS n_tokens,
+        |       CAST(ROUND(CAST(SUM(c * nch) AS DOUBLE) / CAST(SUM(c * ntok) AS DOUBLE), 6)
+        |            AS DECIMAL(18,6)) AS chars_per_token
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val wt = graft.ops.BpeTrainer.encodedVocab(docs.select("text"), 4)
+      val lw = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      lw.join(wt, Seq("word"), "left")
+        .select(col("lang"), col("c"),
+          length(col("word")).cast("long").as("nch"),
+          coalesce(col("ntok"), lit(1L)).as("ntok"))
+        .groupBy("lang")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("nch")).as("n_chars"),
+          sum(col("c") * col("ntok")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)
+            .cast(DecimalType(18, 6)).as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // BIGRAM LANGUAGE MODEL conditionals: P(w2 | w1) = c(w1,w2)/c(w1,·)
     // with the top-3 continuations per context — the n-gram scoring
     // primitive perplexity/fluency quality filters are built on (the

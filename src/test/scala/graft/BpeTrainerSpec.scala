@@ -98,4 +98,57 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(run(texts, 5) == reference(texts, 5))
   }
+
+  /** Sequential reference ENCODE: replay the reference trainer's merges
+    * and read each surviving word's token count off the final vocab. */
+  private def referenceVocab(texts: Seq[String], rounds: Int): Map[String, Long] = {
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong
+      }
+    (1 to rounds).foreach { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (t, f) =>
+        t.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        vocab = vocab.map { case (t, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < t.size) {
+            if (i + 1 < t.size && t(i) == a && t(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += t(i); i += 1 }
+          }
+          out.result() -> f
+        }
+      }
+    }
+    vocab.map { case (t, _) => t.mkString -> t.size.toLong }
+  }
+
+  test("encodedVocab == the sequential reference encode, and conserves the trainer's token total") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val words = Vector("alpha", "beta", "gamma", "delta", "ab", "abab",
+      "banana", "bandana", "cabana", "anna", "nana")
+    val texts = (0 until 50).map { _ =>
+      (0 until (2 + rnd.nextInt(6))).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    val got = graft.ops.BpeTrainer.encodedVocab(texts.toDF("text"), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == referenceVocab(texts, 4))
+    // Conservation: the encode-side token counts re-derive the trainer's
+    // round-4 corpus total (Σ f·ntok over the same vocab) — the two
+    // views of the final state can't drift apart.
+    val wf = texts.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val totFromEncode = wf.map { case (w, f) => f * got(w) }.sum
+    assert(totFromEncode == run(texts, 4).last._5)
+  }
 }
