@@ -65,6 +65,8 @@ object Plans {
     "sim_ann_ivfpq" -> "IVF-PQ: broadcast centroids/codebooks/LUT, per-cell ADC equi-join touching probed cells only, bounded-heap shortlist + rerank",
     "sim_ann_int8" -> "IVF-SQ8: staged int8 code table, probed-cell equi-join, native code-cosine scoring, bounded-heap shortlist + fp32 rerank",
     "text_bpe_merge" -> "iterative BPE: per-round vocab rollup, TakeOrdered(1) argmax broadcast back as the merge, lineage cut per round",
+    "text_bpe_encode" -> "BPE encode: trained vocab reached via the checkpointed state (ExistingRDD), word-keyed join on the compressed (lang, word) rollup, one corpus scan",
+    "sample_dsir" -> "DSIR importance filter: 4096-bucket hashed model broadcast into the token stream, every join broadcast, two keyed rollups",
     "sample_bottomk" -> "deterministic bottom-k sample: TakeOrderedAndProject over md5 priority, per-partition heaps, no global sort",
     "agg_sketch_merge" -> "re-aggregatable HLL: nation-level sketches built in one scan, region rollup merges sketches (hll_union_agg)",
     "layout_bucketed" -> "bucketed co-located join: both scans Bucketed: true, zero exchanges below the join",

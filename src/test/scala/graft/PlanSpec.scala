@@ -626,6 +626,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("o_orderpriority IN ("), p)
   }
 
+  test("sample_dsir joins are all broadcast (the fixed-feature-space claim)") {
+    // DSIR's scale trick is hashing features into a FIXED 4096-bucket
+    // space: the scoring model broadcasts at ANY corpus size, so the
+    // token stream must never be key-shuffled into a join — no
+    // SortMergeJoin or ShuffledHashJoin anywhere (the model attach is a
+    // BroadcastHashJoin; the two 1-row constant attaches are broadcast
+    // loop joins). Losing this pin means the model join regressed into
+    // shuffling the corpus at token grain.
+    val p = planOf("sample_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("text_bpe_encode cuts trainer lineage and scans the corpus once") {
+    // The 4-round trainer state must reach the encode join as a
+    // checkpointed RDD (ExistingRDD), not as 4 rounds of re-derivation —
+    // and the only parquet scan in the final plan is the (lang, word)
+    // rollup branch; the vocab branch reads the cut state. A plan that
+    // re-scans documents per round would multiply the corpus reads by
+    // the merge count at scale.
+    val df = SparkEntry.queries("text_bpe_encode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ExistingRDD"), p)
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1, p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
