@@ -75,6 +75,8 @@ object Plans {
     "multimodal_dedup" -> "binary dedup: broadcast content build, map-side sha2, skinny (digest,id) shuffle",
     "win_count_distinct" -> "windowed distinct-count workaround: both windows share one user_id exchange (two sorts, one shuffle)",
     "sql_q21" -> "double-correlated-subquery rewrite served from the staged bucketed layout: fact join + both per-order rollups exchange-free, the only shuffle is the final supplier rollup",
+    "sql_q8" -> "market share served from the bucketed layout: every dim broadcast, fact join exchange-free, one final-rollup exchange",
+    "sql_q9" -> "product profit served from the bucketed layout: dims broadcast (non-sargable LIKE on the dim), fact join exchange-free, one final-rollup exchange",
     "layout_hilbert" -> "hilbert layout: native hilbert_index loop in one codegen stage, 1-row broadcast stats frame, 32-group two-phase rollup",
     "agg_bitmap_intersect" -> "exact cohort overlap: map-side partial bitmap pages, fixed-width pages on every exchange, ids cross only the fact join",
     "sql_q19" -> "disjunctive-predicate join: derived per-side OR pushed to both scans, equi-key hash join keeps the cross-side OR as residual",

@@ -48,16 +48,19 @@ object Extra10 {
     val tl = s"bkt_lineitem_$tag"
     // Column set = the union every bucketed-layout consumer needs
     // (layout_bucketed's priority/price rollup + sql_q21's lateness
-    // columns) — the point of a staged layout is ONE write serving many
+    // columns + sql_q8/q9's part/discount/quantity/custkey columns,
+    // r13) — the point of a staged layout is ONE write serving many
     // downstream joins, each pruning to its own columns at scan time.
     if (!s.catalog.tableExists(to)) {
-      T.orders(s, d).select("o_orderkey", "o_orderpriority", "o_orderdate")
+      T.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_custkey")
         .write.format("parquet").bucketBy(8, "o_orderkey")
         .mode("overwrite").option("path", s"$base/orders").saveAsTable(to)
     }
     if (!s.catalog.tableExists(tl)) {
       T.lineitem(s, d)
-        .select("l_orderkey", "l_extendedprice", "l_suppkey", "l_shipdate")
+        .select("l_orderkey", "l_extendedprice", "l_suppkey", "l_shipdate",
+          "l_partkey", "l_discount", "l_quantity")
         .write.format("parquet").bucketBy(8, "l_orderkey")
         .mode("overwrite").option("path", s"$base/lineitem").saveAsTable(tl)
     }

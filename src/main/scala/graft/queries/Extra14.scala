@@ -165,15 +165,28 @@ object Extra14 {
         .select("s_suppkey", "nation")
       val stdParts = T.part(s, d).filter(col("p_type") === "STANDARD")
         .select("p_partkey")
-      val o = T.orders(s, d)
+      // Round-13: the fact⋈fact join serves from the staged BUCKETED
+      // layout (Extra10.bucketedTables, the sql_q21 precedent) — Q8's
+      // ONLY shuffle join is lineitem⋈orders on orderkey (every dim
+      // side broadcasts), so with both scans arriving
+      // HashPartitioning(orderkey, 8) the fact never crosses the wire;
+      // the one exchange left is the ≤|years|-group final rollup.
+      // Broadcast joins preserve the probe side's partitioning, so the
+      // part/supplier attaches below the fact join don't break the
+      // co-location. Oracle reads the ORIGINAL parquet — the gate also
+      // proves the layout lossless for these columns. Measured
+      // (Q8Probe, alternated A/B ×3, min): 0.85 → 0.66 s at sf0.1.
+      val (to, tl) = Extra10.bucketedTables(s, d)
+      val o = s.table(to)
         .filter(col("o_orderdate") >= ts("1996-01-01") &&
                 col("o_orderdate") < ts("1998-01-01"))
         .select(col("o_orderkey"), col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-      T.lineitem(s, d)
+      s.table(tl)
         .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), rev.as("volume"))
         .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"), "left_semi")
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .hint("merge")
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy("o_year")
@@ -217,12 +230,17 @@ object Extra14 {
         .join(broadcast(T.nation(s, d).select("n_nationkey", "n_name")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
-      T.lineitem(s, d)
+      // Round-13: same bucketed-layout serving as sql_q8 — Q9's only
+      // shuffle join is the lineitem⋈orders year attach; both dims
+      // broadcast. Zero fact exchanges, one final rollup exchange.
+      val (to, tl) = Extra10.bucketedTables(s, d)
+      s.table(tl)
         .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
           rev.as("gross"), Q.dec2(col("l_quantity")).as("qty"))
         .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(T.orders(s, d)
+        .hint("merge")
+        .join(s.table(to)
           .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("amount", col("gross") - col("cost") * col("qty"))

@@ -626,6 +626,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("o_orderpriority IN ("), p)
   }
 
+  test("sql_q8 and sql_q9 serve the fact join bucketed: zero fact exchanges") {
+    // Round-13: both queries' ONLY shuffle join is lineitem⋈orders on
+    // orderkey (every dim side broadcasts), so serving the two fact
+    // scans from the staged bucketed layout (Extra10.bucketedTables)
+    // leaves exactly ONE hash exchange in the whole plan — the final
+    // handful-of-groups rollup. Measured 0.85 → 0.66 s at sf0.1
+    // (Q8Probe, alternated ×3, min). A regression here re-shuffles the
+    // fact at 100 TB.
+    for (q <- Seq("sql_q8", "sql_q9")) {
+      val p = planOf(q)
+      val cut = p.indexOf("== Initial Plan ==")
+      val exec = if (cut >= 0) p.substring(0, cut) else p
+      assert("Bucketed: true".r.findAllIn(exec).size == 2, s"$q: $p")
+      assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1, s"$q: $p")
+      assert(exec.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
   test("sample_dsir joins are all broadcast (the fixed-feature-space claim)") {
     // DSIR's scale trick is hashing features into a FIXED 4096-bucket
     // space: the scoring model broadcasts at ANY corpus size, so the
