@@ -60,11 +60,11 @@ object DsirBpeProbe {
     for (round <- 1 to 2; n <- Seq(1, 8)) {
       val d = docsX(n)
       val scope = graft.ops.CacheScope.begin(spark)
-      time(s"r$round scale x$n: dsir weights+rollup") {
-        graft.queries.Extra22.dsirWeights(d, col("lang") === "en")
+      time(s"r$round scale x$n: dsir admissions+rollup") {
+        graft.ops.DsirGate.admissions(d, col("lang") === "en")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("wu") > 0, 1L).otherwise(0L)).as("n_admitted"))
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
           .count()
       }
       scope.release()

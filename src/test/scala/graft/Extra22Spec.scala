@@ -5,12 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantic pins for the DSIR importance filter — the law the hash gate
+/** Semantic pins for the DSIR importance filter — the laws the hash gate
   * states but can't explain: the weight really is a log-likelihood
-  * ratio, so documents drawn from the target token distribution score
-  * POSITIVE (admitted) and documents over raw-exclusive vocabulary
-  * score NEGATIVE (rejected), with the margin growing in document
-  * length.
+  * ratio (target-vocab docs above raw-exclusive docs, margins growing
+  * with length), and the relative admission rule really selects the
+  * target-like side of the corpus.
   */
 class Extra22Spec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -23,23 +22,28 @@ class Extra22Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("DSIR separation: target-vocab docs weigh positive, raw-exclusive docs negative") {
+  test("DSIR separation: target-vocab docs outrank raw-exclusive docs; admission splits them") {
     import spark.implicits._
     // 4 target docs over vocab {ta tb tc td}, 4 raw-only docs over the
     // disjoint {rx ry rz rw}. Target tokens then have ct = cr (u_b = 0),
-    // so a pure-target doc's weight is n_tok·kc with kc = ln(Nr+B) −
-    // ln(Nt+B) > 0 — admitted. A raw-only token has ct = 0, u_b =
-    // −ln(cr+1) ≪ −kc, so raw docs reject. The law is exactly the
+    // so a pure-target doc's per-token weight is kc = ln(Nr+B) −
+    // ln(Nt+B) > 0; a raw-only token has ct = 0, u_b = −ln(cr+1) ≪ −kc.
+    // The corpus-mean threshold lands between the two bands, so the
+    // admission rule admits exactly the target docs. The law is the
     // importance-ratio semantics, independent of the md5 bucketing
     // (collisions only mix counts; the fixture's margins dwarf them).
     val docs = ((0 until 4).map(i => (s"s${i % 2}", i.toLong, "T", "ta tb tc td")) ++
       (4 until 8).map(i => (s"s${i % 2}", i.toLong, "R", "rx ry rz rw")))
       .toDF("source", "doc_id", "lang", "text")
-    val w = graft.queries.Extra22.dsirWeights(docs, col("lang") === "T")
-      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
-    assert(w.size == 8)
-    (0L until 4L).foreach(i => assert(w(i) > 0, s"target doc $i: ${w(i)}"))
-    (4L until 8L).foreach(i => assert(w(i) < 0, s"raw doc $i: ${w(i)}"))
+    val a = graft.ops.DsirGate.admissions(docs, col("lang") === "T")
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getBoolean(5))).toMap
+    assert(a.size == 8)
+    (0L until 4L).foreach { i =>
+      assert(a(i)._1 > 0 && a(i)._2, s"target doc $i: ${a(i)}")
+    }
+    (4L until 8L).foreach { i =>
+      assert(a(i)._1 < 0 && !a(i)._2, s"raw doc $i: ${a(i)}")
+    }
   }
 
   test("DSIR margin grows with document length (weights sum per token)") {
@@ -49,10 +53,36 @@ class Extra22Spec extends AnyFunSuite with BeforeAndAfterAll {
       ("s0", 1L, "T", "ta tb ta tb ta tb"),
       ("s0", 2L, "R", "rx ry"),
       ("s0", 3L, "R", "rx ry rx ry rx ry")).toDF("source", "doc_id", "lang", "text")
-    val w = graft.queries.Extra22.dsirWeights(docs, col("lang") === "T")
-      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val w = graft.ops.DsirGate.weights(docs, col("lang") === "T")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(w(1L) == 3 * w(0L), s"target: ${w(0L)} vs ${w(1L)}")
     assert(w(3L) == 3 * w(2L), s"raw: ${w(2L)} vs ${w(3L)}")
     assert(w(1L) > 0 && w(3L) < 0)
+  }
+
+  test("relative admission is non-degenerate on the shared-vocab fixture") {
+    // The reason the rule is relative: the sf fixtures share ONE word
+    // pool across languages, so ABSOLUTE weights are all negative
+    // (Laplace-shifted) and wu > 0 admits nothing — while the per-token
+    // ranking still separates English. The declared rule must admit a
+    // strict, non-empty subset, and the admitted set must be richer in
+    // the target language than the rejected set.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source", "doc_id", "lang", "text")
+    val a = graft.ops.DsirGate.admissions(docs, col("lang") === "en")
+      .select("doc_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val n = a.size
+    val adm = a.count(_._2)
+    assert(adm > 0 && adm < n, s"degenerate admission: $adm of $n")
+    val lang = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def enShare(ids: Iterable[Long]): Double =
+      ids.count(lang(_) == "en").toDouble / ids.size
+    val admIds = a.filter(_._2).keys
+    val rejIds = a.filterNot(_._2).keys
+    assert(enShare(admIds) > enShare(rejIds),
+      s"admitted en-share ${enShare(admIds)} <= rejected ${enShare(rejIds)}")
   }
 }

@@ -925,4 +925,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fin = rows()
     assert(fin.size == 6 && fin.count(_._3 == 7L) == 3 && fin.count(_._3 == 9L) == 1)
   }
+
+  test("DSIR quality gate: stream admission set == the batch sample_dsir rule") {
+    // admitNovel's QUALITY twin: the 4096-bucket DSIR model, built once
+    // from the standing corpus, compiles into the streaming plan as a
+    // literal map — the gate is a stateless append-mode filter (no
+    // join, no state, no foreachBatch). The pin: streaming the corpus's
+    // own documents through the gate admits EXACTLY the set the batch
+    // dsirWeights rule (wu > 0) selects — driver-side Math.log
+    // quantization and Spark-side ln agree unit-for-unit.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source", "doc_id", "lang", "text")
+    val expected = graft.ops.DsirGate
+      .admissions(corpus, col("lang") === "en")
+      .filter(col("admitted"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty && expected.size < corpus.count(),
+      s"degenerate fixture: ${expected.size} admitted")
+    val (m, kc, thr) = graft.ops.DsirGate.model(corpus, col("lang") === "en")
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.DsirGate
+      .admitTargetLike(input.toDF().toDF("doc_id", "text"), m, kc, thr)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode(OutputMode.Append()).start()
+    val (half1, half2) = docs.splitAt(docs.size / 2)
+    input.addData(half1); q.processAllAvailable()
+    input.addData(half2); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM dsir_gate").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == expected, s"stream gate drifted from the batch rule: " +
+      s"got ${got.size}, expected ${expected.size}")
+    q.stop()
+  }
 }
