@@ -26,7 +26,18 @@ import org.apache.spark.sql.functions._
   *     (candidate volume scales with tables·(1+nbits); at 49 tables the
   *     probe join emits ~6× the candidates a 0.95 gate needs)
   *
-  * Two findings, in order of size: (1) the TABLE COUNT is the dominant
+  * DSIR quality gate (r13, stateless literal-map filter, same box;
+  * admitted sets asserted against driver-side re-scoring per batch):
+  *     1k → 5,578 · 4k → 12,654 · 16k → 20,912 rows/s
+  *   — 17-22× the semantic gate's staged best at every batch size, and
+  *   still climbing with batch size (per-batch fixed costs dominate;
+  *   the gate itself is one codegen'd expression, no join, no state).
+  *   The contrast IS the finding: admission gates that can fix their
+  *   model ahead of the stream (quality/importance filters) should
+  *   compile it into the plan; only gates whose reference set the
+  *   stream itself grows (dedup) need the per-batch join machinery.
+  *
+  * Two findings on the semantic gate, in order of size: (1) the TABLE COUNT is the dominant
   * lever — an admission gate must be parameterized for its ACTUAL τ
   * (the law point exists for τ=0.44 threshold recall; at τ=0.95 it
   * buys nothing but candidate volume, 2.2-2.9× slower end-to-end);
@@ -133,6 +144,68 @@ object AdmitRateProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       corpus.persist().count()
     }
+
+    // ---- DSIR quality gate (r13): the STATELESS admission path ----
+    // Contrast case for the numbers above: the DSIR gate has no
+    // per-batch join at all (the ≤4096-entry model is a plan literal),
+    // so its throughput ceiling is pure map-side expression evaluation.
+    // Admitted sets are asserted against a driver-side re-scoring of
+    // every batch (same md5 / Math.log / threshold arithmetic).
+    val docsCorpus = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("source", "doc_id", "lang", "text").persist()
+    println(s"doc corpus rows = ${docsCorpus.count()}")
+    val (m, kc, thr) = graft.ops.DsirGate.model(docsCorpus, col("lang") === "en")
+    val texts = docsCorpus.select("text").collect().map(_.getString(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def scoreMinusGate(text: String): Long = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      var wu = 0L
+      toks.foreach { w =>
+        val h = md.digest(w.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(3)
+        wu += m.getOrElse(h, 0L) + kc
+      }
+      wu - thr * toks.length
+    }
+    var nid = 5000000L
+    def dbatch(size: Int): (Seq[(Long, String)], Set[Long]) = {
+      val rows = (0 until size).map { _ =>
+        val id = nid; nid += 1
+        (id, texts(rnd.nextInt(texts.length)))
+      }
+      (rows, rows.filter(r => scoreMinusGate(r._2) > 0).map(_._1).toSet)
+    }
+    val dInput = MemoryStream[(Long, String)]
+    val dAdmitted = scala.collection.mutable.Set[Long]()
+    val dq = graft.ops.DsirGate.admitTargetLike(
+        dInput.toDF().toDF("doc_id", "text"), m, kc, thr)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("doc_id").collect().map(_.getLong(0))
+        dAdmitted.synchronized { dAdmitted ++= ids }
+        ()
+      }.start()
+    for (size <- Seq(1000, 4000, 16000)) {
+      val (w, wn) = dbatch(size)
+      dAdmitted.clear(); dInput.addData(w); dq.processAllAvailable()
+      require(dAdmitted.toSet == wn, s"DSIR warm batch wrong set @ $size")
+      val times = (1 to 3).map { _ =>
+        val (rows, exp) = dbatch(size)
+        dAdmitted.clear()
+        val t0 = System.nanoTime()
+        dInput.addData(rows); dq.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(dAdmitted.toSet == exp,
+          s"DSIR admitted set wrong @ size=$size: ${dAdmitted.size} vs ${exp.size}")
+        dt
+      }.sorted
+      val med = times(1)
+      println(f"DSIR  batch=$size%6d " +
+        f"times=${times.map(t => f"$t%.2f").mkString("/")} " +
+        f"median=$med%.2fs rate=${size / med}%.0f rows/s")
+    }
+    dq.stop()
     spark.stop()
   }
 }
