@@ -64,6 +64,7 @@ object Plans {
     "layout_zorder" -> "z-order layout: 1-row broadcast stats frame, map-side Morton key, 32-group two-phase rollup",
     "sim_ann_ivfpq" -> "IVF-PQ: broadcast centroids/codebooks/LUT, per-cell ADC equi-join touching probed cells only, bounded-heap shortlist + rerank",
     "sim_ann_int8" -> "IVF-SQ8: staged int8 code table, probed-cell equi-join, native code-cosine scoring, bounded-heap shortlist + fp32 rerank",
+    "sim_ann_filtered" -> "filtered ANN: label denormalized into the staged code rows, predicate pre-filters compressed candidates before scoring",
     "text_bpe_merge" -> "iterative BPE: per-round vocab rollup, TakeOrdered(1) argmax broadcast back as the merge, lineage cut per round",
     "text_bpe_encode" -> "BPE encode: trained vocab reached via the checkpointed state (ExistingRDD), word-keyed join on the compressed (lang, word) rollup, one corpus scan",
     "sample_dsir" -> "DSIR importance filter: 4096-bucket hashed model broadcast into the token stream, every join broadcast, two keyed rollups",

@@ -62,14 +62,23 @@ object Int8Index {
     * replicas. Replicating the CODE row is the recall lever replicating
     * fp32 rows could never afford (the IvfPq rc precedent, at 4× less
     * state per replica).
+    *
+    * `meta` names extra corpus columns to CARRY INTO the code rows —
+    * the vector-DB pre-filter contract (FAISS IDSelector / the `filter`
+    * clause every vector store exposes): a metadata predicate evaluates
+    * on the compressed candidate rows of the probed cells only, never
+    * against the corpus — filtering is free at search time because the
+    * attribute was denormalized into the index at ingest.
     */
   def buildIndex(embs: DataFrame, kCells: Int, rc: Int,
-      refine: Int): (DataFrame, DataFrame) = {
+      refine: Int, meta: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val cents = IvfIndex.centroids(embs, kCells, refine)
       .transform(graft.Q.sketchPersist)
     val codes = IvfIndex.assignTo(embs, cents, nProbe = rc)
-      .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
-      .select(col("vec_id"), col("cid"), int8Code(col("embedding")).as("code"))
+      .join(embs.select((Seq("vec_id", "embedding") ++ meta).map(col): _*),
+        "vec_id")
+      .select((Seq(col("vec_id"), col("cid"),
+        int8Code(col("embedding")).as("code")) ++ meta.map(col)): _*)
     (cents, codes)
   }
 
@@ -78,12 +87,13 @@ object Int8Index {
     */
   def search(embs: DataFrame, nq: Int = 8, kCells: Int = 16, rc: Int = 2,
       qp: Int = 5, shortlist: Int = 100, topK: Int = 10,
-      refine: Int = 1): DataFrame = {
+      refine: Int = 1, meta: Seq[String] = Nil,
+      candFilter: Option[Column] = None): DataFrame = {
     require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
       s"Int8Index: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
         s"got rc=$rc qp=$qp kCells=$kCells")
-    val (cents, codes) = buildIndex(embs, kCells, rc, refine)
-    searchIndex(embs, cents, codes, nq, qp, shortlist, topK)
+    val (cents, codes) = buildIndex(embs, kCells, rc, refine, meta)
+    searchIndex(embs, cents, codes, nq, qp, shortlist, topK, candFilter)
   }
 
   /** One staged index per JVM × tag × parameterization (the
@@ -94,16 +104,20 @@ object Int8Index {
     */
   def searchStaged(embs: DataFrame, tag: String, nq: Int, kCells: Int,
       rc: Int, qp: Int, shortlist: Int, topK: Int,
-      refine: Int): DataFrame = {
+      refine: Int, meta: Seq[String] = Nil,
+      candFilter: Option[Column] = None): DataFrame = {
     require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
       s"Int8Index: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
         s"got rc=$rc qp=$qp kCells=$kCells")
     val spark = embs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
+    // meta columns change the staged schema → they key their own dir
+    // (the unfiltered index keeps its pre-r13 dir name and schema).
+    val metaTag = if (meta.isEmpty) "" else meta.mkString("_m", "_", "")
     val dir = s"/tmp/graft_int8_${graft.Q.perJvmId}/" +
-      s"${safe}_k${kCells}_rc${rc}_r$refine"
+      s"${safe}_k${kCells}_rc${rc}_r$refine$metaTag"
     staged.computeIfAbsent(dir, { _ =>
-      val (cents, codes) = buildIndex(embs, kCells, rc, refine)
+      val (cents, codes) = buildIndex(embs, kCells, rc, refine, meta)
       cents.write.mode("overwrite").parquet(s"$dir/cents")
       codes.write.mode("overwrite").parquet(s"$dir/codes")
       cents.unpersist(false)
@@ -112,7 +126,7 @@ object Int8Index {
     searchIndex(embs,
       graft.Q.readStagedParquet(spark, s"$dir/cents"),
       graft.Q.readStagedParquet(spark, s"$dir/codes"),
-      nq, qp, shortlist, topK)
+      nq, qp, shortlist, topK, candFilter)
   }
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -125,7 +139,8 @@ object Int8Index {
     * float-cast codes, bounded-heap shortlist, exact rerank.
     */
   def searchIndex(embs: DataFrame, cents: DataFrame, codes: DataFrame,
-      nq: Int, qp: Int, shortlist: Int, topK: Int): DataFrame = {
+      nq: Int, qp: Int, shortlist: Int, topK: Int,
+      candFilter: Option[Column] = None): DataFrame = {
     val queries = embs.orderBy("vec_id").limit(nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     // Query-side probe: top-qp cells per query, qe carried through the
@@ -145,8 +160,14 @@ object Int8Index {
       .select(col("q_id"), col("qc"), col("c.cid").as("cid"))
     // Candidates: probed cells only. A vector replicated into several
     // probed cells scores IDENTICALLY from each (same code row), so the
-    // dedup max() is over equal values — deterministic.
+    // dedup max() is over equal values — deterministic. The metadata
+    // pre-filter (when given) applies HERE — on the compressed candidate
+    // rows, before any scoring — so a selective filter REDUCES search
+    // work; it never widens it (the vector-DB pre-filter contract; its
+    // price is recall, covered by the caller's qp/shortlist margins,
+    // spec-pinned for the declared query).
     val cand = codes.join(broadcast(qprobe), Seq("cid"))
+      .filter(candFilter.getOrElse(lit(true)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         gn.cosine_similarity(col("code").cast("array<float>"), col("qc"))

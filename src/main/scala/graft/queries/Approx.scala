@@ -319,6 +319,64 @@ object Approx {
         refine = 1)
     },
 
+    // FILTERED ANN (round-13) — the metadata-predicate search every
+    // vector store exposes (FAISS IDSelector, the `filter` clause in
+    // Qdrant/Milvus/pgvector): per query, the exact top-10 among corpus
+    // vectors satisfying label = 1, served from the int8 index with the
+    // label DENORMALIZED INTO the code rows at build (buildIndex meta)
+    // and the predicate applied to the compressed candidates of the
+    // probed cells BEFORE scoring — the PRE-filter: a selective filter
+    // REDUCES search work (post-filtering would rank first and risk
+    // returning < k). The known failure mode rides the parameters: a
+    // selective filter thins each probed cell's admissible candidates,
+    // so the filtered gate needs wider probing than its unfiltered
+    // sibling — declared qp=8 (vs int8's 6); the ground-truth oracle
+    // (exact FILTERED top-10, the sim_ann_pq contract) is what catches
+    // a too-narrow probe, and Int8IndexSpec pins the declared notch and
+    // the weaker edge. Scale story unchanged from int8: per-query work
+    // ∝ probed-cell occupancy × filter selectivity, 4×-compressed
+    // candidate rows, bounded-heap shortlist, exact rerank of the
+    // shortlist only. Parameters (rc=4, qp=11/16 cells) sit one notch
+    // above the MEASURED containment edges (AnnSweep FANN grid, all
+    // three fixtures): sf0.001 binds — first green at rc=4/qp=10
+    // (rc=4/qp=9 drops one filtered neighbor; rc=3 still misses at
+    // qp=11) — sf0.01 greens at rc=4/qp=9, sf0.1 everywhere from
+    // rc=3/qp=7. Probing 11/16 cells on a 500-vector fixture is the
+    // honest price of a selective filter over near-random embeddings;
+    // at scale kCells grows ~√N and the probed FRACTION falls — the
+    // fixture-independent artifact is the mechanism (filter evaluated
+    // on compressed candidates, work ∝ occupancy × selectivity).
+    // Oracle determinism: the DuckDB side casts embeddings to DOUBLE[]
+    // so both engines accumulate the cosine in doubles — the FLOAT-list
+    // overload rounds differently at the ROUND-4 boundary (hit at
+    // sf0.01: 0.14395 → 0.144 vs 0.1439).
+    "sim_ann_filtered" -> Q(
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM read_parquet('{sfDir}/embeddings.parquet')
+        |           ORDER BY vec_id LIMIT 8),
+        |p AS (SELECT q_id, x.vec_id AS nb_id,
+        |        CAST(ROUND(list_cosine_similarity(qe, CAST(x.embedding AS DOUBLE[])), 4) AS DECIMAL(18,4)) AS sim
+        |      FROM q JOIN read_parquet('{sfDir}/embeddings.parquet') x
+        |        ON x.vec_id <> q.q_id AND x.label = 1),
+        |r AS (SELECT q_id, nb_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nb_id) AS rn
+        |      FROM p)
+        |SELECT q_id, nb_id, sim FROM r WHERE rn <= 10
+        |ORDER BY q_id, sim DESC, nb_id""".stripMargin) { (s, d) =>
+      val embs = T.embeddings(s, d)
+      // driver-side footer read — the sim_ann_pq plan-build hygiene.
+      // Shortlist stays 25% of the UNFILTERED N: relative to the ~1/3
+      // of candidates the label filter admits it is ~75% — the heap is
+      // deliberately generous because cell admission, not the
+      // shortlist, is this family's binding constraint.
+      val short = math.max(64L,
+        (graft.Q.parquetRowCount(s, s"$d/embeddings.parquet") + 3) / 4).toInt
+      graft.ops.Int8Index.searchStaged(embs, tag = annTag(s, d), nq = 8,
+        kCells = 16, rc = 4, qp = 11, shortlist = short, topK = 10,
+        refine = 1, meta = Seq("label"),
+        candFilter = Some(col("label") === 1))
+    },
+
     // The winnowing gram hash is a polynomial hash mod 2147483647 (see
     // Sketches.fingerprints) — pure integer arithmetic, so DuckDB can
     // replay it exactly: Spark folds (acc·257 + c) % P, the oracle takes

@@ -30,7 +30,7 @@ object AnnSweep {
     // Section filter for quick re-sweeps (e.g. SWEEP_SECTIONS=lsh,thr).
     val sections = sys.env.get("SWEEP_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("lsh", "thr", "pq", "ivf", "ivfpq", "int8"))
+      .getOrElse(Set("lsh", "thr", "pq", "ivf", "ivfpq", "int8", "fann"))
     def intsEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
     val nbitsGrid = intsEnv("SWEEP_NBITS", Seq(4, 6))
@@ -154,6 +154,41 @@ object AnnSweep {
         println(f"INT8 kCells=16 rc=$rc qp=$qp S=$s%4d ($sFrac%2d%%) " +
           f"match=${(qtruth & got).size}/${qtruth.size} " +
           f"miss=${(qtruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      // Filtered ANN (sim_ann_filtered): per-query top-10 among label=1
+      // vectors only, served from the int8 index with the label carried
+      // as meta and pre-filtered at the candidate level. The filtered
+      // truth is a DIFFERENT (farther) top-10 than qtruth, so the
+      // containment edge sits at wider probing than the unfiltered
+      // sibling — the sweep measures where.
+      lazy val ftruth = {
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cand = graft.Tables.embeddings(spark, d)
+          .filter(col("label") === 1)
+          .select(col("vec_id").as("nb_id"), col("embedding").as("xe"))
+        val pairsQ = q.join(broadcast(cand), col("nb_id") =!= col("q_id"))
+          .select(col("q_id"), col("nb_id"),
+            round(org.apache.spark.sql.graft.native.cosine_similarity(
+              col("qe"), col("xe")), 4).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("nb_id"))
+        pairsQ.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select("q_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      if (sections("fann"))
+      for (rc <- intsEnv("SWEEP_RC", Seq(3, 4));
+           qp <- intsEnv("SWEEP_QP", Seq(7, 8, 9, 10, 11))) {
+        val s = math.max(64, (nCorpus / 4).toInt)
+        val t0 = System.nanoTime()
+        val got = graft.ops.Int8Index.search(embs, nq = 8, kCells = 16,
+          rc = rc, qp = qp, shortlist = s, topK = 10, refine = 1,
+          meta = Seq("label"), candFilter = Some(col("label") === 1))
+          .select("q_id", "nb_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"FANN kCells=16 rc=$rc qp=$qp S=$s%4d " +
+          f"match=${(ftruth & got).size}/${ftruth.size} " +
+          f"miss=${(ftruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       if (sections("ivf"))
       for (k <- Seq(8, 16, 32, 64); nProbe <- Seq(2, 3, 4, 5); refine <- Seq(0, 1)) {

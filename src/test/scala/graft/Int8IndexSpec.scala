@@ -79,6 +79,55 @@ class Int8IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "qp=4 unexpectedly recall-complete at sf0.01 — re-sweep and tighten")
   }
 
+  // ---- filtered search (sim_ann_filtered): label=1 pre-filter ----
+
+  private def ftruth(embs: DataFrame): Set[(Long, Long)] = {
+    val q = embs.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val cand = embs.filter(col("label") === 1)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("xe"))
+    val pairs = q.join(broadcast(cand), col("nb_id") =!= col("q_id"))
+      .select(col("q_id"), col("nb_id"),
+        round(org.apache.spark.sql.graft.native.cosine_similarity(
+          col("qe"), col("xe")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nb_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def fgot(embs: DataFrame, rc: Int, qp: Int,
+      shortlist: Int): Set[(Long, Long)] =
+    Int8Index.search(embs, nq = 8, kCells = 16, rc = rc, qp = qp,
+        shortlist = shortlist, topK = 10, refine = 1,
+        meta = Seq("label"), candFilter = Some(col("label") === 1))
+      .select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"$sf: filtered search declared (rc=4, qp=11) AND the weaker " +
+      "notch (qp=10) contain the true FILTERED top-10") {
+      val embs = Tables.embeddings(spark, s"/root/testdata/$sf")
+      val n = embs.count()
+      val t = ftruth(embs)
+      assert((t -- fgot(embs, rc = 4, qp = 11, s25(n))).isEmpty, "declared missed")
+      assert((t -- fgot(embs, rc = 4, qp = 10, s25(n))).isEmpty, "qp=10 notch missed")
+    }
+  }
+
+  test("the filtered edge is WIDER than the unfiltered one and measured: " +
+    "rc=4/qp=9 misses at sf0.001 where unfiltered rc=3/qp=5 is green") {
+    // The selective filter thins each probed cell's admissible
+    // candidates, so the filtered gate needs wider probing — the
+    // declared qp=11 is one notch above a real, measured edge (AnnSweep
+    // FANN grid), not a structural given.
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = embs.count()
+    assert((ftruth(embs) -- fgot(embs, rc = 4, qp = 9, s25(n))).nonEmpty,
+      "rc=4/qp=9 unexpectedly recall-complete on the filtered truth — " +
+        "re-sweep and tighten the declared margin note")
+  }
+
   test("staged search == fresh search, on the build call AND the read-back call") {
     // The declared query runs searchStaged; call 2 takes the parquet
     // read-back path (tinyint codes round-tripped through the staged
