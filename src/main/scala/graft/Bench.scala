@@ -27,7 +27,7 @@ object Bench {
       else sfDir
     Seq("agg_pricing", "win_rank", "stream_tumbling", "sim_cosine_topk",
         "dedup_minhash", "text_tfidf", "sim_ann_ivf", "sim_ann_pq",
-        "sim_ann_ivfpq", "sim_ann_int8").foreach { w =>
+        "sim_ann_ivfpq", "sim_ann_int8", "sim_ann_filtered").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }

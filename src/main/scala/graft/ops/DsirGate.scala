@@ -28,15 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object DsirGate {
 
-  /** Per-document weight relation: (source, doc_id, n_tok, wu). The
-    * batch scorer `sample_dsir` declares and the spec pins laws on.
+  /** Per-document admission relation: (source, doc_id, n_tok, wu, thr,
+    * admitted) where thr = ⌊Σwu / Σn_tok⌋ (the floored corpus-mean
+    * per-token weight) and admitted ⇔ wu > thr·n_tok.
+    *
     * Scale shape: one explode pass persisted skinny (two consumers:
     * model build + scoring), one 4096-row rollup, one broadcast join
     * back (the model is FIXED-size — broadcastable at any corpus
-    * scale, the DSIR trick), two keyed rollups; the corpus is never
-    * key-shuffled at token grain.
+    * scale, the DSIR trick), ONE corpus-grain rollup. The threshold
+    * never touches the corpus: Σwu = Σ_docs(Σ_tokens u_b + n_tok·kc)
+    * regroups by bucket to Σ_b cr_b·u_b + Nr·kc, and Σn_tok = Nr — both
+    * derivable from the 4096-row model relation, so thr is a 1-row
+    * aggregate of the MODEL side (exact integers: decimal/HUGEINT sums,
+    * one double division, floored — bit-identical across engines). The
+    * first shipped form aggregated the per-doc relation a second time
+    * for the same integer; that cost a persisted extra corpus-grain
+    * pass, measured +0.5 s at sf0.1, for nothing.
     */
-  def weights(docs: DataFrame, isTarget: Column): DataFrame = {
+  def admissions(docs: DataFrame, isTarget: Column): DataFrame = {
     val w = docs
       .select(col("source"), col("doc_id"), isTarget.as("tgt"),
         explode(split(col("text"), " ")).as("word"))
@@ -48,33 +57,35 @@ object DsirGate {
       count(lit(1)).as("cr"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
     val t = b.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    val u = b.crossJoin(broadcast(t)).select(col("bk"),
+    val bu = b.crossJoin(broadcast(t)).select(col("bk"), col("cr"),
       expr("""cast(floor((ln(cast(ct + 1 as double)) - ln(cast(cr + 1 as double)))
-             |  * 1000000000) as bigint)""".stripMargin).as("u"))
-    val k = t.select(
+             |  * 1000000000) as bigint)""".stripMargin).as("u"),
       expr("""cast(floor((ln(cast(nr + 4096 as double)) - ln(cast(nt + 4096 as double)))
-             |  * 1000000000) as bigint)""".stripMargin).as("kc"))
-    w.join(broadcast(u), "bk")
+             |  * 1000000000) as bigint)""".stripMargin).as("kc"),
+      col("nr"))
+    // One 1-row frame carrying both per-token constants: kc and the
+    // model-side threshold. The decimal cast keeps the Σ cr·u sum exact
+    // at any scale (DuckDB's HUGEINT twin); the division is the single
+    // double op, floored identically on both engines.
+    val kt = bu.agg(
+      max(col("kc")).as("kc"),
+      expr("""cast(floor(cast(sum(cast(cr as decimal(38,0)) * u)
+             |  + cast(max(nr) as decimal(38,0)) * max(kc) as double)
+             |  / cast(max(nr) as double)) as bigint)""".stripMargin).as("thr"))
+    w.join(broadcast(bu.select("bk", "u")), "bk")
       .groupBy("source", "doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("u").as("su"))
-      .crossJoin(broadcast(k))
+      .crossJoin(broadcast(kt))
       .select(col("source"), col("doc_id"), col("n_tok"),
-        (col("su") + col("n_tok") * col("kc")).as("wu"))
-  }
-
-  /** [[weights]] extended with the corpus-mean admission verdict:
-    * (source, doc_id, n_tok, wu, thr, admitted) where thr =
-    * ⌊Σwu / Σn_tok⌋ (floored double division of two exact integers —
-    * bit-identical across engines) and admitted ⇔ wu > thr·n_tok.
-    */
-  def admissions(docs: DataFrame, isTarget: Column): DataFrame = {
-    val pd = weights(docs, isTarget).transform(graft.Q.sketchPersist)
-    val thr = pd.agg(
-      expr("cast(floor(cast(sum(wu) as double) / cast(sum(n_tok) as double)) as bigint)")
-        .as("thr"))
-    pd.crossJoin(broadcast(thr))
+        (col("su") + col("n_tok") * col("kc")).as("wu"), col("thr"))
       .withColumn("admitted", col("wu") > col("thr") * col("n_tok"))
   }
+
+  /** Per-document weight relation: (source, doc_id, n_tok, wu) — the
+    * probe/spec surface (laws on raw weights, no admission verdict).
+    */
+  def weights(docs: DataFrame, isTarget: Column): DataFrame =
+    admissions(docs, isTarget).select("source", "doc_id", "n_tok", "wu")
 
   /** Streaming gate model, built ONCE from the standing corpus (one
     * small batch job + a ≤4096-row collect + the threshold scalars):
@@ -99,9 +110,14 @@ object DsirGate {
     val nr = rows.map(_.getLong(1)).sum
     val nt = rows.map(_.getLong(2)).sum
     val kc = math.floor((math.log(nr + 4096.0) - math.log(nt + 4096.0)) * 1e9).toLong
-    val s = weights(corpus, isTarget)
-      .agg(sum("wu").as("sw"), sum("n_tok").as("sn")).collect()(0)
-    val thr = math.floor(s.getLong(0).toDouble / s.getLong(1).toDouble).toLong
+    // Model-side threshold (see admissions): Σwu = Σ_b cr_b·u_b + Nr·kc
+    // and Σn_tok = Nr — the same exact integer the batch rule divides,
+    // reassembled from the collected model rows (BigInt: no overflow at
+    // any corpus size), no second Spark job.
+    val swu = rows.map { r =>
+      BigInt(r.getLong(1)) * m(r.getString(0))
+    }.sum + BigInt(nr) * kc
+    val thr = math.floor(swu.toDouble / nr.toDouble).toLong
     (m, kc, thr)
   }
 

@@ -35,7 +35,12 @@ object Extra22 {
     // −158.8…−160.8M for the other langs at sf0.01). The per-source
     // rollup (docs, admitted, admitted weight mass, threshold) is the
     // contamination-style audit view; every gate column is an exact
-    // BIGINT.
+    // BIGINT. Deliberate asymmetry: the ORACLE derives thr from the
+    // per-document side (Σwu/Σn_tok over p) while the Spark plan
+    // derives it from the 4096-row MODEL side (Σ_b cr_b·u_b + Nr·kc —
+    // the regrouping that saves a second corpus-grain pass, see
+    // DsirGate.admissions); the two are the same exact integer, so the
+    // hash gate also proves the regrouping identity.
     "sample_dsir" -> Q(
       """WITH w AS (
         |  SELECT source, doc_id, lang, substring(md5(word), 1, 3) AS bk

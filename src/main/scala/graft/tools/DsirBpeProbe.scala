@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   *
   * MEASURED (this box, local[32], sf0.1, warm round after a discard
   * round, r13):
-  *   dsir weights+rollup   ×1 1.72 s   ×8 2.05 s   (ratio 1.19 — the
+  *   dsir admissions+rollup ×1 0.97 s  ×8 1.72 s   (ratio 1.77 — the
   *     4096-row model and the fixed stage count dominate; the token-
-  *     linear md5/explode term is still small at this corpus size)
-  *   bpe encode end-to-end ×1 1.56 s   ×8 2.18 s   (ratio 1.40 — the
+  *     linear md5/explode term is still small at this corpus size.
+  *     The first admissions form — thr re-aggregated from the per-doc
+  *     relation — measured 1.72 s at ×1; deriving thr from the MODEL
+  *     side recovered the 0.75 s, see DsirGate.admissions)
+  *   bpe encode end-to-end  ×1 1.56 s  ×8 2.18 s   (ratio 1.40 — the
   *     trainer's vocab-bound rounds barely move; the corpus-sized
   *     (lang, word) rollup contributes the growth)
   * Both far under the linear ×8 budget; neither has a quadratic term.
