@@ -60,6 +60,34 @@ class Extra22Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w(1L) > 0 && w(3L) < 0)
   }
 
+  test("threshold regrouping identity: the model-side thr == the per-doc-side thr on a random corpus") {
+    // admissions derives thr from the 4096-row model relation
+    // (Σ_b cr_b·u_b + Nr·kc over Nr); the oracle derives the same
+    // integer from the per-document relation (Σwu over Σn_tok). The
+    // parity gate proves equality on the three fixtures; this pin
+    // proves it corpus-independently on a seeded random corpus with
+    // ragged doc lengths, multi-space gaps (empty-token filtering on
+    // both sides), and a skewed target share.
+    import spark.implicits._
+    val rnd = new scala.util.Random(313)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "ta", "tb", "tc", "rx", "ry", "rz", "shared", "pool")
+    val docs = (0 until 120).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      val sep = if (rnd.nextBoolean()) " " else "  "
+      (s"s${i % 3}", i.toLong, if (rnd.nextInt(4) == 0) "T" else "R",
+        (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(sep))
+    }.toDF("source", "doc_id", "lang", "text")
+    val a = graft.ops.DsirGate.admissions(docs, col("lang") === "T")
+    val modelThr = a.select("thr").distinct().collect()
+    assert(modelThr.length == 1, s"thr not constant: ${modelThr.mkString(",")}")
+    val pd = a.agg(
+      expr("cast(floor(cast(sum(wu) as double) / cast(sum(n_tok) as double)) as bigint)"))
+      .collect()(0).getLong(0)
+    assert(modelThr(0).getLong(0) == pd,
+      s"regrouping identity broken: model=${modelThr(0).getLong(0)} per-doc=$pd")
+  }
+
   test("relative admission is non-degenerate on the shared-vocab fixture") {
     // The reason the rule is relative: the sf fixtures share ONE word
     // pool across languages, so ABSOLUTE weights are all negative
