@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-13 additions, part 2: data-selection by importance weighting —
@@ -77,6 +78,87 @@ object Extra22 {
         .select(col("source"), col("n_docs"), col("n_admitted"),
           col("admitted_units"), col("thr"))
         .orderBy("source")
+    },
+
+    // AVERAGE PRECISION (PR-curve area) — agg_auc's precision-recall
+    // sibling, the retrieval/imbalanced-classification metric: per
+    // segment, AP = (1/n_pos)·Σ_{positive at rank k} precision@k under
+    // the (score DESC) ranking. Exactness despite ranks: ties resolve
+    // PESSIMISTICALLY (all tied negatives rank before tied positives —
+    // the conservative, order-free convention both engines can replay
+    // without a unique row id), so every precision@k term is a ratio of
+    // two integers derivable from the COLLAPSED (seg, score) relation:
+    // for the j-th positive of a tied group, k = better_cnt + ties_neg
+    // + j and cum_pos@k = better_pos + j. Each term quantizes once to
+    // integer nano-units (⌊(cum_pos·1e9)/k⌋ — exact: cum_pos·1e9 stays
+    // under 2^53 at fixture scale; at 10¹²-row scale divide first), so
+    // segment AP sums are EXACT integer sums — ap_units is the gate
+    // column, the rounded ratio rides for readability. Scale shape:
+    // one (seg, score) rollup, one per-seg window over the COLLAPSED
+    // score domain (the agg_auc discipline — never a window over raw
+    // rows), per-group inner loop bounded by tie multiplicity, one
+    // final rollup.
+    "eval_avg_precision" -> Q(
+      """WITH e AS (SELECT user_id % 4 AS seg, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |g AS (SELECT seg, score, count(*) AS cnt, sum(pos) AS np
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT seg, score, cnt, np,
+        |    coalesce(sum(cnt) OVER (PARTITION BY seg ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcnt,
+        |    coalesce(sum(np) OVER (PARTITION BY seg ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpos
+        |  FROM g),
+        |t AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n,
+        |             CAST(SUM(np) AS BIGINT) AS n_pos
+        |      FROM g GROUP BY 1),
+        |x AS (SELECT seg,
+        |    CAST(FLOOR((cumpos + j) * 1000000000.0
+        |               / (cumcnt + (cnt - np) + j)) AS BIGINT) AS unit
+        |  FROM (SELECT * FROM r WHERE np > 0) r2,
+        |       LATERAL (SELECT unnest(generate_series(1, CAST(r2.np AS BIGINT))) AS j) l),
+        |u AS (SELECT seg, CAST(SUM(unit) AS BIGINT) AS ap_units
+        |      FROM x GROUP BY 1)
+        |SELECT CAST(t.seg AS BIGINT) AS seg, t.n, t.n_pos,
+        |  CAST(COALESCE(u.ap_units, 0) AS BIGINT) AS ap_units,
+        |  CAST(ROUND(CAST(COALESCE(u.ap_units, 0) AS DOUBLE)
+        |             / (t.n_pos * 1000000000.0), 4) AS DECIMAL(18,4)) AS ap
+        |FROM t LEFT JOIN u USING (seg) ORDER BY seg""".stripMargin) { (s, d) =>
+      avgPrecisionOf(T.events(s, d).select((col("user_id") % 4).as("seg"),
+        col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
     }
   )
+
+  /** Exact pessimistic-tie average precision over (seg, score, pos)
+    * rows — factored so the spec can pin AP == the brute sequential
+    * definition on controlled tie fixtures.
+    */
+  def avgPrecisionOf(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = e.groupBy("seg", "score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+    val w = Window.partitionBy("seg").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g
+      .withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("cumpos", coalesce(sum("np").over(w), lit(0L)))
+    // sequence(1, np) with np = 0 would generate DESCENDING [1, 0]
+    // (the text_bigram_lm trap) — the when-guard is load-bearing.
+    val units = r.withColumn("units",
+      when(col("np") > 0, expr(
+        """aggregate(sequence(1, cast(np as int)), cast(0 as bigint),
+          |  (acc, j) -> acc + cast(floor((cumpos + j) * 1000000000.0
+          |    / (cumcnt + (cnt - np) + j)) as bigint))""".stripMargin))
+        .otherwise(lit(0L)))
+    units.groupBy("seg")
+      .agg(sum("cnt").as("n"), sum("np").as("n_pos"),
+        sum("units").as("ap_units"))
+      .select(col("seg").cast("bigint").as("seg"), col("n"), col("n_pos"),
+        col("ap_units"),
+        round(col("ap_units").cast("double")
+          / (col("n_pos") * lit(1000000000.0)), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("ap"))
+      .orderBy("seg")
+  }
 }

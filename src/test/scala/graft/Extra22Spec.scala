@@ -88,6 +88,38 @@ class Extra22Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"regrouping identity broken: model=${modelThr(0).getLong(0)} per-doc=$pd")
   }
 
+  test("eval_avg_precision == the sequential AP definition under pessimistic ties") {
+    // Brute reference: sort (score DESC, pos ASC — negatives first in a
+    // tie, the pessimistic convention), walk ranks, sum floored
+    // nano-unit precision@k at each positive. The declared pipeline
+    // must reproduce it exactly — including on a group that is ALL ties
+    // and a segment whose top score is a mixed-label tie.
+    import spark.implicits._
+    def brute(rows: Seq[(Long, Double, Long)]): Map[Long, (Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (seg, rs) =>
+        val sorted = rs.sortBy(r => (-r._2, r._3)) // score DESC, neg before pos
+        var cum = 0L; var units = 0L
+        sorted.zipWithIndex.foreach { case ((_, _, pos), i) =>
+          if (pos == 1L) {
+            cum += 1
+            units += math.floor(cum * 1000000000.0 / (i + 1)).toLong
+          }
+        }
+        seg -> (sorted.size.toLong, cum, units)
+      }
+    val data = Seq(
+      (0L, 0.9, 1L), (0L, 0.9, 0L), (0L, 0.9, 1L), // mixed tie at the top
+      (0L, 0.5, 0L), (0L, 0.3, 1L),
+      (1L, 0.7, 0L), (1L, 0.7, 0L), (1L, 0.7, 0L), // all-negative tie
+      (1L, 0.2, 1L),
+      (2L, 0.4, 1L), (2L, 0.4, 1L), (2L, 0.4, 1L)) // all-positive tie
+    val got = graft.queries.Extra22.avgPrecisionOf(
+        data.toDF("seg", "score", "pos"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == brute(data), s"got $got\nwant ${brute(data)}")
+  }
+
   test("relative admission is non-degenerate on the shared-vocab fixture") {
     // The reason the rule is relative: the sf fixtures share ONE word
     // pool across languages, so ABSOLUTE weights are all negative
