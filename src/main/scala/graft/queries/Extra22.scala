@@ -122,8 +122,10 @@ object Extra22 {
         |      FROM x GROUP BY 1)
         |SELECT CAST(t.seg AS BIGINT) AS seg, t.n, t.n_pos,
         |  CAST(COALESCE(u.ap_units, 0) AS BIGINT) AS ap_units,
-        |  CAST(ROUND(CAST(COALESCE(u.ap_units, 0) AS DOUBLE)
-        |             / (t.n_pos * 1000000000.0), 4) AS DECIMAL(18,4)) AS ap
+        |  CAST(CASE WHEN t.n_pos > 0 THEN
+        |         ROUND(CAST(COALESCE(u.ap_units, 0) AS DOUBLE)
+        |               / (t.n_pos * 1000000000.0), 4)
+        |       END AS DECIMAL(18,4)) AS ap
         |FROM t LEFT JOIN u USING (seg) ORDER BY seg""".stripMargin) { (s, d) =>
       avgPrecisionOf(T.events(s, d).select((col("user_id") % 4).as("seg"),
         col("value").as("score"),
@@ -156,8 +158,14 @@ object Extra22 {
         sum("units").as("ap_units"))
       .select(col("seg").cast("bigint").as("seg"), col("n"), col("n_pos"),
         col("ap_units"),
-        round(col("ap_units").cast("double")
-          / (col("n_pos") * lit(1000000000.0)), 4)
+        // ADVICE r13: a zero-positive segment divides 0.0/0.0 — Spark
+        // NULLs the NaN→decimal cast while DuckDB's IEEE NaN can error
+        // or diverge under the DECIMAL cast. Guard BOTH engines: AP is
+        // undefined with no positives, so emit NULL explicitly.
+        when(col("n_pos") > 0,
+          round(col("ap_units").cast("double")
+            / (col("n_pos") * lit(1000000000.0)), 4))
+          .otherwise(lit(null))
           .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("ap"))
       .orderBy("seg")
   }

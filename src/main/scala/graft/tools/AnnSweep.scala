@@ -94,7 +94,9 @@ object AnnSweep {
       // brute force — containment demands the ADC shortlist covers the
       // true top-10 for every query.
       lazy val qtruth = {
-        val q = e.filter(col("vec_id") < 8)
+        // Same orderBy(vec_id).limit(8) query set as the searchers
+        // being swept (the ftruth fix below, applied here too).
+        val q = e.orderBy("vec_id").limit(8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val pairsQ = q.join(broadcast(e.select(col("vec_id").as("nb_id"), col("embedding").as("xe"))),
           col("nb_id") =!= col("q_id"))
@@ -162,7 +164,11 @@ object AnnSweep {
       // containment edge sits at wider probing than the unfiltered
       // sibling — the sweep measures where.
       lazy val ftruth = {
-        val q = e.filter(col("vec_id") < 8)
+        // Query set = the SAME orderBy(vec_id).limit(8) the declared
+        // path (Int8Index.searchIndex) uses — a `vec_id < 8` filter
+        // would measure a different query set on any fixture whose ids
+        // are non-contiguous or non-zero-based (ADVICE r13).
+        val q = e.orderBy("vec_id").limit(8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val cand = graft.Tables.embeddings(spark, d)
           .filter(col("label") === 1)

@@ -112,12 +112,18 @@ class Extra22Spec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, 0.5, 0L), (0L, 0.3, 1L),
       (1L, 0.7, 0L), (1L, 0.7, 0L), (1L, 0.7, 0L), // all-negative tie
       (1L, 0.2, 1L),
-      (2L, 0.4, 1L), (2L, 0.4, 1L), (2L, 0.4, 1L)) // all-positive tie
-    val got = graft.queries.Extra22.avgPrecisionOf(
-        data.toDF("seg", "score", "pos"))
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      (2L, 0.4, 1L), (2L, 0.4, 1L), (2L, 0.4, 1L), // all-positive tie
+      (3L, 0.8, 0L), (3L, 0.1, 0L)) // ZERO positives — AP undefined
+    val res = graft.queries.Extra22.avgPrecisionOf(
+        data.toDF("seg", "score", "pos")).collect()
+    val got = res.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == brute(data), s"got $got\nwant ${brute(data)}")
+    // ADVICE r13 guard: the zero-positive segment must emit NULL ap
+    // (not NaN, not 0) while positive segments emit a value.
+    val apBySeg = res.map(r => r.getLong(0) -> r.isNullAt(4)).toMap
+    assert(apBySeg(3L), "seg 3 (no positives) must have NULL ap")
+    assert(!apBySeg(0L) && !apBySeg(2L), "positive segs must have non-null ap")
   }
 
   test("relative admission is non-degenerate on the shared-vocab fixture") {

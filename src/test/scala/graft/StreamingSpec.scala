@@ -932,8 +932,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // literal map — the gate is a stateless append-mode filter (no
     // join, no state, no foreachBatch). The pin: streaming the corpus's
     // own documents through the gate admits EXACTLY the set the batch
-    // dsirWeights rule (wu > 0) selects — driver-side Math.log
-    // quantization and Spark-side ln agree unit-for-unit.
+    // DsirGate.admissions RELATIVE rule (wu > thr·n_tok) selects —
+    // driver-side Math.log quantization and Spark-side ln agree
+    // unit-for-unit.
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
