@@ -97,7 +97,8 @@ object Plans {
     "ts_outlier_mad" -> "robust MAD outliers: 20-row med/mad stats broadcast onto the fact (never a 20-key shuffle join), exact integer-scaled order statistics",
     "win_sliding_distinct" -> "rolling 7-day distinct: map-side x7 day fan-out, broadcast semi-join on the actual-day set, two-phase distinct aggregate",
     "eval_confusion" -> "nearest-centroid eval: broadcast centroid join, codegen bigint distance sums, WindowGroupLimit argmin",
-    "agg_auc" -> "rank-sum AUC: join-free, one (seg, score) rollup, one window over the collapsed score domain")
+    "agg_auc" -> "rank-sum AUC: join-free, one (seg, score) rollup, one window over the collapsed score domain",
+    "text_bm25" -> "Okapi BM25: one doc_id corpus spread, exchange-free tf/dl rollups, query-term df broadcast, bounded-heap top-10")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: the missing RETRIEVAL family (lexical BM25 +
+  * reciprocal-rank hybrid fusion with the dense index), the calibration
+  * metric completing the eval family, and bounded multi-source BFS over
+  * a bipartite fact graph. Determinism contracts as established:
+  * integer arithmetic wherever a rank or gate value is derived, one
+  * double quantization point per scored term (the text_surprisal
+  * nano-unit discipline), total orders on every emitted set.
+  */
+object Extra23 {
+
+  /** The fixed term-query set for `text_bm25` — (qid, term) rows over
+    * vocabulary that exists in the documents fixture at every SF. One
+    * definition feeding both the Spark plan and (inlined as VALUES) the
+    * oracle, so the two can never drift.
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "query"),
+    (2L, "hash"), (2L, "join"), (2L, "merge"),
+    (3L, "window"), (3L, "batch"))
+
+  private def bm25ValuesSql: String =
+    Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Okapi BM25 score units for one (doc, term) pair as a column —
+    * k1 = 1.2, b = 0.75, the Lucene-form idf ln(1 + (N−df+0.5)/(df+0.5))
+    * (always positive — plain Okapi idf goes negative past df > N/2,
+    * which on a small shared vocabulary would rank docs MISSING a term
+    * above docs containing it). df/tf/dl/N/tot are all exact integers;
+    * the whole per-term score is ONE double expression quantized ONCE
+    * to nano-units by floor — both engines evaluate the identical
+    * expression tree on identical integer inputs, so the units match
+    * bit-for-bit (the text_surprisal / sample_dsir ln-agreement
+    * precedent, green ×3 SFs). Per-(query, doc) scores are then EXACT
+    * integer sums of these units.
+    */
+  private def bm25Units: org.apache.spark.sql.Column = {
+    val idf = log(lit(1.0) +
+      ((col("n") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val dlr = (col("dl") * col("n")).cast("double") / col("tot").cast("double")
+    val sat = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * dlr))
+    floor(idf * sat * lit(1000000000.0)).cast("bigint")
+  }
+
+  /** The identical expression in DuckDB SQL (same tree, same literals,
+    * same association — the floor boundary is shared).
+    */
+  private val bm25UnitsSql: String =
+    """CAST(FLOOR(
+      |  ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |  * ((CAST(tf AS DOUBLE) * 2.2)
+      |     / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |        * (CAST(dl * n AS DOUBLE) / CAST(tot AS DOUBLE)))))
+      |  * 1000000000.0) AS BIGINT)""".stripMargin
+
+  /** Shared corpus statistics backbone for the BM25 scorers: one
+    * doc_id-spread scan → tf per (doc, word) → dl per doc → (n, tot)
+    * scalar — every rollup exchange-free after the single spread
+    * (groupBy keys ⊇-compatible with HashPartitioning(doc_id)), the
+    * scale contract PlanSpec pins. Returns (tf, dl, nt).
+    */
+  private[graft] def corpusStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val words = graft.Q.spreadBy(docs.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .transform(graft.Q.sketchPersist)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val nt = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+    (tf, dl, nt)
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // Okapi BM25 (k1=1.2, b=0.75) top-10 documents per fixed term query
+    // — the lexical half of the retrieval story (Robertson & Walker's
+    // probabilistic ranking; the idf is Lucene's ln(1+…) form, see
+    // bm25Units). Integer discipline: df/tf/dl/N/Σdl are exact
+    // integers; each (doc, term) score is ONE double floored to
+    // nano-units; per-(query, doc) scores are exact integer SUMS of
+    // units — the hash gate compares integers, never floats. Scale
+    // shape (the text_tfidf lesson, hardened): corpus scanned ONCE,
+    // spread once on doc_id; tf, dl and the score-side joins all stay
+    // on that partitioning (zero further corpus-grain exchanges —
+    // PlanSpec pins exactly one doc_id hash exchange); df is computed
+    // ONLY for the 6 distinct query terms (map-side isin filter, then
+    // a vocab-sized rollup whose shuffle carries per-partition partials
+    // — kilobytes at any corpus size) and BROADCASTS with the 7-row
+    // term table and the 1-row (n, tot) scalar; the final cut is the
+    // bounded-heap TopKPerGroup operator, no global sort.
+    "text_bm25" -> Q(
+      s"""WITH terms(qid, term) AS (VALUES ${bm25ValuesSql}),
+        |w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        |      FROM read_parquet('{sfDir}/documents.parquet')),
+        |tf0 AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dl0 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf0 GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl0),
+        |df0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf0 GROUP BY 1),
+        |sc AS (SELECT t.qid, f.doc_id,
+        |         ${bm25UnitsSql.replace("\n", "\n        |")} AS units
+        |       FROM tf0 f
+        |       JOIN terms t ON f.word = t.term
+        |       JOIN df0 d2 ON f.word = d2.word
+        |       JOIN dl0 l ON f.doc_id = l.doc_id
+        |       CROSS JOIN nt),
+        |s AS (SELECT qid, doc_id, CAST(SUM(units) AS BIGINT) AS score_units
+        |      FROM sc GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score_units,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |                           ORDER BY score_units DESC, doc_id) AS rn
+        |      FROM s)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_units
+        |FROM r WHERE rn <= 10
+        |ORDER BY qid, score_units DESC, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gn = org.apache.spark.sql.graft.native
+      val termDf = Bm25Queries.toDF("qid", "term")
+      val termWords = Bm25Queries.map(_._2).distinct
+      val (tf, dl, nt) = corpusStats(T.documents(s, d))
+      val dfq = tf.filter(col("word").isin(termWords: _*))
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val sc = tf.filter(col("word").isin(termWords: _*))
+        .join(dl, "doc_id")
+        .join(broadcast(dfq), "word")
+        .join(broadcast(termDf), col("word") === col("term"))
+        .crossJoin(broadcast(nt))
+        .select(col("qid"), col("doc_id"), bm25Units.as("units"))
+        .groupBy("qid", "doc_id")
+        .agg(sum("units").as("score_units"))
+      gn.top_k_per_group(sc, Seq("qid"),
+          Seq(col("score_units").desc, col("doc_id").asc), 10)
+        .select("qid", "doc_id", "score_units")
+        .orderBy(col("qid"), col("score_units").desc, col("doc_id"))
+    },
+
+    // HYBRID RETRIEVAL via reciprocal-rank fusion (k = 60, the
+    // Cormack/Clarke/Büttcher constant): for each of the 8 query
+    // DOCUMENTS (lowest ids — each contributes its embedding as the
+    // dense query and its distinct words as the lexical query), fuse
+    // the dense exact-top-10 (served from the STAGED int8 index at
+    // sim_ann_int8's declared parameters — the recall gate there is
+    // what licenses the oracle's brute-force dense side here) with the
+    // BM25 more-like-this top-10, by RRF score Σ_lists ⌊1e9/(60+rank)⌋
+    // — rank-only and PURE INTEGER, so the fusion replays exactly in
+    // SQL with no float anywhere. Docs in one list only get that
+    // list's contribution (standard RRF over the union). Scale shape:
+    // dense side is the int8 probe/shortlist/rerank (work ∝ probed-
+    // cell occupancy); lexical side rides the corpusStats backbone
+    // (one spread, exchange-free rollups, query-term table broadcast);
+    // the fusion itself runs over ≤ 2·nq·10 rank rows — dust.
+    "sim_hybrid_rrf" -> Q(
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM read_parquet('{sfDir}/embeddings.parquet')
+        |           ORDER BY vec_id LIMIT 8),
+        |dp AS (SELECT q_id, x.vec_id AS doc_id,
+        |         CAST(ROUND(list_cosine_similarity(qe, CAST(x.embedding AS DOUBLE[])), 4) AS DECIMAL(18,4)) AS sim
+        |       FROM q JOIN read_parquet('{sfDir}/embeddings.parquet') x
+        |         ON x.vec_id <> q.q_id),
+        |dr AS (SELECT q_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rank
+        |       FROM dp),
+        |d10 AS (SELECT q_id, doc_id, rank FROM dr WHERE rank <= 10),
+        |w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        |      FROM read_parquet('{sfDir}/documents.parquet')),
+        |tf0 AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dl0 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf0 GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl0),
+        |df0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf0 GROUP BY 1),
+        |qt AS (SELECT doc_id AS q_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS term
+        |       FROM read_parquet('{sfDir}/documents.parquet')
+        |       WHERE doc_id IN (SELECT doc_id FROM read_parquet('{sfDir}/documents.parquet')
+        |                        ORDER BY doc_id LIMIT 8)),
+        |sc AS (SELECT qt.q_id, f.doc_id,
+        |         ${bm25UnitsSql.replace("\n", "\n        |")} AS units
+        |       FROM tf0 f
+        |       JOIN qt ON f.word = qt.term
+        |       JOIN df0 d2 ON f.word = d2.word
+        |       JOIN dl0 l ON f.doc_id = l.doc_id
+        |       CROSS JOIN nt
+        |       WHERE f.doc_id <> qt.q_id),
+        |ls AS (SELECT q_id, doc_id, CAST(SUM(units) AS BIGINT) AS s FROM sc GROUP BY 1, 2),
+        |lr AS (SELECT q_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rank
+        |       FROM ls),
+        |l10 AS (SELECT q_id, doc_id, rank FROM lr WHERE rank <= 10),
+        |u AS (SELECT * FROM d10 UNION ALL SELECT * FROM l10),
+        |r AS (SELECT q_id, doc_id,
+        |        CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_units
+        |      FROM u GROUP BY 1, 2),
+        |rr AS (SELECT q_id, doc_id, rrf_units,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |                            ORDER BY rrf_units DESC, doc_id) AS rn
+        |       FROM r)
+        |SELECT q_id, doc_id, rrf_units FROM rr WHERE rn <= 10
+        |ORDER BY q_id, rrf_units DESC, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val gn = org.apache.spark.sql.graft.native
+      val embs = T.embeddings(s, d)
+      val docs = T.documents(s, d)
+      val short = math.max(64L,
+        (graft.Q.parquetRowCount(s, s"$d/embeddings.parquet") + 3) / 4).toInt
+      // Dense list: the sim_ann_int8 search verbatim (same staged index
+      // dir — tag/kCells/rc/refine match, so the two queries share one
+      // ingest-time build); its gate proves output == exact top-10.
+      val dense = graft.ops.Int8Index.searchStaged(embs,
+        tag = d + "_" + graft.Q.corpusFingerprint(s, s"$d/embeddings.parquet"),
+        nq = 8, kCells = 16, rc = 3, qp = 6, shortlist = short, topK = 10,
+        refine = 1)
+      val dw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nb_id"))
+      val d10 = dense.withColumn("rank", row_number().over(dw))
+        .select(col("q_id"), col("nb_id").as("doc_id"), col("rank"))
+      // Lexical list: BM25 more-like-this — the 8 query docs' distinct
+      // words as per-query term tables (8 × ≤|vocab| rows, broadcast).
+      val (tf, dl, nt) = corpusStats(docs)
+      val qterms = docs.orderBy("doc_id").limit(8)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(expr("filter(split(text, ' '), x -> x != '')")))
+            .as("term"))
+      val termSet = qterms.select("term").distinct()
+      val dfq = tf.join(broadcast(termSet), col("word") === col("term"), "left_semi")
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val lex = tf
+        .join(dl, "doc_id")
+        .join(broadcast(dfq), "word")
+        .join(broadcast(qterms), col("word") === col("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .crossJoin(broadcast(nt))
+        .select(col("q_id"), col("doc_id"), bm25Units.as("units"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum("units").as("s"))
+      val lw = Window.partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
+      val l10 = gn.top_k_per_group(lex, Seq("q_id"),
+          Seq(col("s").desc, col("doc_id").asc), 10)
+        .withColumn("rank", row_number().over(lw))
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      // Fusion: pure integer RRF over the union of the two rank lists.
+      val rrf = d10.unionByName(l10)
+        .select(col("q_id"), col("doc_id"),
+          expr("1000000000 div (60 + rank)").as("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum("c").as("rrf_units"))
+      gn.top_k_per_group(rrf, Seq("q_id"),
+          Seq(col("rrf_units").desc, col("doc_id").asc), 10)
+        .select("q_id", "doc_id", "rrf_units")
+        .orderBy(col("q_id"), col("rrf_units").desc, col("doc_id"))
+    },
+
+    // EXPECTED CALIBRATION ERROR — the eval family's reliability metric
+    // (Guo et al. 2017 shape): confidences into 10 fixed-width bins,
+    // per bin the gap between accuracy and mean confidence, ECE = the
+    // bin-mass-weighted gap sum. Exactness: conf quantizes ONCE to
+    // integer nano-units (frac(value) — floor and subtraction are
+    // exact IEEE, the one multiply is correctly rounded identically on
+    // both engines); everything after is pure integer arithmetic —
+    // n·|acc−conf̄| telescopes to |pos·1e9 − Σconf_units| so no
+    // per-bin division ever happens, and ece_units = ⌊Σgaps / N⌋ is
+    // one integer division at the end. Scale shape: map-side quantize
+    // + two-phase 10-group rollup, one 1-row broadcast for the total —
+    // the agg_histogram plan at any corpus size.
+    "eval_calibration" -> Q(
+      """WITH e AS (
+        |  SELECT CAST(FLOOR((value - FLOOR(value)) * 1000000000) AS BIGINT) AS cu,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |b AS (SELECT LEAST(cu // 100000000, 9) AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |             CAST(SUM(cu) AS BIGINT) AS sum_conf
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |             CAST(SUM(ABS(n_pos * 1000000000 - sum_conf)) AS BIGINT) AS gap_total
+        |      FROM b)
+        |SELECT CAST(b.bin AS BIGINT) AS bin, b.n, b.n_pos, b.sum_conf,
+        |       CAST(ABS(b.n_pos * 1000000000 - b.sum_conf) AS BIGINT) AS gap_units,
+        |       CAST(t.gap_total // t.total AS BIGINT) AS ece_units
+        |FROM b, t ORDER BY bin""".stripMargin) { (s, d) =>
+      calibrationOf(T.events(s, d).select(
+        col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
+    },
+
+    // Bounded multi-source BFS over the bipartite order↔part graph —
+    // the blast-radius / lineage traversal ("everything within 4 hops
+    // of these seed orders"). Nodes: 2·orderkey (even) and 2·partkey+1
+    // (odd) — disjoint id spaces by parity, both engines derive them
+    // from the same integer formulas. Sources: orders ≡ 1 (mod 997).
+    // Distance is a pure min over paths, so the output set is unique —
+    // no tie-break needed; the rollup (nodes, id-sum, min id per
+    // distance) pins the exact reachable set at each hop. Oracle:
+    // DuckDB recursive CTE accumulating (node, dist) pairs with the
+    // same hop bound, MIN(dist) per node. Scale shape: the edge
+    // relation is built once (one distinct shuffle) and persisted;
+    // each round joins only the FRONTIER against it (work ∝
+    // frontier-adjacent edges); per-round lazy localCheckpoint bounds
+    // lineage; the frontier admission guard fails loudly instead of
+    // launching an oversized round (ops/Bfs scaladoc).
+    "graph_bfs" -> Q(
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        |       FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |src AS (SELECT DISTINCT a AS node FROM e0 WHERE (a // 2) % 997 = 1),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM src
+        |  UNION
+        |  SELECT e.v, w.dist + 1 FROM walk w JOIN e ON w.node = e.u
+        |  WHERE w.dist < 4),
+        |md AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(SUM(node) AS BIGINT) AS sum_node,
+        |       CAST(MIN(node) AS BIGINT) AS min_node
+        |FROM md GROUP BY 1 ORDER BY dist""".stripMargin) { (s, d) =>
+      val e0 = T.lineitem(s, d)
+        .select((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      val sym = e0.select(col("a").as("u"), col("b").as("v"))
+        .union(e0.select(col("b").as("u"), col("a").as("v")))
+      val sources = T.lineitem(s, d)
+        .filter(col("l_orderkey") % 997 === 1)
+        .select((col("l_orderkey") * 2).as("node")).distinct()
+      graft.ops.Bfs.multiSourceBfs(sym, sources, maxHops = 4)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_node"),
+          min("node").as("min_node"))
+        .select(col("dist"), col("n_nodes"), col("sum_node"), col("min_node"))
+        .orderBy("dist")
+    }
+  )
+
+  /** ECE over (value, pos) rows — factored so the spec can pin the
+    * metric against a hand-computed controlled fixture.
+    */
+  def calibrationOf(e: DataFrame): DataFrame = {
+    val q = e.select(
+      floor((col("value") - floor(col("value"))) * lit(1000000000.0))
+        .cast("bigint").as("cu"),
+      col("pos"))
+    val b = q.groupBy(least(expr("cu div 100000000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"), sum("cu").as("sum_conf"))
+    val t = b.agg(sum("n").as("total"),
+      sum(abs(col("n_pos") * lit(1000000000L) - col("sum_conf"))).as("gap_total"))
+    b.crossJoin(broadcast(t))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_conf"),
+        abs(col("n_pos") * lit(1000000000L) - col("sum_conf")).as("gap_units"),
+        expr("gap_total div total").as("ece_units"))
+      .orderBy("bin")
+  }
+}

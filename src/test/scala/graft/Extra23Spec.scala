@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-14 retrieval/eval/graph additions — the
+  * laws the hash gates state but can't explain: ECE really is the
+  * bin-mass-weighted reliability gap (hand-computed controlled fixture),
+  * BFS really is minimum hop distance (brute reference on a hand graph,
+  * min-over-sources, bound and guard behavior).
+  */
+class Extra23Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("eval_calibration == the hand-computed ECE on a controlled fixture") {
+    import spark.implicits._
+    // Fixture designed bin by bin with DYADIC confidences (exactly
+    // representable fractional parts, so every expected integer is
+    // exact, not approximate). Bin 0 (conf 0.0625): 2 rows, 0 positive
+    // → gap = |0 − 2·0.0625e9| = 125000000. Bin 2 (conf 0.25): 4 rows,
+    // 1 positive — perfectly calibrated → gap = 0. Bin 5 (conf
+    // 0.5625): 2 rows, 1 positive → gap = 125000000. Bin 9 (conf
+    // 0.9375): 2 rows, 2 positive → gap = 125000000. N = 10,
+    // ece_units = 375000000 / 10 = 37500000.
+    val rows = Seq(
+      (3.0625, 0L), (7.0625, 0L),                        // bin 0
+      (1.25, 1L), (0.25, 0L), (9.25, 0L), (2.25, 0L),    // bin 2, calibrated
+      (4.5625, 1L), (5.5625, 0L),                        // bin 5
+      (6.9375, 1L), (8.9375, 1L))                        // bin 9
+    val got = graft.queries.Extra23.calibrationOf(rows.toDF("value", "pos"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    // bin → (n, n_pos, gap_units, ece_units)
+    val want = Map(
+      0L -> (2L, 0L, 125000000L, 37500000L),
+      2L -> (4L, 1L, 0L, 37500000L),
+      5L -> (2L, 1L, 125000000L, 37500000L),
+      9L -> (2L, 2L, 125000000L, 37500000L))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("multiSourceBfs == brute min-hop on a hand graph; bound respected") {
+    import spark.implicits._
+    // Path 1-2-3-4-5-6-7, separate component 10-11, isolated 20 (no
+    // edges → never appears). Sources {1, 5, 10}: distance is the MIN
+    // over sources; hop bound 2 truncates the frontier at dist 2.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (10L, 11L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("u", "v")
+    val sources = Seq(1L, 5L, 10L).toDF("node")
+    val got = graft.ops.Bfs.multiSourceBfs(edges, sources, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 0L, 5L -> 0L, 10L -> 0L,
+      2L -> 1L, 4L -> 1L, 6L -> 1L, 11L -> 1L,
+      3L -> 2L, 7L -> 2L)
+    assert(got == want, s"got $got\nwant $want")
+    // Unbounded (hops ≥ diameter) covers both components, nothing else.
+    val full = graft.ops.Bfs.multiSourceBfs(edges, sources, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == want, s"already complete at 2 hops: $full")
+    // The frontier admission guard fails loudly, naming the bound.
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Bfs.multiSourceBfs(edges, Seq(1L).toDF("node"),
+        maxHops = 3, maxFrontier = 0L)
+    }
+    assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
+  }
+
+  test("BM25 corpus stats: tf/dl/totals agree with a driver-side recount") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a c"), (1L, "b b b"), (2L, "c"), (3L, " a  a ")) // messy spaces
+      .toDF("doc_id", "text")
+    val (tf, dl, nt) = graft.queries.Extra23.corpusStats(docs)
+    val tfm = tf.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tfm == Map((0L, "a") -> 2L, (0L, "b") -> 1L, (0L, "c") -> 1L,
+      (1L, "b") -> 3L, (2L, "c") -> 1L, (3L, "a") -> 2L), tfm.toString)
+    val dlm = dl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dlm == Map(0L -> 4L, 1L -> 3L, 2L -> 1L, 3L -> 2L), dlm.toString)
+    val Array(row) = nt.collect()
+    assert(row.getLong(0) == 4L && row.getLong(1) == 10L, row.toString)
+  }
+}

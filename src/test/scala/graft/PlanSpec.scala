@@ -657,6 +657,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("text_bm25: corpus spread once, no optimizer-inserted corpus re-shuffle") {
+    // The BM25 side's scale contract (r14): ONE declared doc_id spread
+    // (REPARTITION_BY_NUM) parallelizes the single-row-group scan; tf,
+    // dl and the score-side joins all ride that partitioning, so the
+    // optimizer must never need to insert its own doc_id exchange
+    // (ENSURE_REQUIREMENTS on doc_id = the co-partitioning broke and
+    // the corpus is being re-shuffled at 100 TB). df is computed only
+    // for the query terms (the IN-filter must reach the tf cache scan)
+    // and the final cut is the bounded-heap TopKPerGroup operator.
+    val df = SparkEntry.queries("text_bm25")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString()
+    // Scan only up to the FIRST "== Initial Plan ==" marker: everything
+    // before it is executed-final plan (the fusion spine, every join,
+    // and the tf cache build with its declared spread); initial-plan
+    // dumps legitimately contain ENSURE exchanges AQE elided at runtime.
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.substring(0, cut) else full
+    val docEx = """Exchange hashpartitioning\(doc_id#\d+L?, \d+\), (\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(docEx.nonEmpty && docEx.forall(_ == "REPARTITION_BY_NUM"),
+      s"doc_id exchanges: $docEx\n$full")
+    assert(p.contains("TopKPerGroup"), full)
+    assert(p.contains("IN (spark,query"), full) // df pruned to query terms
+    assert(!p.contains("CartesianProduct"), full)
+  }
+
   test("text_bpe_encode cuts trainer lineage and scans the corpus once") {
     // The 4-round trainer state must reach the encode join as a
     // checkpointed RDD (ExistingRDD), not as 4 rounds of re-derivation —
