@@ -53,7 +53,8 @@ object Extra10 {
     // downstream joins, each pruning to its own columns at scan time.
     if (!s.catalog.tableExists(to)) {
       T.orders(s, d)
-        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_custkey")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_custkey",
+          "o_totalprice") // + r14: sql_q18's pass-through output column
         .write.format("parquet").bucketBy(8, "o_orderkey")
         .mode("overwrite").option("path", s"$base/orders").saveAsTable(to)
     }

@@ -90,32 +90,13 @@ object Extra14 {
         |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l.l_shipdate <  TIMESTAMP '1998-01-01')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
-      val nat = T.nation(s, d).select("n_nationkey", "n_name")
-      val sup = T.supplier(s, d).select("s_suppkey", "s_nationkey")
-        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").isin("NATION_3", "NATION_8"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      val cust = T.customer(s, d).select("c_custkey", "c_nationkey")
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").isin("NATION_3", "NATION_8"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation"))
-      val l = T.lineitem(s, d)
-        .filter(col("l_shipdate") >= ts("1996-01-01") &&
-                col("l_shipdate") < ts("1998-01-01"))
-        .select(col("l_suppkey"), col("l_orderkey"),
-          year(col("l_shipdate")).cast("long").as("l_year"), rev.as("volume"))
-      // supplier side broadcasts (2 nations' worth of a small dim); the
-      // customer role is the big-dim shuffle join at cluster scale —
-      // pre-filtered to the same 2/25 before its exchange.
-      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(T.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
-                (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(Q.dec4(sum(col("volume"))).as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+      // Round-14: the lineitem⋈orders shuffle serves from the staged
+      // bucketed layout (broadcast joins preserve the probe side's
+      // bucketing, so the supplier attach below the fact join keeps
+      // the co-location). Measured (Q14Probe, alternated ×3, min):
+      // 0.53 → 0.40 s at sf0.1.
+      val (to, tl) = Extra10.bucketedTables(s, d)
+      q7Of(s, d, s.table(tl), s.table(to))
     },
 
     // TPC-H Q8 (national market share): what share of ASIA's STANDARD-
@@ -455,4 +436,44 @@ object Extra14 {
         .orderBy("cntrycode")
     }
   )
+
+  /** Q7's body over explicit fact frames — the declared query binds the
+    * bucketed tables (the Extra12.q5Of convention).
+    */
+  private[graft] def q7Of(s: org.apache.spark.sql.SparkSession, d: String,
+      l0: org.apache.spark.sql.DataFrame,
+      o0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nat = T.nation(s, d).select("n_nationkey", "n_name")
+    val sup = T.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = T.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = l0
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1998-01-01"))
+      .select(col("l_suppkey"), col("l_orderkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), rev.as("volume"))
+    // supplier side broadcasts (2 nations' worth of a small dim); the
+    // customer role is the big-dim shuffle join at cluster scale —
+    // pre-filtered to the same 2/25 before its exchange.
+    // merge hint HERE, after the supplier broadcast: a hint lower on
+    // the lineitem frame is consumed by that first join's resolution
+    // (broadcast beats merge) and the orders join would fall back to
+    // AQE's choice — at small SF a broadcast that hides the co-location
+    // this serving exists to prove.
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .hint("merge")
+      .join(o0.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+              (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(Q.dec4(sum(col("volume"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
 }

@@ -191,7 +191,15 @@ object Extra15 {
     // aggregations before their groupBys (plan-pinned — availability
     // and demand are computed only for qualifying parts), and the
     // half-demand threshold is exact (0.5 is a power of two;
-    // quantity sums are integer-valued doubles).
+    // quantity sums are integer-valued doubles). Floor decision (r14,
+    // Q14Probe): the single-scan conditional-agg rewrite (one
+    // (part, supp) rollup persisted, demand derived from its aq97
+    // column) measured 0.47 → 0.56 s at sf0.1 — the second pruned scan
+    // is CHEAPER here than persisting the rollup, because the red
+    // semi-filter drops ~87% of lineitem before any shuffle. At 100 TB
+    // the trade flips with scan cost — the rewrite lives in Q14Probe
+    // for when it's needed; the orderkey-bucketed layout is irrelevant
+    // to this query (its joins are partkey-grain).
     "sql_q20" -> Q(
       """WITH red AS (
         |  SELECT p_partkey FROM read_parquet('{sfDir}/part.parquet')

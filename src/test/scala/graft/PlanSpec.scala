@@ -494,11 +494,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     // region/nation/customer dimension edges are broadcast at this SF
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
-    // the year slice reaches the orders parquet scan
+    // the year slice reaches the (bucketed) orders parquet scan
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
-    // lineitem scan prunes to the four needed columns
-    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
-      "l_extendedprice:double,l_discount:double>"), p)
+    // lineitem scan prunes to the four needed columns — r14: the scan
+    // reads the staged bucketed table, whose column order differs from
+    // the raw parquet; pruning still applies.
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_extendedprice:double,l_suppkey:bigint,l_discount:double>"), p)
   }
 
   test("sql_q18 pre-aggregates below the joins and cuts with TakeOrderedAndProject") {
@@ -641,6 +643,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert("Bucketed: true".r.findAllIn(exec).size == 2, s"$q: $p")
       assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1, s"$q: $p")
       assert(exec.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
+  test("sql_q5/q18/q4/q7 serve the fact join bucketed: zero orderkey exchanges") {
+    // Round-14: the staged-layout serving extended to the rest of the
+    // lineitem⋈orders band (Q14Probe A/B at sf0.1, alternated ×3, min:
+    // q5 0.85→0.67, q18 0.52→0.29, q4 0.53→0.16, q7 0.53→0.40, all
+    // byte-equal). The pin: both fact scans read Bucketed, and NO
+    // orderkey-keyed exchange exists in the executed plan — the fact
+    // never crosses the wire; remaining exchanges are dim- or
+    // rollup-grain. A regression here re-shuffles the fact at 100 TB.
+    for (q <- Seq("sql_q5", "sql_q18", "sql_q4", "sql_q7")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString()
+      val cut = full.indexOf("== Initial Plan ==")
+      val exec = if (cut >= 0) full.substring(0, cut) else full
+      assert("Bucketed: true".r.findAllIn(exec).size == 2, s"$q: $full")
+      assert(!"""Exchange hashpartitioning\((l_orderkey|o_orderkey)""".r
+        .findFirstIn(exec).isDefined, s"$q: $full")
+      assert(exec.contains("SortMergeJoin"), s"$q: $full")
     }
   }
 
