@@ -148,6 +148,15 @@ object Q {
     java.lang.Long.toHexString(h)
   }
 
+  /** The staging tag for per-JVM ingest-time state derived from one
+    * fixture table: path + corpus fingerprint, so a driver fixture
+    * refresh re-stages instead of serving stale state (the ADVICE r9
+    * lesson, shared by the bucketed layout, the ANN indexes and the
+    * r14 dedup staging).
+    */
+  def corpusTag(spark: SparkSession, d: String, table: String): String =
+    d + "_" + corpusFingerprint(spark, s"$d/$table.parquet")
+
   /** Admission guard for the declared quadratic correctness baselines
     * (sim_cosine_topk, dedup_embedding — all-pairs joins kept deliberately
     * as ground-truth references next to their ANN scale paths): refuse an

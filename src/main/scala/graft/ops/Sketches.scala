@@ -201,6 +201,33 @@ object Sketches {
       .select(col("doc_id"),
         expr(s"sort_array(array_distinct(transform(sh, s -> pmod(xxhash64(s), $P))))").as("hs"))
 
+  /** Staged [[hashedShingles]] — the dedup family's ingest-time state
+    * (round-14, the Int8Index.searchStaged amortization contract): the
+    * (doc_id, hs) shingle relation is what every minhash-family query
+    * rebuilds per run, and at 100 TB it is exactly the relation a
+    * production pipeline writes ONCE at ingest and appends as the
+    * corpus grows. First call per JVM × tag × shingleN computes and
+    * writes it as parquet; later calls read the staged file. Key the
+    * tag by corpus fingerprint ([[graft.Q.corpusFingerprint]]) so a
+    * fixture refresh re-stages instead of serving stale state.
+    * SketchesSpec pins staged ≡ fresh row-for-row.
+    */
+  def hashedShinglesStaged(docs: DataFrame, tag: String,
+      shingleN: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"/tmp/graft_shingles_${graft.Q.perJvmId}/${safe}_n$shingleN"
+    stagedShingles.computeIfAbsent(dir, { _ =>
+      hashedShingles(docs, shingleN).write.mode("overwrite").parquet(dir)
+      java.lang.Boolean.TRUE
+    })
+    graft.Q.readStagedParquet(spark, dir)
+  }
+  private val stagedShingles =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val stagedLshBase =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** docs(doc_id, text) → (doc_id, sig array<long>).
     * Shingle strings are hashed once (xxhash64 mod P); the k-permutation
     * min-fold runs in the native MinHashSignature kernel.
@@ -244,7 +271,8 @@ object Sketches {
     * shingled exactly once per run.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-      k: Int = 64, bands: Int = 16, rows: Int = 4, shingleN: Int = 3): DataFrame = {
+      k: Int = 64, bands: Int = 16, rows: Int = 4, shingleN: Int = 3,
+      stagedTag: Option[String] = None): DataFrame = {
     // bands·rows must tile the signature exactly: an over-long banding
     // slices past the array, the trailing bands become [] for EVERY
     // doc, and one empty-band bucket silently keys all n docs into a
@@ -258,7 +286,14 @@ object Sketches {
     // across the self-join dedup, so materialize explicitly — the same
     // move a production pipeline makes by writing the signature table out
     // once. Skinny (doc_id, array<long>) rows: spill-safe MEMORY_AND_DISK.
-    val hs = hashedShingles(docs, shingleN).transform(graft.Q.sketchPersist)
+    // `stagedTag` (r14) makes that write LITERAL: the relation stages to
+    // parquet once per JVM × corpus fingerprint and every later run (and
+    // every other consumer query) reads the staged file — the branches
+    // then scan columnar parquet instead of re-persisting per run.
+    val hs = stagedTag match {
+      case Some(t) => hashedShinglesStaged(docs, t, shingleN)
+      case None    => hashedShingles(docs, shingleN).transform(graft.Q.sketchPersist)
+    }
     val cands = lshCandidates(signaturesOf(hs, k), bands, rows)
     val a = hs.select(col("doc_id").as("id1"), col("hs").as("g1"))
     val b = hs.select(col("doc_id").as("id2"), col("hs").as("g2"))
@@ -381,7 +416,10 @@ object Sketches {
       broadcastReattach: Boolean = true, probe: Int = 0,
       // Test/probe-only override of the emission-form switch (None =
       // auto by key-array volume); SketchesSpec pins both forms equal.
-      carryForm: Option[Boolean] = None): DataFrame = {
+      carryForm: Option[Boolean] = None,
+      // r14: stage the per-vector key-array relation as parquet (the
+      // hashedShinglesStaged contract) instead of persisting per run.
+      stagedTag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graft.{native => gn}
     require(probe == 0 || probe == 1, s"probe ∈ {0, 1}, got $probe")
     val m = 1L << nbits
@@ -402,12 +440,25 @@ object Sketches {
           .stripMargin
     // Persist the per-vector key arrays — the embedding scan + LSH
     // kernel + key-array build run once and feed both join sides.
-    val base = graft.Q.spreadBy(embs, "vec_id")
+    // With `stagedTag` the arrays are ingest-time state on parquet
+    // (built once per JVM × corpus × parameters, read thereafter).
+    def buildBase = graft.Q.spreadBy(embs, "vec_id")
       .select(col("vec_id"),
         gn.sign_lsh_buckets(col("embedding"), nbits, tables).as("bks"))
       .select(col("vec_id"), expr(anchorsExpr).as("anchors"),
         expr(probedExpr).as("probes"))
-      .transform(graft.Q.sketchPersist)
+    val base = stagedTag match {
+      case Some(t) =>
+        val safe = t.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = s"/tmp/graft_lshbase_${graft.Q.perJvmId}/" +
+          s"${safe}_b${nbits}_t${tables}_p$probe"
+      stagedLshBase.computeIfAbsent(dir, { _ =>
+          buildBase.write.mode("overwrite").parquet(dir)
+          java.lang.Boolean.TRUE
+        })
+        graft.Q.readStagedParquet(embs.sparkSession, dir)
+      case None => buildBase.transform(graft.Q.sketchPersist)
+    }
     // Re-attach embeddings only after the skinny exactly-once pair
     // projection — shuffling the float arrays through the bucket join
     // is the expensive wrong plan.
@@ -436,8 +487,10 @@ object Sketches {
 
   /** [[annPairs]] at the declared joint parameters for this corpus size. */
   def annPairsAt(embs: DataFrame, p: LshParams,
-      broadcastReattach: Boolean = true): DataFrame =
-    annPairs(embs, p.nbits, p.tables, broadcastReattach, p.probe)
+      broadcastReattach: Boolean = true,
+      stagedTag: Option[String] = None): DataFrame =
+    annPairs(embs, p.nbits, p.tables, broadcastReattach, p.probe,
+      stagedTag = stagedTag)
 
   /** ASYMMETRIC sign-LSH join: candidate (id1 ∈ fresh, id2 ∈ corpus)
     * pairs with cosine attached — the delta-dedup probe shape. The

@@ -61,8 +61,12 @@ object Approx {
         |FROM p JOIN z z1 ON z1.doc_id = id1 JOIN z z2 ON z2.doc_id = id2
         |WHERE inter_n >= (z1.n + z2.n - inter_n) * 0.5
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      // r14: the shingle relation (the pipeline's build half) serves
+      // staged — DedupStageProbe: 1.11 → 0.66 s warm at sf0.1; the
+      // staged file is shared with dedup_keep_rep/dedup_cross_source.
       Sketches.minhashNearDups(T.documents(s, d).select("doc_id", "text"),
-          threshold = 0.5)
+          threshold = 0.5,
+          stagedTag = Some(graft.Q.corpusTag(s, d, "documents")))
         .orderBy("id1", "id2")
     },
 
@@ -135,7 +139,8 @@ object Approx {
       val params = Sketches.lshParamsFor(
         graft.Q.parquetRowCount(s, s"$d/embeddings.parquet"),
         Sketches.LshDemand.TopK)
-      Sketches.annPairsAt(embs, params)
+      Sketches.annPairsAt(embs, params,
+          stagedTag = Some(graft.Q.corpusTag(s, d, "embeddings")))
         .orderBy(col("sim").desc, col("id1"), col("id2"))
         .limit(20)
     },

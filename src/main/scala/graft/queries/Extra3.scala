@@ -58,7 +58,8 @@ object Extra3 {
         // edgeComponents — which persists it internally (the LSH+verify
         // pipeline runs once; a caller-side persist would be redundant).
         val pairs = graft.ops.Sketches
-          .minhashNearDups(docs, threshold = 0.5)
+          .minhashNearDups(docs, threshold = 0.5,
+            stagedTag = Some(graft.Q.corpusTag(s, d, "documents")))
           .select("id1", "id2")
         // Components run ONLY over the near-dup subgraph (nodes that
         // appear in some pair — a tiny fraction of the corpus), via the

@@ -233,7 +233,8 @@ object Extra7 {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d)
       val pairs = graft.ops.Sketches
-        .minhashNearDups(docs.select("doc_id", "text"), threshold = 0.5)
+        .minhashNearDups(docs.select("doc_id", "text"), threshold = 0.5,
+          stagedTag = Some(graft.Q.corpusTag(s, d, "documents")))
         .select("id1", "id2")
       val src = docs.select(col("doc_id"), col("source"))
       pairs

@@ -583,4 +583,35 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"law tables lost the >=8x margin over the measured edge: $law")
     c16k.unpersist()
   }
+
+  test("staged build relations == fresh (minhash / containment / LSH base)") {
+    // r14: the dedup family's build halves stage to parquet (the
+    // Int8IndexSpec round-trip pattern). The pin: each staged pipeline
+    // emits EXACTLY the fresh pipeline's rows — a staging bug (schema
+    // drift, stale dir, lost rows) fails here before any oracle sees it.
+    import org.apache.spark.sql.functions.col
+    val d = sf
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+    val docTag = graft.Q.corpusTag(spark, d, "documents")
+    val fresh = Sketches.minhashNearDups(docs, 0.5)
+      .orderBy("id1", "id2").collect().toSeq
+    val staged = Sketches.minhashNearDups(docs, 0.5, stagedTag = Some(docTag))
+      .orderBy("id1", "id2").collect().toSeq
+    assert(staged == fresh, s"minhash staged drifted: ${staged.size} vs ${fresh.size}")
+    val cFresh = graft.queries.Extra9.containmentOf(docs, prefilterDf = false)
+      .collect().toSeq
+    val cStaged = graft.queries.Extra9.containmentOf(docs, prefilterDf = false,
+      stagedTag = Some(docTag)).collect().toSeq
+    assert(cStaged == cFresh, s"containment staged drifted: ${cStaged.size} vs ${cFresh.size}")
+    val embs = graft.Tables.embeddings(spark, d)
+    val p = Sketches.lshParamsFor(
+      graft.Q.parquetRowCount(spark, s"$d/embeddings.parquet"),
+      Sketches.LshDemand.Threshold)
+    val aFresh = Sketches.annPairsAt(embs, p)
+      .orderBy("id1", "id2").collect().toSeq
+    val aStaged = Sketches.annPairsAt(embs, p,
+        stagedTag = Some(graft.Q.corpusTag(spark, d, "embeddings")))
+      .orderBy("id1", "id2").collect().toSeq
+    assert(aStaged == aFresh, s"LSH base staged drifted: ${aStaged.size} vs ${aFresh.size}")
+  }
 }
