@@ -146,12 +146,18 @@ object IncrementalDedup {
     * batches / ~1.3× at large (AdmitRateProbe r13), at the cost that
     * corpus growth needs a query restart (or an appended anchor table,
     * which is how a real deployment runs it). The probe's bigger
-    * finding: the TABLE COUNT is the dominant throughput lever — a
-    * τ=0.95 admission gate at the τ=0.44-designed law tables (49) caps
-    * at ~400 rows/s regardless of batch size from sheer candidate
-    * volume, where the LshTauProbe-measured τ=0.95 edge ×4 margin
-    * (8 tables) runs 945-1,221 rows/s at batch 16k — pick `p` for the
-    * gate's ACTUAL τ.
+    * finding (refined r14): CANDIDATE VOLUME is the throughput, and
+    * `p` must be designed for the gate's ACTUAL τ on both axes —
+    * tables (the τ=0.44 law's 49 tables cap at ~400 rows/s where the
+    * τ=0.95 edge ×4 = 8 tables runs 2.3k) and, the larger lever, BIT
+    * DEPTH: at τ=0.95 the per-hyperplane agreement p ≈ 0.9 keeps
+    * p^nbits workable at 12 bits, so the probed fraction
+    * (1+nbits)/2^nbits falls 6.4× below the occupancy-law 9 bits —
+    * measured 2.4k/7.1k/12.7k rows/s at batches 1k/4k/16k (staged,
+    * LshParams(12, 8, 1), admission sets exact on every batch), vs
+    * 1.6k/2.7k/2.3k at the law bits. An Int8Index-served variant of
+    * this gate was built and measured SLOWER than every LSH form —
+    * see AdmitRateProbe's negative-result note.
     *
     * Returns the configured writer; the caller picks trigger/checkpoint
     * and calls `.start()`. `sink` receives (admitted-batch, batchId).

@@ -16,15 +16,38 @@ import org.apache.spark.sql.functions._
   * batch, both forms). Per batch size, 3 batches are timed after one
   * warm batch; the rate is rows / median batch wall time.
   *
-  * MEASURED (this box, r13, local[16], corpus 16k × 64-dim, τ = 0.95):
+  * MEASURED (this box, r14, local[16], corpus 16k × 64-dim, τ = 0.95;
+  * r13 numbers in parentheses where the config existed then):
   *
-  *   production-τ params (nbits 9, tables 8 = LshTauProbe edge ×4):
-  *     recompute-per-batch: 1k → 252 · 4k → 763 · 16k →   945 rows/s
-  *     stageCorpus = true:  1k → 490 · 4k → 1,240 · 16k → 1,221 rows/s
+  *   nbits 9, tables 8 (= LshTauProbe edge ×4):
+  *     recompute-per-batch: 1k → 1,165 · 4k → 2,194 · 16k → 2,066 rows/s
+  *       (r13: 252 / 763 / 945 — box faster this session)
+  *     stageCorpus = true:  1k → 1,559 · 4k → 2,696 · 16k → 2,261 rows/s
+  *       (r13: 490 / 1,240 / 1,221)
+  *   DEEP-BIT GATE (r14): nbits 12, tables 8 (edge ×4 — LshTauProbe
+  *   measured the nbits-12 recall edge at the same T=2), staged:
+  *     1k → 2,407 · 4k → 7,149 · 16k → 12,665 rows/s
+  *     — 1.5×/2.7×/5.6× the staged nbits-9 gate, admission sets
+  *     asserted identical to planted truth on every batch. The lever:
+  *     probed fraction (1+nbits)/2^nbits falls 6.4× while per-table
+  *     recall at τ=0.95 barely moves (p = 1−θ/π ≈ 0.9 keeps p^nbits
+  *     workable at 12 bits — exactly where the τ=0.44 law point
+  *     cannot go).
   *   τ=0.44-designed law point (lshParamsFor → nbits 9, tables 49):
   *     recompute-per-batch: ~330-430 rows/s FLAT across batch sizes
   *     (candidate volume scales with tables·(1+nbits); at 49 tables the
   *     probe join emits ~6× the candidates a 0.95 gate needs)
+  *
+  *   NEGATIVE RESULT (r14, code removed after measurement): serving
+  *   this gate from the Int8Index IVF state — map-side literal-centroid
+  *   probe, integer code-cosine candidate scoring, exact rerank of
+  *   near-threshold survivors — measured 288-1,266 rows/s, SLOWER than
+  *   every LSH form, with a recall miss at batch 16k (rc=3/qp=8 of 128
+  *   cells). At equal recall IVF probes a similar corpus fraction
+  *   (qp·rc/kCells ≈ tables·(1+nbits)/2^nbits) while paying more
+  *   per-batch stages; compression of the candidate rows does not
+  *   compensate. Bit DEPTH, not index form, is the candidate-volume
+  *   lever for a high-τ gate.
   *
   * DSIR quality gate (r13, stateless literal-map filter, same box;
   * admitted sets asserted against driver-side re-scoring per batch):
@@ -107,7 +130,17 @@ object AdmitRateProbe {
       (rows.toSeq, novel.toSet)
     }
 
-    for (stage <- Seq(false, true)) {
+    // r14 adds the DEEP-BIT gate config: nbits=12 at the SAME measured
+    // recall edge (T=2, LshTauProbe) ×4 margin — the probed fraction
+    // (1+nbits)/2^nbits drops 6.4×, which is the candidate-volume
+    // lever a τ=0.95 gate actually has (the int8-index-served gate was
+    // built and measured FIRST: 288-1266 rows/s — SLOWER than both LSH
+    // forms, because IVF probing at equal recall probes a similar
+    // corpus fraction while paying more per-batch stages; the negative
+    // result and the removed code live in this file's history).
+    val p12 = graft.ops.Sketches.LshParams(nbits = 12, tables = 8, probe = 1)
+    for ((stage, p, tag) <- Seq((false, p, "b9"), (true, p, "b9"),
+        (true, p12, "b12"))) {
       val input = MemoryStream[(Long, Array[Float])]
       val admitted = scala.collection.mutable.Set[Long]()
       val q = graft.ops.IncrementalDedup.admitNovelSemantic(
@@ -133,7 +166,7 @@ object AdmitRateProbe {
           dt
         }.sorted
         val med = times(1)
-        println(f"ADMIT staged=$stage%-5s batch=$size%6d " +
+        println(f"ADMIT staged=$stage%-5s $tag%-3s batch=$size%6d " +
           f"times=${times.map(t => f"$t%.2f").mkString("/")} " +
           f"median=$med%.2fs rate=${size / med}%.0f rows/s")
       }

@@ -90,7 +90,12 @@ object LshTauProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.graft.{native => gn}
-    for ((nAll, nbits) <- Seq((2000, 6), (16000, 9))) {
+    // r14 adds the DEEP-BIT row (nbits=12 at N=16000): a τ=0.95
+    // admission gate wants the probed fraction (1+nbits)/2^nbits as
+    // small as recall allows — 13/4096 vs 10/512 is 6.4× fewer
+    // candidates per table — and the occupancy law never goes there
+    // (it optimizes threshold recall at τ=0.44, where p^nbits dies).
+    for ((nAll, nbits) <- Seq((2000, 6), (16000, 9), (16000, 12))) {
       val nPlant = 40
       val (embs, truth) = plantedCorpus(spark, nAll - nPlant, nPlant)
       val e = embs.persist()

@@ -245,15 +245,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array.tabulate(dim)(j => if (j == i) 1f else 0f)
     val corpus = Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding")
     val p = graft.ops.Sketches.LshParams(nbits = 6, tables = 10, probe = 1)
-    // Both corpus-side forms must admit the identical set: recompute-
+    // r14: the DEEP-BIT gate parameterization (nbits 12, tables 8 = the
+    // LshTauProbe-measured nbits-12 edge ×4 — AdmitRateProbe's 5.6×
+    // throughput winner) must admit the same set as the shallow one.
+    val p12 = graft.ops.Sketches.LshParams(nbits = 12, tables = 8, probe = 1)
+    // All corpus-side forms must admit the identical set: recompute-
     // per-batch (default — growing corpus picked up without restart)
     // and stageCorpus = true (anchors persisted once — the production
-    // standing-corpus form, AdmitRateProbe's throughput winner).
-    for (staged <- Seq(false, true)) {
+    // standing-corpus form), at both bit depths.
+    for ((staged, pp) <- Seq((false, p), (true, p), (true, p12))) {
       val input = MemoryStream[(Long, Array[Float])]
       val got = scala.collection.mutable.ArrayBuffer[Long]()
       val q = graft.ops.IncrementalDedup.admitNovelSemantic(
-          input.toDF().toDF("vec_id", "embedding"), corpus, p, tau = 0.6,
+          input.toDF().toDF("vec_id", "embedding"), corpus, pp, tau = 0.6,
           stageCorpus = staged) {
         (batch, _) =>
           val ids = batch.select("vec_id").collect().map(_.getLong(0))
@@ -270,7 +274,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       q.stop()
       assert(got.sorted.toSeq == Seq(11L, 13L),
-        s"semantic admission wrong (staged=$staged): $got")
+        s"semantic admission wrong (staged=$staged, p=$pp): $got")
     }
   }
 
