@@ -287,6 +287,56 @@ object Extra23 {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
     },
 
+    // CONJUNCTIVE-predicate filtered ANN (round-14, extending
+    // sim_ann_filtered's single-equality contract): exact top-10 among
+    // corpus vectors with label = 1 AND n_chars ∈ [200, 400] — two
+    // metadata attributes of DIFFERENT provenance (the embedding
+    // table's label, the documents table's n_chars joined on the
+    // shared id space), both DENORMALIZED into the int8 code rows at
+    // build, the conjunction evaluated on compressed candidates of
+    // probed cells only (the FAISS IDSelector / vector-store `filter`
+    // contract generalized to a conjunction). Selectivity ~4% (19/24/
+    // 75 admissible at the three fixtures) vs label-only's ~9% — the
+    // measured containment edge confirms selectivity→probing-width:
+    // the AnnSweep FANN2 grid binds at sf0.001 rc=4/qp=10 (qp=9 drops
+    // two filtered neighbors); declared rc=4/qp=11 is one notch above,
+    // Int8IndexSpec pins declared, the notch, and the missing edge.
+    // Scale story unchanged from the int8 family: per-query work ∝
+    // probed-cell occupancy × selectivity, 4×-compressed candidates,
+    // bounded-heap shortlist, exact rerank of the shortlist only.
+    "sim_ann_filtered2" -> Q(
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM read_parquet('{sfDir}/embeddings.parquet')
+        |           ORDER BY vec_id LIMIT 8),
+        |c AS (SELECT e.vec_id, e.embedding
+        |      FROM read_parquet('{sfDir}/embeddings.parquet') e
+        |      JOIN read_parquet('{sfDir}/documents.parquet') d2
+        |        ON d2.doc_id = e.vec_id
+        |      WHERE e.label = 1 AND d2.n_chars BETWEEN 200 AND 400),
+        |p AS (SELECT q_id, x.vec_id AS nb_id,
+        |        CAST(ROUND(list_cosine_similarity(qe, CAST(x.embedding AS DOUBLE[])), 4) AS DECIMAL(18,4)) AS sim
+        |      FROM q JOIN c x ON x.vec_id <> q.q_id),
+        |r AS (SELECT q_id, nb_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nb_id) AS rn
+        |      FROM p)
+        |SELECT q_id, nb_id, sim FROM r WHERE rn <= 10
+        |ORDER BY q_id, sim DESC, nb_id""".stripMargin) { (s, d) =>
+      val embs = T.embeddings(s, d)
+        .join(broadcast(T.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("n_chars"))), "vec_id")
+      val short = math.max(64L,
+        (graft.Q.parquetRowCount(s, s"$d/embeddings.parquet") + 3) / 4).toInt
+      // Tag folds BOTH source fingerprints — the n_chars meta column
+      // comes from documents, so a refresh of either table re-stages.
+      graft.ops.Int8Index.searchStaged(embs,
+        tag = graft.Q.corpusTag(s, d, "embeddings") + "_" +
+          graft.Q.corpusFingerprint(s, s"$d/documents.parquet"),
+        nq = 8, kCells = 16, rc = 4, qp = 11, shortlist = short, topK = 10,
+        refine = 1, meta = Seq("label", "n_chars"),
+        candFilter = Some(col("label") === 1 &&
+          col("n_chars").between(200, 400)))
+    },
+
     // Bounded multi-source BFS over the bipartite order↔part graph —
     // the blast-radius / lineage traversal ("everything within 4 hops
     // of these seed orders"). Nodes: 2·orderkey (even) and 2·partkey+1

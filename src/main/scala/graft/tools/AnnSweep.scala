@@ -30,7 +30,7 @@ object AnnSweep {
     // Section filter for quick re-sweeps (e.g. SWEEP_SECTIONS=lsh,thr).
     val sections = sys.env.get("SWEEP_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("lsh", "thr", "pq", "ivf", "ivfpq", "int8", "fann"))
+      .getOrElse(Set("lsh", "thr", "pq", "ivf", "ivfpq", "int8", "fann", "fann2"))
     def intsEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
     val nbitsGrid = intsEnv("SWEEP_NBITS", Seq(4, 6))
@@ -195,6 +195,48 @@ object AnnSweep {
         println(f"FANN kCells=16 rc=$rc qp=$qp S=$s%4d " +
           f"match=${(ftruth & got).size}/${ftruth.size} " +
           f"miss=${(ftruth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      // Conjunctive-filtered ANN (sim_ann_filtered2, r14): predicate
+      // label = 1 AND n_chars ∈ [200, 400] over TWO metadata columns of
+      // different provenance (the embedding table's label + the
+      // documents table's n_chars, denormalized into the code rows at
+      // build — the FAISS IDSelector / vector-store `filter` contract
+      // generalized to a conjunction). Selectivity ~4% (19/24/75
+      // admissible at the three fixtures) — tighter than label-only's
+      // ~9%, so the edge sits at wider probing still; the sweep
+      // measures where.
+      lazy val embsMeta = graft.Tables.embeddings(spark, d)
+        .join(broadcast(graft.Tables.documents(spark, d)
+          .select(col("doc_id").as("vec_id"), col("n_chars"))), "vec_id")
+      lazy val conjPred = col("label") === 1 &&
+        col("n_chars").between(200, 400)
+      lazy val f2truth = {
+        val q = e.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cand = embsMeta.filter(conjPred)
+          .select(col("vec_id").as("nb_id"), col("embedding").as("xe"))
+        val pairsQ = q.join(broadcast(cand), col("nb_id") =!= col("q_id"))
+          .select(col("q_id"), col("nb_id"),
+            round(org.apache.spark.sql.graft.native.cosine_similarity(
+              col("qe"), col("xe")), 4).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("nb_id"))
+        pairsQ.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select("q_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      if (sections("fann2"))
+      for (rc <- intsEnv("SWEEP_RC", Seq(3, 4, 5));
+           qp <- intsEnv("SWEEP_QP", Seq(9, 10, 11, 12, 13, 14))) {
+        val s = math.max(64, (nCorpus / 4).toInt)
+        val t0 = System.nanoTime()
+        val got = graft.ops.Int8Index.search(embsMeta, nq = 8, kCells = 16,
+          rc = rc, qp = qp, shortlist = s, topK = 10, refine = 1,
+          meta = Seq("label", "n_chars"), candFilter = Some(conjPred))
+          .select("q_id", "nb_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"FANN2 kCells=16 rc=$rc qp=$qp S=$s%4d " +
+          f"match=${(f2truth & got).size}/${f2truth.size} " +
+          f"miss=${(f2truth -- got).size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       if (sections("ivf"))
       for (k <- Seq(8, 16, 32, 64); nProbe <- Seq(2, 3, 4, 5); refine <- Seq(0, 1)) {

@@ -128,6 +128,62 @@ class Int8IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         "re-sweep and tighten the declared margin note")
   }
 
+  // ---- conjunctive filtered search (sim_ann_filtered2, r14) ----
+
+  private def embsMeta(sf: String): DataFrame = {
+    val d = s"/root/testdata/$sf"
+    Tables.embeddings(spark, d)
+      .join(broadcast(Tables.documents(spark, d)
+        .select(col("doc_id").as("vec_id"), col("n_chars"))), "vec_id")
+  }
+  private def conjPred = col("label") === 1 && col("n_chars").between(200, 400)
+
+  private def f2truth(embs: DataFrame): Set[(Long, Long)] = {
+    val q = embs.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val cand = embs.filter(conjPred)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("xe"))
+    val pairs = q.join(broadcast(cand), col("nb_id") =!= col("q_id"))
+      .select(col("q_id"), col("nb_id"),
+        round(org.apache.spark.sql.graft.native.cosine_similarity(
+          col("qe"), col("xe")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nb_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def f2got(embs: DataFrame, rc: Int, qp: Int,
+      shortlist: Int): Set[(Long, Long)] =
+    Int8Index.search(embs, nq = 8, kCells = 16, rc = rc, qp = qp,
+        shortlist = shortlist, topK = 10, refine = 1,
+        meta = Seq("label", "n_chars"), candFilter = Some(conjPred))
+      .select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"$sf: conjunctive-filtered search declared (rc=4, qp=11) AND " +
+      "the weaker notch (qp=10) contain the true conj-filtered top-10") {
+      val embs = embsMeta(sf)
+      val n = embs.count()
+      val t = f2truth(embs)
+      assert(t.nonEmpty, "degenerate conj filter — no admissible neighbors")
+      assert((t -- f2got(embs, rc = 4, qp = 11, s25(n))).isEmpty, "declared missed")
+      assert((t -- f2got(embs, rc = 4, qp = 10, s25(n))).isEmpty, "qp=10 notch missed")
+    }
+  }
+
+  test("the conjunctive edge is real and measured: rc=4/qp=9 misses at sf0.001") {
+    // ~4% selectivity thins probed cells further than label-only's ~9%
+    // — the declared qp=11 sits one notch above the AnnSweep FANN2
+    // edge (rc=4/qp=10 first green at the binding fixture).
+    val embs = embsMeta("sf0.001")
+    val n = embs.count()
+    assert((f2truth(embs) -- f2got(embs, rc = 4, qp = 9, s25(n))).nonEmpty,
+      "rc=4/qp=9 unexpectedly recall-complete on the conj-filtered truth — " +
+        "re-sweep and tighten the declared margin note")
+  }
+
   test("staged search == fresh search, on the build call AND the read-back call") {
     // The declared query runs searchStaged; call 2 takes the parquet
     // read-back path (tinyint codes round-tripped through the staged
