@@ -85,6 +85,12 @@ object Bfs {
     // not frontier explosion. Correctness: a node first reachable at
     // hop h appears in level h (monotone expansion), so min(dist) IS
     // the BFS distance.
+    // Rejected variant (r14, measured): compiling the whole bounded
+    // expansion into ONE lazy plan (no per-round jobs/checkpoints)
+    // measured PARITY with this eager loop (2.0-2.1 s vs 2.0-2.2 s
+    // same-session A/B at sf0.1) — the per-round planning cost just
+    // moves into one big optimization pass — while giving up the
+    // pre-round maxFrontier guard. The guard-bearing eager loop stays.
     def dbg[A](label: String)(f: => A): A =
       if (sys.env.contains("GRAFT_BFS_DEBUG")) {
         val t0 = System.nanoTime(); val r = f
