@@ -124,4 +124,50 @@ object Bfs {
     dbg("result build")(levels.reduce(_ union _)
       .groupBy("node").agg(min("dist").as("dist")))
   }
+
+  /** Bounded-hop weighted shortest path from a source SET (multi-source
+    * SSSP): d(v) = min over paths of ≤ `maxHops` edges of the weight
+    * sum — the Bellman-Ford relaxation, which IS the distributed SSSP
+    * (Pregel's second canonical example). Each round relaxes every
+    * edge out of the current distance table and MIN-COMPRESSES per
+    * node, so round state is one row per reached node — path count
+    * never materializes (the reason the oracle unrolls the same
+    * min-compressed rounds in plain SQL instead of walking paths in a
+    * recursive CTE, which would enumerate exponentially many path
+    * sums). Correct for the ≤h-hop metric because shortest-path
+    * prefixes are shortest paths: d_h(v) = min(d_{h-1}(v),
+    * min_u d_{h-1}(u) + w(u, v)).
+    *
+    * edges(u, v, w) DIRECTED with BIGINT weights (symmetrize first for
+    * undirected; integer weights keep every distance an exact integer
+    * sum — the engine's determinism discipline). `prePartitioned` and
+    * the persist/checkpoint/guard structure follow [[multiSourceBfs]].
+    */
+  def multiSourceSssp(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      maxNodes: Long = 1L << 27, prePartitioned: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"multiSourceSssp: maxHops must be >= 0, got $maxHops")
+    val e =
+      if (prePartitioned) edges.select(col("u"), col("v"), col("w"))
+        .transform(graft.Q.sketchPersist)
+      else graft.Q.spreadBy(edges.select(col("u"), col("v"), col("w")), "u")
+        .transform(graft.Q.sketchPersist)
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("d"))
+      .localCheckpoint() // eager: tiny
+    (1 to maxHops).foreach { hop =>
+      val relaxed = dist.select(col("node").as("u"), col("d"))
+        .join(e, "u")
+        .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint(eager = false)
+      val n = dist.count() // materializes; guards
+      require(n <= maxNodes,
+        s"multiSourceSssp: hop-$hop distance table has $n nodes, exceeding " +
+          s"the declared bound of $maxNodes — at this scale use a " +
+          "delta-stepping SSSP")
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -408,37 +408,97 @@ object Extra23 {
         |FROM md GROUP BY 1 ORDER BY dist""".stripMargin) { (s, d) =>
       // r14 follow-up: the symmetric edge relation stages ONCE per
       // corpus fingerprint as a u-bucketed, u-sorted table (edge lists
-      // are ingest-time state — the graph store's whole premise), so
-      // each traversal pays only frontier-side shuffles. Measured
+      // are ingest-time state — the graph store's whole premise; one
+      // staged table serves BOTH graph_bfs and graph_sssp), so each
+      // traversal pays only frontier-side shuffles. Measured
       // (QuickTime, warm min at sf0.1): 2.72 → 1.73 s with the staged
       // layout + the Bfs edge-persist/accumulate-then-min rework; the
       // remaining floor is per-round physical planning + the 4 round
       // jobs, not data volume (ops/Bfs scaladoc).
-      val tag = graft.Q.corpusTag(s, d, "lineitem").replaceAll("[^A-Za-z0-9]", "_")
-      val tbl = s"bfs_edges_$tag"
-      if (!s.catalog.tableExists(tbl)) {
-        val e0 = T.lineitem(s, d)
-          .select((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
-          .distinct()
-        e0.select(col("a").as("u"), col("b").as("v"))
-          .union(e0.select(col("b").as("u"), col("a").as("v")))
-          .write.format("parquet").bucketBy(8, "u").sortBy("u")
-          .mode("overwrite")
-          .option("path", s"/tmp/graft_bfs_${graft.Q.perJvmId}/$tag")
-          .saveAsTable(tbl)
-      }
-      val sources = T.lineitem(s, d)
-        .filter(col("l_orderkey") % 997 === 1)
-        .select((col("l_orderkey") * 2).as("node")).distinct()
-      graft.ops.Bfs.multiSourceBfs(s.table(tbl), sources, maxHops = 4,
-          prePartitioned = true)
+      graft.ops.Bfs.multiSourceBfs(s.table(stagedGraphEdges(s, d)),
+          graphSources(s, d), maxHops = 4, prePartitioned = true)
         .groupBy("dist")
         .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_node"),
           min("node").as("min_node"))
         .select(col("dist"), col("n_nodes"), col("sum_node"), col("min_node"))
         .orderBy("dist")
+    },
+
+    // Bounded-hop WEIGHTED shortest paths (multi-source SSSP) over the
+    // same staged order↔part graph — graph_bfs's metric twin (hops →
+    // weight sums; edge weight = min line quantity, exact BIGINT).
+    // Bellman-Ford relaxation with per-round MIN COMPRESSION (one row
+    // per reached node per round — ops/Bfs.multiSourceSssp), which is
+    // also why the oracle UNROLLS the same three min-compressed rounds
+    // in plain SQL instead of walking paths recursively: a path-walk
+    // CTE would enumerate exponentially many path sums, while the
+    // round form is node-bounded on both engines. The ≤3-hop metric is
+    // pinned sharply by Extra23Spec's hand graph (a cheaper 3-hop
+    // route must NOT beat a pricier 2-hop one under the 2-hop bound).
+    // Output: per-node exact integer distance, total-ordered by node.
+    "graph_sssp" -> Q(
+      """WITH e0 AS (SELECT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b,
+        |              CAST(MIN(l_quantity) AS BIGINT) AS w
+        |            FROM read_parquet('{sfDir}/lineitem.parquet') GROUP BY 1, 2),
+        |e AS (SELECT a AS u, b AS v, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+        |d0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS d
+        |       FROM e0 WHERE (a // 2) % 997 = 1),
+        |d1 AS (SELECT node, MIN(d) AS d FROM (
+        |         SELECT node, d FROM d0
+        |         UNION ALL
+        |         SELECT e.v, d0.d + e.w FROM d0 JOIN e ON d0.node = e.u)
+        |       GROUP BY 1),
+        |d2 AS (SELECT node, MIN(d) AS d FROM (
+        |         SELECT node, d FROM d1
+        |         UNION ALL
+        |         SELECT e.v, d1.d + e.w FROM d1 JOIN e ON d1.node = e.u)
+        |       GROUP BY 1),
+        |d3 AS (SELECT node, MIN(d) AS d FROM (
+        |         SELECT node, d FROM d2
+        |         UNION ALL
+        |         SELECT e.v, d2.d + e.w FROM d2 JOIN e ON d2.node = e.u)
+        |       GROUP BY 1)
+        |SELECT node, CAST(d AS BIGINT) AS d FROM d3 ORDER BY node""".stripMargin) {
+      (s, d) =>
+        graft.ops.Bfs.multiSourceSssp(s.table(stagedGraphEdges(s, d)),
+            graphSources(s, d), maxHops = 3, prePartitioned = true)
+          .orderBy("node")
     }
   )
+
+  /** The shared WEIGHTED symmetric order↔part edge relation, staged
+    * once per JVM × corpus fingerprint as a u-bucketed, u-sorted table
+    * — graph_bfs ignores the weight column; graph_sssp relaxes on it.
+    * Weight = min l_quantity over the (order, part) lines (integer-
+    * valued in the fixtures, cast exact BIGINT), so distances are
+    * exact integer sums on both engines.
+    */
+  private[graft] def stagedGraphEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = graft.Q.corpusTag(s, d, "lineitem").replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graph_edges_$tag"
+    if (!s.catalog.tableExists(tbl)) {
+      val e0 = T.lineitem(s, d)
+        .select((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"),
+          col("l_quantity"))
+        .groupBy("a", "b")
+        .agg(min(col("l_quantity")).cast("bigint").as("w"))
+      e0.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .union(e0.select(col("b").as("u"), col("a").as("v"), col("w")))
+        .write.format("parquet").bucketBy(8, "u").sortBy("u")
+        .mode("overwrite")
+        .option("path", s"/tmp/graft_graph_${graft.Q.perJvmId}/$tag")
+        .saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** The shared multi-source seed set: order nodes ≡ 1 (mod 997). */
+  private[graft] def graphSources(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") % 997 === 1)
+      .select((col("l_orderkey") * 2).as("node")).distinct()
 
   /** ECE over (value, pos) rows — factored so the spec can pin the
     * metric against a hand-computed controlled fixture.

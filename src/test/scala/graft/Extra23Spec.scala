@@ -76,6 +76,27 @@ class Extra23Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
   }
 
+  test("multiSourceSssp == brute bounded-hop Dijkstra on a weighted hand graph") {
+    import spark.implicits._
+    // 1 →(5) 2 →(1) 3, 1 →(10) 3, 3 →(2) 4 (symmetric). The hop bound
+    // is the sharp pin: at ≤2 hops the best route to 4 is the pricier
+    // 1→3→4 (12) because the cheaper 1→2→3→4 (8) needs 3 hops.
+    val und = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3))).toDF("u", "v", "w")
+    val sources = Seq(1L).toDF("node")
+    def run(h: Int) = graft.ops.Bfs.multiSourceSssp(edges, sources, maxHops = h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 12L), run(2).toString)
+    assert(run(3) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L), run(3).toString)
+    // Relaxation can only tighten: at ≥ diameter the result is stable.
+    assert(run(5) == run(3), s"${run(5)} vs ${run(3)}")
+    // The node-count admission guard fails loudly, naming the bound.
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Bfs.multiSourceSssp(edges, sources, maxHops = 2, maxNodes = 1L)
+    }
+    assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
+  }
+
   test("BM25 corpus stats: tf/dl/totals agree with a driver-side recount") {
     import spark.implicits._
     val docs = Seq(
