@@ -280,14 +280,7 @@ object Extra23 {
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("doc_id"), col("rank"))
       // Fusion: pure integer RRF over the union of the two rank lists.
-      val rrf = d10.unionByName(l10)
-        .select(col("q_id"), col("doc_id"),
-          expr("1000000000 div (60 + rank)").as("c"))
-        .groupBy("q_id", "doc_id")
-        .agg(sum("c").as("rrf_units"))
-      gn.top_k_per_group(rrf, Seq("q_id"),
-          Seq(col("rrf_units").desc, col("doc_id").asc), 10)
-        .select("q_id", "doc_id", "rrf_units")
+      rrfFuse(d10.unionByName(l10))
         .orderBy(col("q_id"), col("rrf_units").desc, col("doc_id"))
     },
 
@@ -491,6 +484,22 @@ object Extra23 {
         .saveAsTable(tbl)
     }
     tbl
+  }
+
+  /** Reciprocal-rank fusion over (q_id, doc_id, rank) rows from ANY
+    * number of rank lists (k = 60): rrf_units = Σ ⌊1e9/(60+rank)⌋ —
+    * pure integer division, so the fusion is engine-exact. Factored so
+    * the spec can pin the arithmetic on controlled lists.
+    */
+  private[graft] def rrfFuse(ranked: DataFrame, topK: Int = 10): DataFrame = {
+    val gn = org.apache.spark.sql.graft.native
+    gn.top_k_per_group(
+        ranked.select(col("q_id"), col("doc_id"),
+            expr("1000000000 div (60 + rank)").as("c"))
+          .groupBy("q_id", "doc_id")
+          .agg(sum("c").as("rrf_units")),
+        Seq("q_id"), Seq(col("rrf_units").desc, col("doc_id").asc), topK)
+      .select("q_id", "doc_id", "rrf_units")
   }
 
   /** The shared multi-source seed set: order nodes ≡ 1 (mod 997). */

@@ -97,6 +97,25 @@ class Extra23Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
   }
 
+  test("rrfFuse == the hand-computed integer RRF on controlled rank lists") {
+    import spark.implicits._
+    // Query 1: doc 100 in both lists (ranks 1, 3), doc 101 dense-only
+    // (rank 2), doc 102 lexical-only (rank 1). k = 60:
+    //   100 → ⌊1e9/61⌋ + ⌊1e9/63⌋ = 16393442 + 15873015 = 32266457
+    //   101 → ⌊1e9/62⌋ = 16129032
+    //   102 → ⌊1e9/61⌋ = 16393442
+    // Order: 100, 102, 101 (integer tie-free by construction).
+    val ranked = Seq(
+      (1L, 100L, 1), (1L, 101L, 2),   // dense list
+      (1L, 102L, 1), (1L, 100L, 3))   // lexical list
+      .toDF("q_id", "doc_id", "rank")
+    val got = graft.queries.Extra23.rrfFuse(ranked)
+      .orderBy(col("rrf_units").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((100L, 32266457L), (102L, 16393442L), (101L, 16129032L)),
+      got.toString)
+  }
+
   test("BM25 corpus stats: tf/dl/totals agree with a driver-side recount") {
     import spark.implicits._
     val docs = Seq(
