@@ -417,6 +417,35 @@ object Extra23 {
         .orderBy("dist")
     },
 
+    // MERGEABILITY of bottom-k samples — agg_sketch_merge's sampling
+    // sibling (the distributed-reservoir law, Cormode et al.'s
+    // mergeable-summaries framing): a bottom-k-by-hash-priority sample
+    // MERGES — per-shard bottom-k sets union, keep the k smallest, and
+    // the result EQUALS the direct global bottom-k. That law is why
+    // bottom-k is the production form of uniform sampling at 100 TB
+    // (each shard/day/source keeps k rows; any rollup level re-merges
+    // in k-sized state — where rand()-reservoirs need coordinated
+    // counts). The engine runs the MERGED form — per-SOURCE shard
+    // bottom-100 via the bounded-heap TopKPerGroup operator, union of
+    // ≤ |sources|·k rows, global TakeOrderedAndProject — and the
+    // oracle computes the DIRECT global bottom-100, so the hash gate
+    // IS the mergeability proof, row for row. Priority = the shared
+    // md5 recipe of sample_bottomk over (source, doc_id).
+    "sample_bottomk_merge" -> Q(
+      """SELECT md5(concat_ws('_', source, CAST(doc_id AS VARCHAR))) AS pri,
+        |       source, doc_id
+        |FROM read_parquet('{sfDir}/documents.parquet')
+        |ORDER BY pri LIMIT 100""".stripMargin) { (s, d) =>
+      val gn = org.apache.spark.sql.graft.native
+      val pri = T.documents(s, d)
+        .select(md5(concat_ws("_", col("source"), col("doc_id").cast("string")))
+            .as("pri"),
+          col("source"), col("doc_id"))
+      gn.top_k_per_group(pri, Seq("source"), Seq(col("pri").asc), 100)
+        .orderBy("pri").limit(100)
+        .select("pri", "source", "doc_id")
+    },
+
     // Bounded-hop WEIGHTED shortest paths (multi-source SSSP) over the
     // same staged order↔part graph — graph_bfs's metric twin (hops →
     // weight sums; edge weight = min line quantity, exact BIGINT).
