@@ -235,6 +235,15 @@ object Sketches {
   def signatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
     signaturesOf(hashedShingles(docs, shingleN), k)
 
+  /** [[signatures]] over the STAGED shingle relation — consumers that
+    * share a corpus with the dedup family (agg_minhash_merge's sketch
+    * branch) read the same staged (doc_id, hs) parquet instead of
+    * re-scanning and re-shingling the corpus.
+    */
+  def signaturesStaged(docs: DataFrame, tag: String, k: Int = 64,
+      shingleN: Int = 3): DataFrame =
+    signaturesOf(hashedShinglesStaged(docs, tag, shingleN), k)
+
   private[ops] def signaturesOf(hs: DataFrame, k: Int): DataFrame =
     hs.select(col("doc_id"),
       org.apache.spark.sql.graft.native.minhash_signature(col("hs"), k).as("sig"))

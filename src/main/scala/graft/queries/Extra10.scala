@@ -160,8 +160,11 @@ object Extra10 {
         |       TRUE AS est_ok
         |FROM p JOIN z za ON za.source = s1 JOIN z zb ON zb.source = s2
         |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      // r14: the signature branch reads the STAGED shingle relation
+      // shared with the dedup family (one corpus, one staged file).
       minhashMergeOf(s, T.documents(s, d)
-        .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"), col("text")),
+        stagedTag = Some(graft.Q.corpusTag(s, d, "documents")))
     },
 
     // VARIANT — Spark 4's semi-structured type (the open-format
@@ -349,7 +352,8 @@ object Extra10 {
     * recomputing the cheap codegen'd split+shingle+hash in each branch.)
     */
   private[graft] def minhashMergeOf(s: SparkSession,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      stagedTag: Option[String] = None): org.apache.spark.sql.DataFrame = {
     // Round-11 rework: the r10 profile pinned ~1.1 s of the query as
     // FIXED STAGE OVERHEAD (the sf0.01 floor), not data work — so this
     // pass attacks stage count, not bytes. Everything downstream of the
@@ -395,8 +399,24 @@ object Extra10 {
         expr("collect_list(struct(s1, s2, cnt)) " +
           "filter (where s2 is not null)").as("inters"))
     s.udf.register("minhash_merge", udaf(graft.functions.MinHashMergeAgg))
-    val sigsRow = graft.ops.Sketches
-      .signatures(docs.select("doc_id", "text"), k = 128)
+    // The signature branch's hashed-shingle relation is the SAME
+    // (doc_id, hs) record the dedup family stages (r14) — with a tag it
+    // reads the staged parquet instead of re-scanning the corpus. (The
+    // r11 note above about a shared PERSISTED relation measuring slower
+    // was about Spark's columnar CACHE of nested arrays; the staged
+    // parquet read is the form that measured FASTER for minhashNearDups.
+    // Here the warm win is modest — 1.21 → 1.14 s min, overlapping
+    // run-to-run jitter — but it deletes one of the two corpus scans,
+    // which is the unconditional trade at 100 TB.) The exact-gate
+    // branch cannot share it: it fingerprints shingles at FULL
+    // xxhash64 width.
+    val sigs = stagedTag match {
+      case Some(t) => graft.ops.Sketches
+        .signaturesStaged(docs.select("doc_id", "text"), t, k = 128)
+      case None => graft.ops.Sketches
+        .signatures(docs.select("doc_id", "text"), k = 128)
+    }
+    val sigsRow = sigs
       .join(broadcast(docs.select("doc_id", "source")), "doc_id")
       .groupBy("source").agg(expr("minhash_merge(sig)").as("msig"))
       .agg(expr("map_from_entries(collect_list(struct(source, msig)))")
