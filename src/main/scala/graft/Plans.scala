@@ -98,7 +98,9 @@ object Plans {
     "win_sliding_distinct" -> "rolling 7-day distinct: map-side x7 day fan-out, broadcast semi-join on the actual-day set, two-phase distinct aggregate",
     "eval_confusion" -> "nearest-centroid eval: broadcast centroid join, codegen bigint distance sums, WindowGroupLimit argmin",
     "agg_auc" -> "rank-sum AUC: join-free, one (seg, score) rollup, one window over the collapsed score domain",
-    "text_bm25" -> "Okapi BM25: one doc_id corpus spread, exchange-free tf/dl rollups, query-term df broadcast, bounded-heap top-10")
+    "text_bm25" -> "Okapi BM25: one doc_id corpus spread, exchange-free tf/dl rollups, query-term df broadcast, bounded-heap top-10",
+    "graph_bfs" -> "multi-source BFS: checkpointed level state (ExistingRDD), min rollup, staged bucketed edges consumed at construction",
+    "graph_sssp" -> "bounded-hop weighted SSSP: min-compressed Bellman-Ford rounds as checkpointed state, exact integer distances")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
