@@ -222,8 +222,99 @@ object Q {
     * race overwrite-vs-read on one path; stable within a process so a
     * second bench pass overwrites rather than accretes).
     */
-  def stageDir(prefix: String, d: String, what: String): String =
+  def stageDir(prefix: String, d: String, what: String): String = {
+    reapOnce
     s"/tmp/$prefix/$perJvmId/${what}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  }
+
+  /** Per-JVM staging ROOT `/tmp/<family>_<pid@host>` for the staged
+    * index/layout/segment families (int8/ivf/pq/shingle/tf/graph …) —
+    * same pid-keying rationale as [[stageDir]], factored here (r15) so
+    * every family also runs the stale-state reap below before creating
+    * its first dir.
+    */
+  def jvmStageRoot(family: String): String = {
+    reapOnce
+    s"/tmp/${family}_$perJvmId"
+  }
+
+  /** Reap STALE per-JVM staged state (VERDICT r14 #4): pid-keyed
+    * staging dirs outlive their JVMs — every Verify/Bench/test process
+    * leaves its `/tmp/graft_*` tree behind (508 dirs / 1.2 GB measured
+    * after 14 rounds), and on a long-lived service box that fills the
+    * scratch disk. At staging init, sweep dirs whose owning JVM is
+    * provably GONE: both staging shapes are pid-keyed
+    * (`/tmp/<family>_<pid>_<host>` and `/tmp/<prefix>/<pid>_<host>/…`),
+    * so a dir whose pid no longer exists under /proc on THIS host can
+    * never be read or written again. The per-JVM keying itself stays —
+    * the r6 concurrent-harness race lesson stands; liveness, not
+    * naming, is what gets collected. Dirs from OTHER hosts (shared
+    * /tmp — never the case here, but the conservative default) and
+    * non-Linux boxes (no /proc) fall back to a 7-day mtime TTL.
+    * Returns the number of dirs removed (spec-pinned with fake-stale
+    * fixtures on a private root).
+    */
+  def reapStaleStaging(root: String = "/tmp"): Int = {
+    import java.nio.file.{Files, Path, Paths}
+    val (ownPid, host) = perJvmId.split("_", 2) match {
+      case Array(p, h) => (p, h)
+      case _ => return 0
+    }
+    val hostSuffix = "_" + host
+    val procAvailable = Files.isDirectory(Paths.get("/proc"))
+    def dead(pid: String): Boolean =
+      pid != ownPid && procAvailable && !Files.exists(Paths.get("/proc", pid))
+    def pidOf(name: String): Option[String] =
+      if (!name.endsWith(hostSuffix)) None
+      else {
+        val stem = name.dropRight(hostSuffix.length)
+        val digits = stem.reverse.takeWhile(_.isDigit).reverse
+        if (digits.isEmpty) None
+        else if (digits == stem) Some(digits) // bare <pid>_<host> (shape 2 child)
+        else if (stem.dropRight(digits.length).endsWith("_")) Some(digits)
+        else None
+      }
+    def rmTree(p: Path): Unit = {
+      val all = Files.walk(p).toArray.map(_.asInstanceOf[Path])
+      all.sortBy(-_.getNameCount).foreach(f => try Files.deleteIfExists(f) catch {
+        case _: java.io.IOException => () // concurrent reaper / perms: skip
+      })
+    }
+    val ttlMs = 7L * 24 * 3600 * 1000
+    def expired(p: Path): Boolean =
+      try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis > ttlMs
+      catch { case _: java.io.IOException => false }
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return 0
+    var removed = 0
+    val tops = try Files.list(rootP).toArray.map(_.asInstanceOf[Path])
+    catch { case _: java.io.IOException => Array.empty[Path] }
+    tops.filter(p => p.getFileName.toString.startsWith("graft_") &&
+        Files.isDirectory(p)).foreach { top =>
+      pidOf(top.getFileName.toString) match {
+        case Some(pid) => // shape 1: /tmp/<family>_<pid>_<host>
+          if (dead(pid) || (pid != ownPid && expired(top))) {
+            rmTree(top); removed += 1
+          }
+        case None => // shape 2: /tmp/<prefix>/<pid>_<host>/…
+          val kids = try Files.list(top).toArray.map(_.asInstanceOf[Path])
+          catch { case _: java.io.IOException => Array.empty[Path] }
+          kids.filter(Files.isDirectory(_)).foreach { kid =>
+            pidOf(kid.getFileName.toString).foreach { pid =>
+              if (dead(pid) || (pid != ownPid && expired(kid))) {
+                rmTree(kid); removed += 1
+              }
+            }
+          }
+      }
+    }
+    removed
+  }
+
+  /** One reap per JVM, at first staging touch. */
+  private lazy val reapOnce: Unit = {
+    try reapStaleStaging() catch { case _: Exception => () }
+  }
 
   /** Hash-spread an input across the session's full shuffle parallelism,
     * keyed (not round-robin) so downstream keyed ops can reuse the

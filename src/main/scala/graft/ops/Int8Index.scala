@@ -114,7 +114,7 @@ object Int8Index {
     // meta columns change the staged schema → they key their own dir
     // (the unfiltered index keeps its pre-r13 dir name and schema).
     val metaTag = if (meta.isEmpty) "" else meta.mkString("_m", "_", "")
-    val dir = s"/tmp/graft_int8_${graft.Q.perJvmId}/" +
+    val dir = graft.Q.jvmStageRoot("graft_int8") + s"/" +
       s"${safe}_k${kCells}_rc${rc}_r$refine$metaTag"
     staged.computeIfAbsent(dir, { _ =>
       val (cents, codes) = buildIndex(embs, kCells, rc, refine, meta)

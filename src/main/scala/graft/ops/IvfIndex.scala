@@ -123,7 +123,7 @@ object IvfIndex {
       refine: Int = 1): DataFrame = {
     val spark = embs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"/tmp/graft_ivf_${graft.Q.perJvmId}/" +
+    val dir = graft.Q.jvmStageRoot("graft_ivf") + s"/" +
       s"${safe}_k${k}_p${nProbe}_r$refine"
     staged.computeIfAbsent(dir, { _ =>
       assign(embs, k, nProbe, refine)
@@ -153,7 +153,7 @@ object IvfIndex {
       refine: Int = 1): DataFrame = {
     val spark = embs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"/tmp/graft_ivf_${graft.Q.perJvmId}/cents_${safe}_k${k}_r$refine"
+    val dir = graft.Q.jvmStageRoot("graft_ivf") + s"/cents_${safe}_k${k}_r$refine"
     staged.computeIfAbsent(dir, { _ =>
       centroids(embs, k, refine).write.mode("overwrite").parquet(dir)
       java.lang.Boolean.TRUE

@@ -136,7 +136,7 @@ object IvfPq {
         s"got rc=$rc qp=$qp kCells=$kCells")
     val spark = embs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"/tmp/graft_ivfpq_${graft.Q.perJvmId}/" +
+    val dir = graft.Q.jvmStageRoot("graft_ivfpq") + s"/" +
       s"${safe}_k${kCells}_rc${rc}_m${m}_cb${k}_r$refine"
     // The dimension probe is a (tiny) Spark job; memoized under the same
     // key as the staged state — the dir folds in the corpus fingerprint,

@@ -120,7 +120,7 @@ object PqIndex {
       rounds: Int, shortlist: Int, topK: Int): DataFrame = {
     val spark = embs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"/tmp/graft_pq_${graft.Q.perJvmId}/${safe}_m${m}_k${k}_r$rounds"
+    val dir = graft.Q.jvmStageRoot("graft_pq") + s"/${safe}_m${m}_k${k}_r$rounds"
     // Dimension probe memoized under the staged key (a small Spark job
     // otherwise paid per WARM call — r12; the dir folds in the corpus
     // fingerprint, so a refresh re-probes with the rebuild).

@@ -216,7 +216,7 @@ object Sketches {
       shingleN: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"/tmp/graft_shingles_${graft.Q.perJvmId}/${safe}_n$shingleN"
+    val dir = graft.Q.jvmStageRoot("graft_shingles") + s"/${safe}_n$shingleN"
     stagedShingles.computeIfAbsent(dir, { _ =>
       hashedShingles(docs, shingleN).write.mode("overwrite").parquet(dir)
       java.lang.Boolean.TRUE
@@ -459,7 +459,7 @@ object Sketches {
     val base = stagedTag match {
       case Some(t) =>
         val safe = t.replaceAll("[^A-Za-z0-9]", "_")
-        val dir = s"/tmp/graft_lshbase_${graft.Q.perJvmId}/" +
+        val dir = graft.Q.jvmStageRoot("graft_lshbase") + s"/" +
           s"${safe}_b${nbits}_t${tables}_p$probe"
       stagedLshBase.computeIfAbsent(dir, { _ =>
           buildBase.write.mode("overwrite").parquet(dir)

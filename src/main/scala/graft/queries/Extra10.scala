@@ -43,7 +43,7 @@ object Extra10 {
     val fp = graft.Q.corpusFingerprint(s, s"$d/orders.parquet") +
       graft.Q.corpusFingerprint(s, s"$d/lineitem.parquet")
     val tag = (d + "_" + fp).replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"/tmp/graft_bkt_${Q.perJvmId}/$tag"
+    val base = Q.jvmStageRoot("graft_bkt") + s"/$tag"
     val to = s"bkt_orders_$tag"
     val tl = s"bkt_lineitem_$tag"
     // Column set = the union every bucketed-layout consumer needs

@@ -102,7 +102,7 @@ object Extra23 {
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         .write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
         .mode("overwrite")
-        .option("path", s"/tmp/graft_tf_${graft.Q.perJvmId}/$tag")
+        .option("path", graft.Q.jvmStageRoot("graft_tf") + s"/$tag")
         .saveAsTable(tbl)
     }
     statsOf(s.table(tbl))
@@ -509,7 +509,7 @@ object Extra23 {
         .union(e0.select(col("b").as("u"), col("a").as("v"), col("w")))
         .write.format("parquet").bucketBy(8, "u").sortBy("u")
         .mode("overwrite")
-        .option("path", s"/tmp/graft_graph_${graft.Q.perJvmId}/$tag")
+        .option("path", graft.Q.jvmStageRoot("graft_graph") + s"/$tag")
         .saveAsTable(tbl)
     }
     tbl

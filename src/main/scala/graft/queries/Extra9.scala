@@ -114,7 +114,7 @@ object Extra9 {
       case Some(t) =>
         val spark = docsRaw.sparkSession
         val safe = t.replaceAll("[^A-Za-z0-9]", "_")
-        val dir = s"/tmp/graft_docgrams_${graft.Q.perJvmId}/" +
+        val dir = graft.Q.jvmStageRoot("graft_docgrams") + s"/" +
           s"${safe}_pf$prefilterDf"
         stagedDocGrams.computeIfAbsent(dir, { _ =>
           docGramsFresh.write.mode("overwrite").parquet(dir)

@@ -142,11 +142,17 @@ object TextOps {
         |       len(list_intersect(a.g, b.g)) AS inter_n,
         |       len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS union_n
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.g, b.g)) >= 3
+        |WHERE len(list_intersect(a.g, b.g)) >= 1
         |ORDER BY id1, id2""".stripMargin) {
       // Word-3-gram shingle Jaccard near-dup. Counts (not the ratio) are
       // emitted — integers hash-match trivially. The MinHash/LSH scale
       // path that avoids the quadratic pair join lives in graft.ops.
+      // Threshold ≥ 1 (r15, VERDICT r14): the former ≥ 3 cut emitted
+      // ZERO rows at sf0.01/sf0.1 for five rounds — both engines
+      // agreeing on the empty set proves nothing about the Jaccard
+      // arithmetic at the graded tier. ≥ 1 keeps the gate LIVE at all
+      // three SFs (measured 180/157/180 pairs) while the doc_id < 60
+      // window keeps the declared quadratic baseline bounded.
       (s, d) =>
         // split() once per row, outside the lambda (inside = O(words²)).
         val sh = T.documents(s, d)
@@ -165,7 +171,7 @@ object TextOps {
             size(array_intersect(col("g1"), col("g2"))).as("inter_n"),
             (size(col("g1")) + size(col("g2"))
               - size(array_intersect(col("g1"), col("g2")))).as("union_n"))
-          .filter(col("inter_n") >= 3)
+          .filter(col("inter_n") >= 1)
           .orderBy("id1", "id2")
     },
 

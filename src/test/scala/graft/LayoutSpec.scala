@@ -189,4 +189,38 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.reduce(_ | _))
     assert(got == expect)
   }
+
+  test("reapStaleStaging removes dead-pid staging dirs, keeps live and foreign ones") {
+    // VERDICT r14 #4: pid-keyed staging dirs must be collected once
+    // their JVM is gone. Fixture on a PRIVATE root: both staging
+    // shapes, one dead-pid and one own-pid instance each, plus a
+    // non-graft bystander.
+    val (ownPid, host) = Q.perJvmId.split("_", 2) match {
+      case Array(p, h) => (p, h)
+    }
+    // A pid that is provably not alive: above the default pid_max is
+    // impossible; walk down from there until /proc misses it.
+    val deadPid = (4194304 to 4194200 by -1)
+      .find(p => !Files.exists(java.nio.file.Paths.get("/proc", p.toString)))
+      .get.toString
+    val root = Files.createTempDirectory("graft-reap")
+    def mk(parts: String*): java.nio.file.Path = {
+      val p = parts.foldLeft(root)(_.resolve(_))
+      Files.createDirectories(p)
+      Files.write(p.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+      p
+    }
+    val deadTop = mk(s"graft_int8_${deadPid}_$host", "ix_a")   // shape 1, dead
+    val liveTop = mk(s"graft_int8_${ownPid}_$host", "ix_b")    // shape 1, own
+    val deadKid = mk("graft_fmt", s"${deadPid}_$host", "csv")  // shape 2, dead
+    val liveKid = mk("graft_fmt", s"${ownPid}_$host", "csv")   // shape 2, own
+    val bystander = mk("media_cache", s"${deadPid}_$host")     // non-graft prefix
+    val noPid = mk("graft_warehouse")                          // no pid key at all
+    val removed = Q.reapStaleStaging(root.toString)
+    assert(removed == 2, s"expected exactly the two dead-pid dirs, got $removed")
+    assert(!Files.exists(deadTop.getParent) || !Files.exists(deadTop))
+    assert(!Files.exists(deadKid))
+    assert(Files.exists(liveTop) && Files.exists(liveKid))
+    assert(Files.exists(bystander) && Files.exists(noPid))
+  }
 }
