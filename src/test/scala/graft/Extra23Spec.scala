@@ -97,6 +97,62 @@ class Extra23Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
   }
 
+  test("RDD traversals == the DataFrame reference forms on the hand graphs") {
+    import spark.implicits._
+    import org.apache.spark.HashPartitioner
+    // Same fixtures as the DataFrame pins above; the RDD forms are the
+    // declared queries' serving path (r15 — zero per-round planning),
+    // so their semantics must be pinned EQUAL to the reference loops.
+    def adj(rows: Seq[(Long, Long, Long)]) =
+      spark.sparkContext.parallelize(rows.map { case (u, v, w) => (u, (v, w)) }, 4)
+        .partitionBy(new HashPartitioner(4))
+    // BFS hand graph (unit weights attached; BFS ignores them).
+    val undB = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (10L, 11L))
+    val edgesB = adj((undB ++ undB.map(e => (e._2, e._1))).map(e => (e._1, e._2, 1L)))
+    val gotB = graft.ops.Bfs.multiSourceBfsRdd(edgesB, Seq(1L, 5L, 10L), maxHops = 2)
+      .collect().toMap
+    assert(gotB == Map(1L -> 0L, 5L -> 0L, 10L -> 0L,
+      2L -> 1L, 4L -> 1L, 6L -> 1L, 11L -> 1L, 3L -> 2L, 7L -> 2L), gotB.toString)
+    // SSSP hand graph — the ≤2-hop sharp pin (cheaper 3-hop route must
+    // NOT beat the pricier 2-hop one under the bound).
+    val undS = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L))
+    val edgesS = adj(undS ++ undS.map(e => (e._2, e._1, e._3)))
+    def runS(h: Int) = graft.ops.Bfs.multiSourceSsspRdd(edgesS, Seq(1L), maxHops = h)
+      .collect().toMap
+    assert(runS(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 12L), runS(2).toString)
+    assert(runS(3) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L), runS(3).toString)
+    // Admission guards fail loudly, naming the bound.
+    val eb = intercept[IllegalArgumentException] {
+      graft.ops.Bfs.multiSourceBfsRdd(edgesB, Seq(1L), maxHops = 3, maxFrontier = 1L)
+    }
+    assert(eb.getMessage.contains("exceeding the declared bound"), eb.getMessage)
+  }
+
+  test("multiSourceRelax with a per-round squared relation == 3-hop SSSP") {
+    import spark.implicits._
+    // The generalized per-round-relation contract: ew = e ∪ e2 (exact
+    // 2-walk pairs, min 2-walk weight) for round 1, e alone for round
+    // 2, equals the uniform 3-round relaxation — the stride-2
+    // decomposition argument (any ≤3-hop path = ≤2-hop prefix + ≤1
+    // edge). e2 hand-derived from the weighted hand graph.
+    val und = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L))
+    val sym = und ++ und.map(e => (e._2, e._1, e._3))
+    val e = sym.toDF("u", "v", "w")
+    val e2 = (for {
+      (a, m1, w1) <- sym; (m2, b, w2) <- sym
+      if m1 == m2 && a != b
+    } yield ((a, b), w1 + w2))
+      .groupBy(_._1).map { case ((a, b), ws) => (a, b, ws.map(_._2).min) }
+      .toSeq.toDF("u", "v", "w")
+    val sources = Seq(1L).toDF("node")
+    val got = graft.ops.Bfs.multiSourceRelax(Seq(e.union(e2), e), sources)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.Bfs.multiSourceSssp(e, sources, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("rrfFuse == the hand-computed integer RRF on controlled rank lists") {
     import spark.implicits._
     // Query 1: doc 100 in both lists (ranks 1, 3), doc 101 dense-only

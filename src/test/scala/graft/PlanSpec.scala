@@ -668,20 +668,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("graph_bfs/graph_sssp results read checkpointed rounds, never the corpus") {
-    // The traversal contract (r14): rounds materialize as localCheckpoint
-    // state, so the RESULT plan is a rollup over ExistingRDD nodes —
-    // lineitem appears only in the tiny source-set scan, never as a
-    // re-derivation of the edge expansion (a FileScan-driven result
-    // plan would mean the per-round lineage cut broke and every action
-    // replays the whole expansion at 100 TB). The staged edge table is
-    // consumed during construction (bucketed + persisted — ops/Bfs).
+    // The traversal contract (r14, RDD rounds since r15): rounds
+    // materialize as persisted/checkpointed round state, so the RESULT
+    // plan is a rollup over an RDD scan — the DataFrame-loop era
+    // showed "Scan ExistingRDD", the RDD-round era shows the object
+    // scan of the final distance RDD ("Scan[obj" + SerializeFromObject)
+    // — and lineitem never appears: a FileScan-driven result plan
+    // would mean the per-round lineage cut broke and every action
+    // replays the whole expansion at 100 TB. The staged adjacency is
+    // consumed during construction (partitioner-pinned persisted RDD —
+    // ops/Bfs, Extra23.stagedGraphRdd).
     for (q <- Seq("graph_bfs", "graph_sssp")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString()
       val cut = p.indexOf("== Initial Plan ==")
       val exec = if (cut >= 0) p.substring(0, cut) else p
-      assert(exec.contains("ExistingRDD") || exec.contains("Scan ExistingRDD"),
+      assert(exec.contains("ExistingRDD") || exec.contains("Scan[obj"),
         s"$q: $p")
       assert(!exec.contains("lineitem.parquet"), s"$q result rescans the fact: $p")
     }
