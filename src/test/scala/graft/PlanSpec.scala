@@ -726,6 +726,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), full)
   }
 
+  test("sim_hybrid_rrf: lexical cut is the bounded heap, not a corpus-sized window") {
+    // r15 (VERDICT r14 #6): the lexical more-like-this list must be
+    // cut by TopKPerGroup BEFORE any rank window — the executed plan
+    // carries at least two TopKPerGroup operators (lexical cut +
+    // fusion cut), so every row_number window runs over ≤ nq·k rows.
+    // A plan with only the fusion TopK means the lexical side
+    // regressed to full per-query window sorts of the scored corpus —
+    // the 8-partition skew bottleneck at 100× corpus. The bucketed tf
+    // contract is shared with text_bm25 (no doc_id re-shuffle).
+    val df = SparkEntry.queries("sim_hybrid_rrf")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString()
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.substring(0, cut) else full
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2, full)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), full)
+  }
+
   test("text_bpe_encode cuts trainer lineage and scans the corpus once") {
     // The 4-round trainer state must reach the encode join as a
     // checkpointed RDD (ExistingRDD), not as 4 rounds of re-derivation —
