@@ -105,7 +105,8 @@ object Int8Index {
   def searchStaged(embs: DataFrame, tag: String, nq: Int, kCells: Int,
       rc: Int, qp: Int, shortlist: Int, topK: Int,
       refine: Int, meta: Seq[String] = Nil,
-      candFilter: Option[Column] = None): DataFrame = {
+      candFilter: Option[Column] = None,
+      queryEmbs: Option[DataFrame] = None): DataFrame = {
     require(rc >= 1 && rc <= kCells && qp >= 1 && qp <= kCells,
       s"Int8Index: need 1 <= rc <= kCells and 1 <= qp <= kCells, " +
         s"got rc=$rc qp=$qp kCells=$kCells")
@@ -126,7 +127,7 @@ object Int8Index {
     searchIndex(embs,
       graft.Q.readStagedParquet(spark, s"$dir/cents"),
       graft.Q.readStagedParquet(spark, s"$dir/codes"),
-      nq, qp, shortlist, topK, candFilter)
+      nq, qp, shortlist, topK, candFilter, queryEmbs)
   }
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -140,8 +141,14 @@ object Int8Index {
     */
   def searchIndex(embs: DataFrame, cents: DataFrame, codes: DataFrame,
       nq: Int, qp: Int, shortlist: Int, topK: Int,
-      candFilter: Option[Column] = None): DataFrame = {
-    val queries = embs.orderBy("vec_id").limit(nq)
+      candFilter: Option[Column] = None,
+      queryEmbs: Option[DataFrame] = None): DataFrame = {
+    // Query set provenance (ADVICE r14): when the corpus side carries
+    // joined META columns (filtered search), the query set must still
+    // come from the RAW vector table — `queryEmbs` supplies it; the
+    // meta join stays on the candidate/build side only. Defaulting to
+    // `embs` preserves the unfiltered callers' contract.
+    val queries = queryEmbs.getOrElse(embs).orderBy("vec_id").limit(nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     // Query-side probe: top-qp cells per query, qe carried through the
     // rollup (first() is order-insensitive — every row in a q_id group

