@@ -27,6 +27,18 @@ object Extra23 {
   private def bm25ValuesSql: String =
     Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
+  /** Fixed bigram-phrase query set for `text_phrase` — every phrase is
+    * live (non-zero hits) at all three fixture SFs (probed 25-46
+    * occurrences at sf0.001/sf0.01, ~290-350 at sf0.1). One definition
+    * feeds both engines, the Bm25Queries discipline.
+    */
+  private val PhraseQueries: Seq[(Long, String, String)] = Seq(
+    (1L, "hash", "join"), (2L, "merge", "group"),
+    (3L, "window", "join"), (4L, "stream", "data"))
+
+  private def phraseValuesSql: String =
+    PhraseQueries.map { case (q, a, b) => s"($q, '$a', '$b')" }.mkString(", ")
+
   /** Okapi BM25 score units for one (doc, term) pair as a column —
     * k1 = 1.2, b = 0.75, the Lucene-form idf ln(1 + (N−df+0.5)/(df+0.5))
     * (always positive — plain Okapi idf goes negative past df > N/2,
@@ -60,6 +72,25 @@ object Extra23 {
       |        * (CAST(dl * n AS DOUBLE) / CAST(tot AS DOUBLE)))))
       |  * 1000000000.0) AS BIGINT)""".stripMargin
 
+  /** THE tokenize→tf construction, shared by the fresh and staged
+    * corpus-stats paths (ADVICE r14 — one definition so the two can
+    * never drift): (doc_id, word, tf, positions) per (doc, word), where
+    * `positions` is the sorted 1-based token positions of the word in
+    * the empty-token-filtered stream — the POSITIONAL-INDEX column
+    * (Lucene's .pos file analogue) that phrase/proximity scoring rides
+    * (text_phrase); tf = size(positions) kept as its own integer so
+    * the BM25 consumers never touch the array. The input must already
+    * be doc_id-spread/bucketed; both rollup keys ⊇ doc_id, so every
+    * stage after the one spread is exchange-free (the PlanSpec pin).
+    */
+  private def tfOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), x -> x != '')")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
   /** Shared corpus statistics backbone for the BM25 scorers: one
     * doc_id-spread scan → tf per (doc, word) → dl per doc → (n, tot)
     * scalar — every rollup exchange-free after the single spread
@@ -67,10 +98,7 @@ object Extra23 {
     * scale contract PlanSpec pins. Returns (tf, dl, nt).
     */
   private[graft] def corpusStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val words = graft.Q.spreadBy(docs.select("doc_id", "text"), "doc_id")
-      .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = tfOf(graft.Q.spreadBy(docs.select("doc_id", "text"), "doc_id"))
       .transform(graft.Q.sketchPersist)
     statsOf(tf)
   }
@@ -96,10 +124,7 @@ object Extra23 {
     val tag = graft.Q.corpusTag(s, d, "documents").replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"graft_tf_$tag"
     if (!s.catalog.tableExists(tbl)) {
-      graft.Q.spreadBy(T.documents(s, d).select("doc_id", "text"), "doc_id")
-        .select(col("doc_id"),
-          explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      tfOf(graft.Q.spreadBy(T.documents(s, d).select("doc_id", "text"), "doc_id"))
         .write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
         .mode("overwrite")
         .option("path", graft.Q.jvmStageRoot("graft_tf") + s"/$tag")
@@ -169,6 +194,55 @@ object Extra23 {
           Seq(col("score_units").desc, col("doc_id").asc), 10)
         .select("qid", "doc_id", "score_units")
         .orderBy(col("qid"), col("score_units").desc, col("doc_id"))
+    },
+
+    // PHRASE retrieval on the POSITIONAL index (r15, VERDICT r14 #8):
+    // exact bigram-phrase tf per document for a fixed phrase-query
+    // set, served from the positions column of the SAME staged tf
+    // segment text_bm25/sim_hybrid_rrf ride (a positional index is
+    // one more column on the index segment — the Lucene .pos file).
+    // Scale shape: per phrase only the TWO member words' posting rows
+    // are touched (broadcast term table semi-joins the bucketed tf
+    // scan — never a corpus re-tokenize, never a doc_id exchange);
+    // phrase occurrences = |intersect(positions(w1)+1, positions(w2))|
+    // — pure integer array arithmetic, no UDF; the cut is the bounded
+    // heap. The oracle recomputes the same counts by the direct
+    // token-window lambda, so the gate proves the positional-index
+    // path EQUALS the definition. All counts integers.
+    "text_phrase" -> Q(
+      s"""WITH ph(qid, w1, w2) AS (VALUES ${phraseValuesSql}),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |      FROM read_parquet('{sfDir}/documents.parquet')),
+        |s AS (SELECT ph.qid, d.doc_id,
+        |        CAST(len(list_filter(generate_series(1, len(ws) - 1),
+        |          i -> ws[i] = ph.w1 AND ws[i + 1] = ph.w2)) AS BIGINT) AS phrase_tf
+        |      FROM d CROSS JOIN ph),
+        |r AS (SELECT qid, doc_id, phrase_tf,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |                           ORDER BY phrase_tf DESC, doc_id) AS rn
+        |      FROM s WHERE phrase_tf >= 1)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, phrase_tf
+        |FROM r WHERE rn <= 10
+        |ORDER BY qid, phrase_tf DESC, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gn = org.apache.spark.sql.graft.native
+      val (tf, _, _) = corpusStatsStaged(s, d)
+      val ph = PhraseQueries.toDF("qid", "w1", "w2")
+      val a = tf.join(broadcast(ph), col("word") === col("w1"))
+        .select(col("qid"), col("doc_id"), col("positions").as("p1"))
+      val b = tf.join(broadcast(ph.select("qid", "w2")), col("word") === col("w2"))
+        .select(col("qid"), col("doc_id"), col("positions").as("p2"))
+      // (qid, doc_id) join keys ⊇ the bucketed doc_id partitioning on
+      // both sides — co-located, no exchange (the text_bm25 contract).
+      val scored = a.join(b, Seq("qid", "doc_id"))
+        .select(col("qid"), col("doc_id"),
+          size(array_intersect(expr("transform(p1, x -> x + 1)"), col("p2")))
+            .cast("bigint").as("phrase_tf"))
+        .filter(col("phrase_tf") >= 1)
+      gn.top_k_per_group(scored, Seq("qid"),
+          Seq(col("phrase_tf").desc, col("doc_id").asc), 10)
+        .select("qid", "doc_id", "phrase_tf")
+        .orderBy(col("qid"), col("phrase_tf").desc, col("doc_id"))
     },
 
     // HYBRID RETRIEVAL via reciprocal-rank fusion (k = 60, the

@@ -97,6 +97,23 @@ class Extra23Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
   }
 
+  test("corpusStatsStaged == corpusStats: one tf construction, no drift") {
+    // ADVICE r14: the declared retrieval queries run the STAGED copy
+    // while the spec pinned only the fresh path — both now build
+    // through one shared tfOf, and this pin proves the staging
+    // write/read round-trip (bucketed parquet) preserves the relation
+    // exactly, positions column included.
+    val d = "/root/testdata/sf0.001"
+    def rows(tf: org.apache.spark.sql.DataFrame) =
+      tf.select("doc_id", "word", "tf", "positions").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getSeq[Int](3).toList)).sortBy(t => (t._1, t._2)).toList
+    val (tfS, _, _) = graft.queries.Extra23.corpusStatsStaged(spark, d)
+    val (tfF, _, _) = graft.queries.Extra23.corpusStats(
+      graft.Tables.documents(spark, d))
+    assert(rows(tfS) == rows(tfF))
+  }
+
   test("RDD traversals == the DataFrame reference forms on the hand graphs") {
     import spark.implicits._
     import org.apache.spark.HashPartitioner

@@ -726,6 +726,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), full)
   }
 
+  test("text_phrase: positional-index serving — bucketed tf, no doc_id exchange") {
+    // The phrase query rides the positions column of the SAME staged
+    // tf segment as text_bm25: the posting join must stay co-located
+    // on the bucketed doc_id layout ((qid, doc_id) join keys ⊇ the
+    // storage partitioning), the term tables broadcast, and the cut is
+    // the bounded heap. A doc_id exchange here means the positional
+    // index is being re-shuffled at corpus grain.
+    val df = SparkEntry.queries("text_phrase")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString()
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.substring(0, cut) else full
+    assert(p.contains("Bucketed: true"), full)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), full)
+    assert(p.contains("TopKPerGroup"), full)
+    assert(p.contains("BroadcastHashJoin"), full)
+  }
+
   test("sim_hybrid_rrf: lexical cut is the bounded heap, not a corpus-sized window") {
     // r15 (VERDICT r14 #6): the lexical more-like-this list must be
     // cut by TopKPerGroup BEFORE any rank window — the executed plan
