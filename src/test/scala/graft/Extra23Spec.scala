@@ -146,6 +146,34 @@ class Extra23Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eb.getMessage.contains("exceeding the declared bound"), eb.getMessage)
   }
 
+  test("kCoreRdd == the hand k-core; cascading peel; loud non-convergence guard") {
+    import org.apache.spark.HashPartitioner
+    def adj(und: Seq[(Long, Long)]) = {
+      val sym = und ++ und.map(e => (e._2, e._1))
+      spark.sparkContext.parallelize(sym.map { case (u, v) => (u, (v, 1L)) }, 4)
+        .partitionBy(new HashPartitioner(4))
+    }
+    // Triangle {1,2,3} + chain 3-4-5: the 2-core is exactly the
+    // triangle (each induced degree 2) and the peel must CASCADE — 5
+    // falls on the full-degree filter, which exposes 4 (induced degree
+    // drops to 1) on the next round.
+    val g = adj(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val got = graft.ops.KCore.kCoreRdd(g, k = 2).collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got.toString)
+    // k above the max degree: the core is EMPTY, and that is a stable
+    // answer, not an error.
+    assert(graft.ops.KCore.kCoreRdd(g, k = 4).collect().isEmpty)
+    // A pure path needs one peel round per layer — bounding rounds
+    // below the cascade depth must fail loudly, naming the scale path.
+    val path = adj(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.KCore.kCoreRdd(path, k = 2, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    // …and with round budget the same peel converges to the empty core.
+    assert(graft.ops.KCore.kCoreRdd(path, k = 2).collect().isEmpty)
+  }
+
   test("multiSourceRelax with a per-round squared relation == 3-hop SSSP") {
     import spark.implicits._
     // The generalized per-round-relation contract: ew = e ∪ e2 (exact
