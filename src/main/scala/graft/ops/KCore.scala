@@ -14,13 +14,18 @@ import org.apache.spark.rdd.RDD
   *
   * Execution shape (the [[Bfs]] planning-floor lesson, r15): rounds
   * run as RDD operations over the staged partitioner-pinned adjacency
-  * — zero Catalyst work per round. Each round streams the edge
-  * partitions through two membership probes (u-side partition-local
-  * via zipPartitions; v-side after re-keying the surviving half-edges
-  * by v) and min-degree-filters the count rollup: two keyed shuffles
-  * per round, both sized by the induced edge set, which only SHRINKS
-  * as the peel proceeds. Monotonicity makes the fixpoint test free:
-  * the set only loses nodes, so |N| unchanged ⇔ N unchanged.
+  * — zero Catalyst work per round — in DELTA form: degrees start at
+  * the full-graph rollup, and each round SUBTRACTS the edges leaving
+  * the round's removed set instead of recounting the induced subgraph
+  * (a recount is two corpus-sized shuffles per round; the delta is
+  * ONE shuffle sized by the removed nodes' edges, and every edge is
+  * processed at most once across the whole peel — the O(|E|) total
+  * that makes Batagelj-Zaveršnik linear, kept in the distributed
+  * form). The removed-set probe is partition-local (zipPartitions on
+  * the shared partitioner); the decrement merge back into the live
+  * degree table is narrow for the same reason. Per-round state is one
+  * row per live node; the per-round count doubles as the termination
+  * test and the guard anchor.
   *
   * The `maxRounds` admission guard fails loudly on non-convergence —
   * degenerate peels (long chains) can need O(|V|) rounds, and at that
@@ -28,6 +33,8 @@ import org.apache.spark.rdd.RDD
   * levels per round, not this one.
   */
 object KCore {
+
+  private val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   /** edges: (u → (v, w)) symmetric, distinct pairs, hash-partitioned
     * (the [[graft.queries.Extra23.stagedGraphRdd]] contract; weights
@@ -40,57 +47,54 @@ object KCore {
     val part = edges.partitioner.getOrElse(
       new org.apache.spark.HashPartitioner(edges.getNumPartitions))
 
-    // Induced degree of every u whose endpoints BOTH survive in `alive`.
-    def induced(alive: RDD[(Long, Long)]): RDD[(Long, Long)] = {
-      // u-side probe is partition-local (alive shares the partitioner).
-      val half = edges.zipPartitions(alive, preservesPartitioning = false) {
-        (eit, nit) =>
-          val s = new java.util.HashSet[java.lang.Long]()
-          nit.foreach { case (n, _) => s.add(n) }
-          eit.flatMap { case (u, (v, _)) =>
-            if (s.contains(u)) Iterator((v, u)) else Iterator.empty
-          }
-      }
-      // v-side probe after one re-key; count back on u (one combine
-      // shuffle — map-side partial counts, the two-phase agg shape).
-      half.partitionBy(part)
-        .zipPartitions(alive, preservesPartitioning = false) { (eit, nit) =>
-          val s = new java.util.HashSet[java.lang.Long]()
-          nit.foreach { case (n, _) => s.add(n) }
-          eit.flatMap { case (v, u) =>
-            if (s.contains(v)) Iterator((u, 1L)) else Iterator.empty
-          }
-        }
-        .reduceByKey(part, _ + _)
-    }
-
-    // Start from full degrees (one combine rollup, partitioner kept).
-    var alive = edges.mapValues(_ => 1L).reduceByKey(part, _ + _)
-      .filter(_._2 >= k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var n = alive.count()
+    // Full degrees (one combine rollup, partitioner kept by filter).
+    val deg0 = edges.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .persist(MemDisk)
+    var alive = deg0.filter(_._2 >= k).persist(MemDisk)
+    var removed = deg0.filter(_._2 < k).persist(MemDisk)
+    var pending = removed.count()
+    alive.count()
+    deg0.unpersist(false)
     var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      val next = induced(alive).filter(_._2 >= k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m = next.count() // materializes; fixpoint test; guard anchor
-      // Peel is monotone — induced() emits only members of `alive`, so
-      // next ⊆ alive and equal COUNTS imply equal SETS; an unchanged
-      // set has every induced degree ≥ k, i.e. it IS the k-core (the
-      // peel preserves the k-core at every step, so the fixpoint
-      // reached from the full node set is the maximal such subgraph).
-      if (m == n) converged = true
-      alive.unpersist(false)
-      alive = next
-      n = m
+    val retired = scala.collection.mutable.ArrayBuffer[RDD[_]]()
+    while (pending > 0 && rounds < maxRounds) {
+      // Edges LEAVING this round's removed set (partition-local probe:
+      // `removed` rides the shared partitioner), counted per far end —
+      // the only shuffle of the round, sized by the removed nodes'
+      // edges. Decrements onto dead targets are dropped by the merge
+      // below (only live nodes are updated), and each removed node is
+      // in exactly one round's set, so no edge is ever counted twice.
+      val dec = edges.zipPartitions(removed, preservesPartitioning = false) {
+        (eit, rit) =>
+          val r = new java.util.HashSet[java.lang.Long]()
+          rit.foreach { case (n, _) => r.add(n) }
+          eit.flatMap { case (u, (v, _)) =>
+            if (r.contains(u)) Iterator((v, 1L)) else Iterator.empty
+          }
+      }.reduceByKey(part, _ + _)
+      // Narrow merge: subtract the decrements from the live table
+      // (both sides on `part`), then split live/newly-dead.
+      val next = alive.zipPartitions(dec, preservesPartitioning = true) {
+        (ait, dit) =>
+          val d = new java.util.HashMap[Long, Long]()
+          dit.foreach { case (n, c) => d.put(n, d.getOrDefault(n, 0L) + c) }
+          ait.map { case (n, dg) => (n, dg - d.getOrDefault(n, 0L)) }
+      }.persist(MemDisk)
+      val nextRemoved = next.filter(_._2 < k).persist(MemDisk)
+      pending = nextRemoved.count() // materializes; terminates; guards
+      retired += alive; retired += removed
+      alive = next.filter(_._2 >= k)
+      removed = nextRemoved
       rounds += 1
-      if (n == 0) converged = true // empty core is stable by definition
     }
-    require(converged,
+    require(pending == 0,
       s"kCoreRdd: peel did not converge within $maxRounds rounds " +
-        s"($n nodes still changing) — at this scale use a bucketed " +
+        s"($pending nodes still peeling) — at this scale use a bucketed " +
         "multi-level peel (ECL-style k-core)")
+    // Release superseded round state only now: `alive` is a lazy
+    // filter over the LAST persisted `next`, which stays cached for
+    // the consumer (CacheScope releases it with the pipeline arena).
+    retired.foreach(_.unpersist(false))
     alive
   }
 }
