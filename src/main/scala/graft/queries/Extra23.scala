@@ -354,12 +354,24 @@ object Extra23 {
       // a 10-element heap per query while streaming, so only 8×10 rows
       // ever reach the rank window — the scale-safe form the rest of
       // the board uses; same total order (s desc, doc_id), same rows.
-      val gn2 = org.apache.spark.sql.graft.native
-      val lcut = gn2.top_k_per_group(lex, Seq("q_id"),
-        Seq(col("s").desc, col("doc_id").asc), 10)
+      // Conf-gated (the SubstringDedup.twoPhaseFirst discipline) so
+      // the single-window local form stays A/B-able: DriftProbe
+      // measured heap ≈ window locally (within jitter), so the
+      // scale-safe heap is the default — there is no local price to
+      // pay for the form that survives 100× corpus.
       val lw = Window.partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
-      val l10 = lcut.withColumn("rank", row_number().over(lw))
-        .select(col("q_id"), col("doc_id"), col("rank"))
+      val l10 = s.conf.get("spark.graft.hybrid.lexCut", "heap") match {
+        case "window" =>
+          lex.withColumn("rank", row_number().over(lw))
+            .filter(col("rank") <= 10)
+            .select(col("q_id"), col("doc_id"), col("rank"))
+        case _ =>
+          val gn2 = org.apache.spark.sql.graft.native
+          val lcut = gn2.top_k_per_group(lex, Seq("q_id"),
+            Seq(col("s").desc, col("doc_id").asc), 10)
+          lcut.withColumn("rank", row_number().over(lw))
+            .select(col("q_id"), col("doc_id"), col("rank"))
+      }
       // Fusion: pure integer RRF over the union of the two rank lists.
       rrfFuse(d10.unionByName(l10))
         .orderBy(col("q_id"), col("rrf_units").desc, col("doc_id"))
