@@ -100,7 +100,11 @@ object Plans {
     "agg_auc" -> "rank-sum AUC: join-free, one (seg, score) rollup, one window over the collapsed score domain",
     "text_bm25" -> "Okapi BM25: one doc_id corpus spread, exchange-free tf/dl rollups, query-term df broadcast, bounded-heap top-10",
     "graph_bfs" -> "multi-source BFS: checkpointed level state (ExistingRDD), min rollup, staged bucketed edges consumed at construction",
-    "graph_sssp" -> "bounded-hop weighted SSSP: min-compressed Bellman-Ford rounds as checkpointed state, exact integer distances")
+    "graph_sssp" -> "bounded-hop weighted SSSP: min-compressed Bellman-Ford rounds as checkpointed state, exact integer distances",
+    "text_phrase" -> "positional phrase retrieval: bucketed tf scan (no doc_id exchange), broadcast term tables, position-set intersect, bounded-heap top-10",
+    "text_proximity" -> "sloppy-phrase proximity: same posting-join shape as text_phrase, nested-HOF pair count over the position arrays, bounded-heap top-10",
+    "sim_hybrid_rrf" -> "hybrid RRF fusion: staged int8 dense top-10 + BM25 lexical side cut by TopKPerGroup BEFORE the rank window, pure-integer fusion",
+    "graph_kcore" -> "k-core peel: RDD delta rounds over the pinned adjacency (ExistingRDD result), per-degree integer rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

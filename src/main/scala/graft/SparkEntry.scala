@@ -71,7 +71,8 @@ object SparkEntry {
     _root_.graft.queries.Extra20.defs,
     _root_.graft.queries.Extra21.defs,
     _root_.graft.queries.Extra22.defs,
-    _root_.graft.queries.Extra23.defs
+    _root_.graft.queries.Extra23.defs,
+    _root_.graft.queries.Extra24.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -32,11 +32,11 @@ object Extra23 {
     * occurrences at sf0.001/sf0.01, ~290-350 at sf0.1). One definition
     * feeds both engines, the Bm25Queries discipline.
     */
-  private val PhraseQueries: Seq[(Long, String, String)] = Seq(
+  private[graft] val PhraseQueries: Seq[(Long, String, String)] = Seq(
     (1L, "hash", "join"), (2L, "merge", "group"),
     (3L, "window", "join"), (4L, "stream", "data"))
 
-  private def phraseValuesSql: String =
+  private[graft] def phraseValuesSql: String =
     PhraseQueries.map { case (q, a, b) => s"($q, '$a', '$b')" }.mkString(", ")
 
   /** Okapi BM25 score units for one (doc, term) pair as a column —

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions beyond the verdict list: mean reciprocal rank
+  * (the ranking-eval family's first-hit member) and within-window
+  * proximity retrieval (the phrase family's unordered sibling, riding
+  * the same staged positional tf segment). Determinism contracts as
+  * established: exact integer arithmetic for every gate value
+  * (reciprocal ranks in nano-units via integer division; proximity
+  * counts are position-set intersections), total orders on every
+  * emitted set, one shared fixture definition feeding both engines.
+  */
+object Extra24 {
+
+  /** Pessimistic-tie MRR over (seg, score, pos) rows — factored so the
+    * spec can pin the result against the brute sequential definition
+    * on controlled tie fixtures (the avgPrecisionOf discipline).
+    *
+    * Rank of the first positive under (score DESC) with ties resolved
+    * pessimistically (all tied negatives before tied positives — the
+    * order-free convention both engines replay identically): for the
+    * first score group containing a positive, k = cumcnt + (cnt − np)
+    * + 1. Because cumcnt grows by the FULL cnt of each earlier group
+    * while the candidate rank discounts only the group's own
+    * positives, k is monotonically non-decreasing across groups — so
+    * MIN over all np>0 groups IS the first positive's rank, order-free
+    * (no argmin/first needed). rr_units = 10⁹ div k is EXACT integer
+    * division in both engines — the gate column; the rounded double
+    * ratio rides for readability only.
+    *
+    * Scale shape: one (seg, score) rollup, one per-seg window over the
+    * COLLAPSED score domain (the agg_auc/eval_avg_precision discipline
+    * — never a window over raw rows), two small rollups, one
+    * |segments|-sized join. Nothing corpus-grain after the first
+    * combine.
+    */
+  private[graft] def mrrOf(e: DataFrame): DataFrame = {
+    val g = e.groupBy("seg", "score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+    val w = Window.partitionBy("seg").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
+    val t = g.groupBy("seg").agg(sum("cnt").as("n"), sum("np").as("n_pos"))
+    val k = r.filter(col("np") > 0).groupBy("seg")
+      .agg(min(col("cumcnt") + (col("cnt") - col("np")) + lit(1L)).as("first_k"))
+    t.join(k, Seq("seg"), "left")
+      .select(col("seg").cast("bigint").as("seg"), col("n"), col("n_pos"),
+        col("first_k"),
+        coalesce(expr("1000000000 div first_k"), lit(0L)).as("rr_units"),
+        when(col("n_pos") > 0, Q.dec4(round(
+          coalesce(expr("1000000000 div first_k"), lit(0L))
+            / lit(1000000000.0), 4))).as("rr"))
+      .orderBy("seg")
+  }
+
+  /** Within-`window` proximity score from two posting rows' position
+    * arrays: |{(x, y) : x ∈ p1, y ∈ p2, |x − y| ≤ window}| — the
+    * unordered near-cooccurrence count (Lucene's sloppy-phrase
+    * analogue, slop measured in token positions). Pure nested
+    * higher-order functions over the two int arrays — no UDF, no
+    * explode: the pair count never materializes as rows. Factored so
+    * the spec can pin it on hand postings.
+    */
+  private[graft] def proximityScored(tf: DataFrame, ph: DataFrame,
+      window: Int): DataFrame = {
+    val a = tf.join(broadcast(ph), col("word") === col("w1"))
+      .select(col("qid"), col("doc_id"), col("positions").as("p1"))
+    val b = tf.join(broadcast(ph.select("qid", "w2")), col("word") === col("w2"))
+      .select(col("qid"), col("doc_id"), col("positions").as("p2"))
+    // (qid, doc_id) join keys ⊇ the bucketed doc_id partitioning on
+    // both sides — co-located, no exchange (the text_phrase contract).
+    a.join(b, Seq("qid", "doc_id"))
+      .select(col("qid"), col("doc_id"),
+        expr(s"""aggregate(p1, cast(0 as bigint),
+          |  (acc, x) -> acc + size(filter(p2, y -> abs(y - x) <= $window)))"""
+          .stripMargin).as("prox_tf"))
+      .filter(col("prox_tf") >= 1)
+  }
+
+  def defs: Map[String, Q] = Map(
+
+    // MEAN RECIPROCAL RANK — the eval family's first-relevant-hit
+    // metric (the navigational-search / QA-retrieval standard, the
+    // TREC-8 reciprocal-rank measure): per segment, 1/rank of the
+    // best-scored positive under pessimistic tie resolution. Shares
+    // eval_avg_precision's (seg, score, pos) fixture so the two
+    // metrics are directly comparable on the same ranking.
+    "eval_mrr" -> Q(
+      """WITH e AS (SELECT user_id % 4 AS seg, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |g AS (SELECT seg, score, count(*) AS cnt, sum(pos) AS np
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT seg, cnt, np,
+        |    coalesce(sum(cnt) OVER (PARTITION BY seg ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcnt
+        |  FROM g),
+        |t AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n,
+        |             CAST(SUM(np) AS BIGINT) AS n_pos
+        |      FROM g GROUP BY 1),
+        |k AS (SELECT seg, CAST(MIN(cumcnt + (cnt - np) + 1) AS BIGINT) AS first_k
+        |      FROM r WHERE np > 0 GROUP BY 1)
+        |SELECT CAST(t.seg AS BIGINT) AS seg, t.n, t.n_pos, k.first_k,
+        |  CAST(COALESCE(1000000000 // k.first_k, 0) AS BIGINT) AS rr_units,
+        |  CAST(CASE WHEN t.n_pos > 0 THEN
+        |         ROUND(COALESCE(1000000000 // k.first_k, 0) / 1000000000.0, 4)
+        |       END AS DECIMAL(18,4)) AS rr
+        |FROM t LEFT JOIN k USING (seg) ORDER BY seg""".stripMargin) { (s, d) =>
+      mrrOf(T.events(s, d).select((col("user_id") % 4).as("seg"),
+        col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
+    },
+
+    // PROXIMITY RETRIEVAL — within-3-token unordered co-occurrence of
+    // the phrase pairs, top-10 per query: the sloppy-phrase relaxation
+    // of text_phrase, served from the SAME two posting rows of the
+    // staged positional tf segment (broadcast term tables, co-located
+    // (qid, doc_id) join, bounded-heap cut). The oracle recomputes the
+    // counts by the direct token-window definition over the raw text,
+    // so the hash gate proves the positional-index path equals the
+    // definition — the text_phrase contract at slop 3.
+    "text_proximity" -> Q(
+      s"""WITH ph(qid, w1, w2) AS (VALUES ${Extra23.phraseValuesSql}),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |      FROM read_parquet('{sfDir}/documents.parquet')),
+        |s AS (SELECT ph.qid, d.doc_id,
+        |        CAST(len(flatten(list_transform(
+        |          list_filter(generate_series(1, len(ws)), i -> ws[i] = ph.w1),
+        |          i -> list_filter(generate_series(greatest(1, i - 3),
+        |                                           least(len(ws), i + 3)),
+        |                           j -> ws[j] = ph.w2)))) AS BIGINT) AS prox_tf
+        |      FROM d CROSS JOIN ph),
+        |r AS (SELECT qid, doc_id, prox_tf,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |                           ORDER BY prox_tf DESC, doc_id) AS rn
+        |      FROM s WHERE prox_tf >= 1)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, prox_tf
+        |FROM r WHERE rn <= 10
+        |ORDER BY qid, prox_tf DESC, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gn = org.apache.spark.sql.graft.native
+      val (tf, _, _) = Extra23.corpusStatsStaged(s, d)
+      val ph = Extra23.PhraseQueries.toDF("qid", "w1", "w2")
+      gn.top_k_per_group(proximityScored(tf, ph, window = 3), Seq("qid"),
+          Seq(col("prox_tf").desc, col("doc_id").asc), 10)
+        .select("qid", "doc_id", "prox_tf")
+        .orderBy(col("qid"), col("prox_tf").desc, col("doc_id"))
+    }
+  )
+}

@@ -744,6 +744,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), full)
   }
 
+  test("text_proximity: same posting-serving contract as text_phrase") {
+    // The sloppy-phrase sibling rides the identical two posting rows —
+    // bucketed tf scan, broadcast term tables, co-located (qid, doc_id)
+    // join, bounded-heap cut; the pair count is a nested HOF over the
+    // position arrays, so no explode ever materializes pair rows.
+    val df = SparkEntry.queries("text_proximity")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString()
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.substring(0, cut) else full
+    assert(p.contains("Bucketed: true"), full)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), full)
+    assert(p.contains("TopKPerGroup"), full)
+    assert(p.contains("BroadcastHashJoin"), full)
+    assert(!p.contains("Generate"), full) // no explode on the pair path
+  }
+
   test("sim_hybrid_rrf: lexical cut is the bounded heap, not a corpus-sized window") {
     // r15 (VERDICT r14 #6): the lexical more-like-this list must be
     // cut by TopKPerGroup BEFORE any rank window — the executed plan
