@@ -104,7 +104,8 @@ object Plans {
     "text_phrase" -> "positional phrase retrieval: bucketed tf scan (no doc_id exchange), broadcast term tables, position-set intersect, bounded-heap top-10",
     "text_proximity" -> "sloppy-phrase proximity: same posting-join shape as text_phrase, nested-HOF pair count over the position arrays, bounded-heap top-10",
     "sim_hybrid_rrf" -> "hybrid RRF fusion: staged int8 dense top-10 + BM25 lexical side cut by TopKPerGroup BEFORE the rank window, pure-integer fusion",
-    "graph_kcore" -> "k-core peel: RDD delta rounds over the pinned adjacency (ExistingRDD result), per-degree integer rollup")
+    "graph_kcore" -> "k-core peel: RDD delta rounds over the pinned adjacency (ExistingRDD result), per-degree integer rollup",
+    "graph_lpa" -> "label-propagation communities: synchronous RDD rounds (one combine shuffle each), community-size histogram rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

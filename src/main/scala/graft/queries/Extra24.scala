@@ -149,6 +149,53 @@ object Extra24 {
           Seq(col("prox_tf").desc, col("doc_id").asc), 10)
         .select("qid", "doc_id", "prox_tf")
         .orderBy(col("qid"), col("prox_tf").desc, col("doc_id"))
+    },
+
+    // LABEL-PROPAGATION COMMUNITIES — the graph family's second
+    // density/community member beside graph_kcore (VERDICT r14's
+    // "k-core or label propagation": both now ship). Three synchronous
+    // rounds of most-frequent-neighbor-label with min-label tie-break
+    // over the shared staged adjacency (ops/Lpa — deterministic by
+    // construction, so the fixed-round trajectory is engine-exact even
+    // where classic randomized LPA would oscillate on this bipartite
+    // order–part graph). The oracle unrolls the three rounds in SQL
+    // (the graph_kcore precedent); the emitted rollup is the community
+    // SIZE histogram with integer label sums/mins — small output, full
+    // sensitivity to any label diverging.
+    "graph_lpa" -> Q(
+      """WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        |            FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM e)),
+        |c1 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l0 p ON e.u = p.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l1 p ON e.u = p.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l2 p ON e.u = p.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c3) WHERE rn = 1),
+        |cm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+        |       FROM l3 GROUP BY 1)
+        |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |       CAST(SUM(label) AS BIGINT) AS sum_label,
+        |       CAST(MIN(label) AS BIGINT) AS min_label
+        |FROM cm GROUP BY 1 ORDER BY csize""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (erdd, _) = Extra23.stagedGraphRdd(s, d)
+      graft.ops.Lpa.lpaRdd(erdd, rounds = 3)
+        .toDF("node", "label")
+        .groupBy("label").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_communities"),
+          sum("label").as("sum_label"), min("label").as("min_label"))
+        .orderBy("csize")
     }
   )
 }

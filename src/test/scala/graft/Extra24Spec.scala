@@ -77,4 +77,61 @@ class Extra24Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got4 == Set((1L, 1L, 3L), (1L, 2L, 1L)), got4.toString)
   }
+
+  // Sequential synchronous-LPA reference: every node simultaneously
+  // adopts the most frequent neighbor label, ties to the smallest.
+  private def bruteLpa(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lab = adj.keys.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      lab = adj.map { case (n, ns) =>
+        val cnt = ns.groupBy(lab).map { case (l, xs) => l -> xs.size }
+        n -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    lab
+  }
+
+  private def lpaAdj(pairs: Seq[(Long, Long)]) = {
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    spark.sparkContext
+      .parallelize(sym.map { case (u, v) => (u, (v, 1L)) }, 4)
+      .partitionBy(new org.apache.spark.HashPartitioner(4))
+  }
+
+  test("lpaRdd == the brute synchronous reference on hand graphs") {
+    // Two triangles joined by one bridge, plus a disjoint edge — dense
+    // regions absorb their members; the fixed-round trajectory must
+    // match the sequential reference EVERY round (not just at some
+    // converged end state — synchronous LPA on bipartite shapes can
+    // oscillate, and the declared query's determinism claim is that
+    // the trajectory itself is pinned).
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (10L, 11L))
+    (1 to 4).foreach { r =>
+      val got = graft.ops.Lpa.lpaRdd(lpaAdj(pairs), rounds = r).collect().toMap
+      assert(got == bruteLpa(pairs, r), s"round $r: $got vs ${bruteLpa(pairs, r)}")
+    }
+    // A pure bipartite path oscillates under synchronous updates — the
+    // reference and the RDD form must oscillate IDENTICALLY.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    (1 to 3).foreach { r =>
+      val got = graft.ops.Lpa.lpaRdd(lpaAdj(path), rounds = r).collect().toMap
+      assert(got == bruteLpa(path, r), s"path round $r")
+    }
+  }
+
+  test("lpaRdd round 1 == min neighbor id; the guard fails loudly") {
+    // With all-distinct initial labels every neighbor label has count
+    // 1, so round 1 is pure tie-break — the label becomes the MINIMUM
+    // neighbor id. A sharp closed-form pin on the tie-break direction.
+    val pairs = Seq((7L, 3L), (7L, 9L), (3L, 9L), (9L, 20L))
+    val got = graft.ops.Lpa.lpaRdd(lpaAdj(pairs), rounds = 1).collect().toMap
+    assert(got == Map(7L -> 3L, 3L -> 7L, 9L -> 3L, 20L -> 9L), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Lpa.lpaRdd(lpaAdj(pairs), rounds = 1, maxNodes = 2L)
+    }
+    assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
+  }
 }
