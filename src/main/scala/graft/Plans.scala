@@ -105,7 +105,8 @@ object Plans {
     "text_proximity" -> "sloppy-phrase proximity: same posting-join shape as text_phrase, nested-HOF pair count over the position arrays, bounded-heap top-10",
     "sim_hybrid_rrf" -> "hybrid RRF fusion: staged int8 dense top-10 + BM25 lexical side cut by TopKPerGroup BEFORE the rank window, pure-integer fusion",
     "graph_kcore" -> "k-core peel: RDD delta rounds over the pinned adjacency (ExistingRDD result), per-degree integer rollup",
-    "graph_lpa" -> "label-propagation communities: synchronous RDD rounds (one combine shuffle each), community-size histogram rollup")
+    "graph_lpa" -> "label-propagation communities: synchronous RDD rounds (one combine shuffle each), community-size histogram rollup",
+    "graph_modularity" -> "Newman modularity of the staged LPA labels: integer numerator assembly (no division in the gate), 1-row broadcast combines")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -81,6 +81,50 @@ object Extra24 {
       .filter(col("prox_tf") >= 1)
   }
 
+  /** The 3-round LPA community assignment as staged SESSION state
+    * (the stagedGraphRdd/int8-index/BM25-tf precedent: a community
+    * assignment is ingest-time state a curation pipeline computes once
+    * per corpus, not per query): memoized per session × corpus
+    * fingerprint (the staged edge table's tag folds it), persisted and
+    * pinned out of consumer-scope reclamation. graph_lpa and
+    * graph_modularity share one propagation.
+    */
+  private[graft] def stagedLpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.rdd.RDD[(Long, Long)] =
+    graft.Q.sessionMemo(s, "lpa3|" + Extra23.stagedGraphEdges(s, d)) {
+      val (erdd, _) = Extra23.stagedGraphRdd(s, d)
+      val lab = graft.ops.Lpa.lpaRdd(erdd, rounds = 3)
+      graft.ops.CacheScope.pinStaged(lab)
+      lab
+    }
+
+  /** Newman modularity of a labeling over a symmetric directed edge
+    * relation, assembled WITHOUT division: with m2 = |directed edges|
+    * (= 2m), A = directed intra-community edges and D_c = per-community
+    * degree sums, Q = [A·m2 − Σ_c D_c²] / m2² — numerator and
+    * denominator are exact BIGINTs (D_c ≤ m2 so Σ D_c² ≤ m2², ~2·10¹³
+    * at sf0.1; past ~10⁹ directed edges promote to DECIMAL(38)), so
+    * the gate columns are pure integers and the one double division
+    * happens on ≤2⁵³ integers — correctly rounded identically in both
+    * engines. Factored so the spec can pin a hand-computed partition.
+    */
+  private[graft] def modularityOf(e: DataFrame, lab: DataFrame): DataFrame = {
+    val lu = lab.select(col("node").as("u"), col("label").as("lu"))
+    val lv = lab.select(col("node").as("v"), col("label").as("lv"))
+    val m2Row = e.agg(count(lit(1)).as("m2"))
+    val intra = e.join(lu, "u").join(lv, "v")
+      .agg(sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra"))
+    val sds = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      .join(lu, "u").groupBy("lu").agg(sum("deg").as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sum_deg_sq"))
+    m2Row.crossJoin(broadcast(intra)).crossJoin(broadcast(sds))
+      .select(col("m2"), col("intra"), col("sum_deg_sq"),
+        (col("intra") * col("m2") - col("sum_deg_sq")).as("q_num"),
+        Q.dec6(round(
+          (col("intra") * col("m2") - col("sum_deg_sq")).cast("double")
+            / (col("m2") * col("m2")).cast("double"), 6)).as("q"))
+  }
+
   def defs: Map[String, Q] = Map(
 
     // MEAN RECIPROCAL RANK — the eval family's first-relevant-hit
@@ -189,13 +233,60 @@ object Extra24 {
         |       CAST(MIN(label) AS BIGINT) AS min_label
         |FROM cm GROUP BY 1 ORDER BY csize""".stripMargin) { (s, d) =>
       import s.implicits._
-      val (erdd, _) = Extra23.stagedGraphRdd(s, d)
-      graft.ops.Lpa.lpaRdd(erdd, rounds = 3)
+      stagedLpaLabels(s, d)
         .toDF("node", "label")
         .groupBy("label").agg(count(lit(1)).as("csize"))
         .groupBy("csize").agg(count(lit(1)).as("n_communities"),
           sum("label").as("sum_label"), min("label").as("min_label"))
         .orderBy("csize")
+    },
+
+    // MODULARITY — the community-quality metric (Newman & Girvan) of
+    // the staged LPA assignment: how much denser inside communities
+    // than a degree-preserving random graph. One propagation serves
+    // both graph_lpa and this metric (staged session state); the gate
+    // columns are exact integers — the division is factored OUT of the
+    // gate (q_num = A·2m − Σ D_c², denominator (2m)²), the modularityOf
+    // discipline. The oracle re-unrolls the three LPA rounds and
+    // assembles the same integers, so the gate re-proves the
+    // propagation AND the metric end-to-end.
+    "graph_modularity" -> Q(
+      """WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        |            FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM e)),
+        |c1 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l0 p ON e.u = p.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l1 p ON e.u = p.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l2 p ON e.u = p.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c3) WHERE rn = 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+        |i AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra
+        |      FROM e JOIN l3 x ON e.u = x.node JOIN l3 y ON e.v = y.node
+        |      WHERE x.label = y.label),
+        |dg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+        |dc AS (SELECT x.label, CAST(SUM(deg) AS BIGINT) AS dc
+        |       FROM dg JOIN l3 x ON dg.u = x.node GROUP BY 1),
+        |sq AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS sum_deg_sq FROM dc)
+        |SELECT a.m2, i.intra, sq.sum_deg_sq,
+        |  CAST(i.intra * a.m2 - sq.sum_deg_sq AS BIGINT) AS q_num,
+        |  CAST(ROUND(CAST(i.intra * a.m2 - sq.sum_deg_sq AS DOUBLE)
+        |             / CAST(a.m2 * a.m2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS q
+        |FROM a, i, sq""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lab = stagedLpaLabels(s, d).toDF("node", "label")
+      val e = s.table(Extra23.stagedGraphEdges(s, d)).select("u", "v")
+      modularityOf(e, lab)
     }
   )
 }

@@ -134,4 +134,31 @@ class Extra24Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("exceeding the declared bound"), e.getMessage)
   }
+
+  test("modularityOf == the hand-computed Newman Q on a known partition") {
+    import spark.implicits._
+    // Two triangles {1,2,3} and {4,5,6} joined by bridge 3-4, with the
+    // natural 2-community partition. Hand numbers: 7 undirected edges
+    // → m2 = 14 directed; intra = 12 directed (both triangles, not the
+    // bridge); degrees 2,2,3 | 3,2,2 → D = 7 per community →
+    // Σ D² = 98; q_num = 12·14 − 98 = 70; Q = 70/196 = 0.357143 —
+    // matching the textbook A/2m − Σ(D/2m)² = 6/7 − 1/2.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val e = (und ++ und.map(p => (p._2, p._1))).toDF("u", "v")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val r = graft.queries.Extra24.modularityOf(e, lab).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((14L, 12L, 98L, 70L)), row.toString)
+    assert(math.abs(row.getDecimal(4).doubleValue - 0.357143) < 1e-9, row.toString)
+    // The degenerate all-one-community labeling scores Q = 0 exactly
+    // (A = 2m and Σ D² = (2m)² telescope) — the metric's zero pin.
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "label")
+    val z = graft.queries.Extra24.modularityOf(e, one).collect()(0)
+    assert(z.getLong(3) == 0L && z.getDecimal(4).doubleValue == 0.0, z.toString)
+  }
 }
