@@ -63,7 +63,10 @@ object Extra24 {
     * analogue, slop measured in token positions). Pure nested
     * higher-order functions over the two int arrays — no UDF, no
     * explode: the pair count never materializes as rows. Factored so
-    * the spec can pin it on hand postings.
+    * the spec can pin it on hand postings. Contract: ph pairs carry
+    * DISTINCT member words (w1 ≠ w2) — with w1 = w2 the count would
+    * include the |x − x| = 0 self-pairs; the fixed PhraseQueries
+    * fixture satisfies this statically.
     */
   private[graft] def proximityScored(tf: DataFrame, ph: DataFrame,
       window: Int): DataFrame = {
