@@ -72,7 +72,8 @@ object SparkEntry {
     _root_.graft.queries.Extra21.defs,
     _root_.graft.queries.Extra22.defs,
     _root_.graft.queries.Extra23.defs,
-    _root_.graft.queries.Extra24.defs
+    _root_.graft.queries.Extra24.defs,
+    _root_.graft.queries.Extra25.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

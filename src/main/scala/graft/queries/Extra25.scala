@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-15 session-2 additions: link prediction (the graph family's
+  * recommendation member), recall/precision@k (the eval family's
+  * set-retrieval member), Dice-scored collocations (the text family's
+  * association-strength member beside raw-count text_ngram_freq), and
+  * CUSUM changepoint localization (the ts family's drift member beside
+  * the pointwise outlier detectors). Determinism contracts as
+  * established: every gate column is an exact integer (nano-unit
+  * scores via integer division, money in cents), every emitted set
+  * carries a total order, and each metric is factored so a spec can
+  * pin it against a brute sequential reference on hand fixtures.
+  */
+object Extra25 {
+
+  /** Resource-allocation link-prediction scores (Zhou/Lü/Zhang 2009)
+    * over a bipartite (item, basket) relation, for query items
+    * selected by `px % queryMod == 1`: for same-side items x, y,
+    * RA(x,y) = Σ_{shared baskets o} 1/deg(o), in nano-units via
+    * integer division (10⁹ div deg — exact in both engines), plus the
+    * common-neighbor count cn. Join-free basket form (the agg_cooccur
+    * discipline): ONE fact shuffle builds per-basket sorted distinct
+    * item sets, the query filter and pair fan-out run map-side inside
+    * each ≤basket-sized set (only query-adjacent baskets emit
+    * anything), and the RA weight is 10⁹ div size(basket) — the
+    * degree is the set size, so no degree join exists at all. The
+    * alternative double self-join (query edges ⋈ edges ⋈ degrees)
+    * shuffles the fact three times; this shape shuffles it once and
+    * the skinny (px, py) pair rollup once. Work ∝ query-adjacent
+    * basket pairs; the per-basket guard is the basket build itself
+    * (baskets are order-bounded in the fixtures; a hot basket would
+    * need the cooccur salting path, named in the scaladoc there).
+    */
+  private[graft] def linkPredScores(e0: DataFrame, queryMod: Int): DataFrame =
+    e0.groupBy("o")
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(s"filter(ps, x -> x % $queryMod = 1)")).as("px"),
+        col("ps"))
+      .select(col("px"),
+        explode(expr("filter(ps, y -> y != px)")).as("py"),
+        expr("1000000000 div size(ps)").as("w"))
+      .groupBy("px", "py")
+      .agg(count(lit(1)).as("cn"), sum("w").as("ra_units"))
+
+  /** Pessimistic-tie recall@k / precision@k over (seg, score, pos)
+    * rows — the set-retrieval eval twin of mrrOf, factored for the
+    * brute-reference spec pin. Per (seg, score) group with cumcnt rows
+    * strictly above it, cnt rows and np positives: under pessimistic
+    * resolution the group's tied negatives rank first, so its
+    * positives occupy ranks cumcnt+(cnt−np)+1 … cumcnt+cnt and the
+    * number inside the top k is clamp(k − cumcnt − (cnt − np), 0, np).
+    * Summing the clamp over groups IS the positive count of the
+    * pessimistic top-k — order-free, no per-row ranking. Scale shape:
+    * one (seg, score) rollup, one window over the COLLAPSED score
+    * domain (the agg_auc discipline), two small rollups.
+    */
+  private[graft] def recallAtK(e: DataFrame, k: Int): DataFrame = {
+    val g = e.groupBy("seg", "score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+    val w = Window.partitionBy("seg").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
+    val h = r.groupBy("seg").agg(
+      sum(greatest(lit(0L), least(col("np"),
+        lit(k.toLong) - col("cumcnt") - (col("cnt") - col("np"))))).as("hits"))
+    val t = g.groupBy("seg").agg(sum("cnt").as("n"), sum("np").as("n_pos"))
+    t.join(h, Seq("seg"))
+      .select(col("seg").cast("bigint").as("seg"), col("n"), col("n_pos"),
+        col("hits"),
+        coalesce(expr("(hits * 1000000000) div nullif(n_pos, 0)"), lit(0L))
+          .as("recall_units"),
+        expr(s"(hits * 1000000000) div $k").as("precision_units"))
+      .orderBy("seg")
+  }
+
+  /** Dice-coefficient collocation scores (Smadja 1993's association
+    * family; Dice = 2·f(xy)/(f(x)+f(y))) over adjacent-token bigrams:
+    * dice_units = (2·c_xy·10⁹) div (c_x + c_y) — one integer division,
+    * exact in both engines, bounded (2·c_xy·10⁹ ≤ 2·10¹⁵ at any
+    * plausible corpus count). Distinct from text_ngram_freq's raw
+    * counts: Dice surfaces PHRASES (tokens that co-occur far more than
+    * their individual frequencies predict — the "new york" vs "of
+    * the" separation every vocabulary/phrase-mining pass needs).
+    * minCount floors c_xy so one-off juxtapositions of two rare words
+    * can't saturate the score. Scale shape: two corpus-scan rollups
+    * (bigrams, unigrams — both map-side partial), unigram counts
+    * broadcast back onto the bigram table twice (the vocabulary is
+    * the frequency-compressed relation, orders of magnitude smaller
+    * than the corpus — the text_surprisal discipline), top-20 as
+    * TakeOrderedAndProject.
+    */
+  private[graft] def diceCollocations(docs: DataFrame, minCount: Long): DataFrame = {
+    val w = docs.select(split(col("text"), " ").as("ws"))
+    val cxy = w.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "j -> struct(element_at(ws, j) as w1, element_at(ws, j + 1) as w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val cu = w.select(explode(col("ws")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("c"))
+    cxy
+      .join(broadcast(cu.select(col("wd"), col("c").as("c1"))),
+        col("w1") === col("wd")).drop("wd")
+      .join(broadcast(cu.select(col("wd"), col("c").as("c2"))),
+        col("w2") === col("wd")).drop("wd")
+      .select(col("w1"), col("w2"), col("c_xy"), col("c1"), col("c2"),
+        expr("(2 * c_xy * 1000000000) div (c1 + c2)").as("dice_units"))
+  }
+
+  /** CUSUM changepoint localization over (event_type, cents, ts,
+    * event_id) rows: per series ordered by (ts, event_id), the
+    * centered cumulative sum C_i = n·prefix_i − i·total — the classic
+    * CUSUM statistic with the mean division factored OUT (C_i =
+    * n·(prefix_i − i·mean) — same argmax, pure BIGINT in cents), so
+    * the changepoint index and peak are engine-exact integers. The
+    * argmax tie resolves to the SMALLEST index via a max-then-min
+    * rollup pair (order-free, no first/argmax). Scale shape: one
+    * window per series for (i, prefix) — the per-series sort is the
+    * semantic floor of an exact full-series CUSUM; at 100× series
+    * length the two-pass distributed scan (per-partition subtotals
+    * broadcast as offsets) replaces the single-partition window, and
+    * the loud per-series bound below names it. Stats/max frames are
+    * |series|-count-sized — broadcast, never a key shuffle.
+    */
+  private[graft] def cusumChangepoint(v: DataFrame): DataFrame = {
+    val ord = Seq(col("ts"), col("event_id"))
+    val w = Window.partitionBy("event_type").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = v.select(col("event_type"), col("cents"),
+      row_number().over(
+        Window.partitionBy("event_type").orderBy(ord: _*)).cast("bigint").as("i"),
+      sum("cents").over(w).as("pre"))
+    val s = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+    val c = r.join(broadcast(s), "event_type")
+      .select(col("event_type"), col("i"),
+        abs(col("n") * col("pre") - col("i") * col("tot")).as("ac"))
+    val m = c.groupBy("event_type").agg(max("ac").as("cusum_units"))
+    val k = c.join(broadcast(m), "event_type")
+      .filter(col("ac") === col("cusum_units"))
+      .groupBy("event_type").agg(min("i").as("k"))
+    s.join(broadcast(m), "event_type").join(broadcast(k), "event_type")
+      .select(col("event_type"), col("n"), col("tot").as("tot_cents"),
+        col("k"), col("cusum_units"))
+      .orderBy("event_type")
+  }
+
+  def defs: Map[String, Q] = Map(
+
+    // LINK PREDICTION — the graph family's recommendation member
+    // (which part–part edges does the order history predict?):
+    // resource-allocation scores (Zhou 2009 — RA beats common
+    // neighbors and Adamic-Adar on accuracy in their benchmark, and
+    // its 1/deg weight is integer-exact where AA's 1/ln(deg) is not)
+    // for query parts ≡ 1 (mod 97), top-5 predicted neighbors each.
+    // Bipartite same-side prediction means candidate pairs are never
+    // existing edges — no anti-join needed. Join-free basket shape;
+    // the oracle states the same scores via the explicit
+    // edges⋈edges⋈degrees definition, so the gate proves the basket
+    // fan-out equals the textbook formula.
+    "graph_linkpred" -> Q(
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+        |            FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |dego AS (SELECT o, COUNT(*) AS deg FROM e0 GROUP BY 1),
+        |q AS (SELECT p AS px, o FROM e0 WHERE p % 97 = 1),
+        |c AS (SELECT q.px, e0.p AS py, e0.o FROM q JOIN e0 ON q.o = e0.o
+        |      WHERE e0.p != q.px),
+        |s AS (SELECT px, py, CAST(COUNT(*) AS BIGINT) AS cn,
+        |        CAST(SUM(1000000000 // deg) AS BIGINT) AS ra_units
+        |      FROM c JOIN dego ON c.o = dego.o GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY px
+        |        ORDER BY ra_units DESC, cn DESC, py) AS rn FROM s)
+        |SELECT px, py, cn, ra_units FROM r WHERE rn <= 5
+        |ORDER BY px, ra_units DESC, cn DESC, py""".stripMargin) { (s, d) =>
+      val gn = org.apache.spark.sql.graft.native
+      val e0 = T.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+      gn.top_k_per_group(linkPredScores(e0, queryMod = 97), Seq("px"),
+          Seq(col("ra_units").desc, col("cn").desc, col("py").asc), 5)
+        .select("px", "py", "cn", "ra_units")
+        .orderBy(col("px"), col("ra_units").desc, col("cn").desc, col("py"))
+    },
+
+    // RECALL@K / PRECISION@K — the eval family's set-retrieval member
+    // (MRR grades the first hit, NDCG the graded order; recall@k
+    // grades COVERAGE of the positive set — the retrieval-pipeline
+    // acceptance metric). k = 50 on eval_avg_precision's shared
+    // (seg, score, pos) fixture, pessimistic ties, hits counted by
+    // the order-free group clamp (no per-row ranking).
+    "eval_recall_at_k" -> Q(
+      """WITH e AS (SELECT user_id % 4 AS seg, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |g AS (SELECT seg, score, count(*) AS cnt, sum(pos) AS np
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT seg, cnt, np,
+        |    coalesce(sum(cnt) OVER (PARTITION BY seg ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcnt
+        |  FROM g),
+        |h AS (SELECT seg,
+        |    CAST(SUM(GREATEST(0, LEAST(np, 50 - cumcnt - (cnt - np)))) AS BIGINT)
+        |      AS hits FROM r GROUP BY 1),
+        |t AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n,
+        |             CAST(SUM(np) AS BIGINT) AS n_pos FROM g GROUP BY 1)
+        |SELECT CAST(t.seg AS BIGINT) AS seg, t.n, t.n_pos, h.hits,
+        |  CAST(COALESCE((h.hits * 1000000000) // NULLIF(t.n_pos, 0), 0)
+        |       AS BIGINT) AS recall_units,
+        |  CAST((h.hits * 1000000000) // 50 AS BIGINT) AS precision_units
+        |FROM t JOIN h ON t.seg = h.seg ORDER BY seg""".stripMargin) { (s, d) =>
+      recallAtK(T.events(s, d).select((col("user_id") % 4).as("seg"),
+        col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")),
+        k = 50)
+    },
+
+    // COLLOCATIONS — Dice-scored bigram association (the phrase-mining
+    // pass of a curation vocabulary build): top-20 adjacent-token
+    // pairs by 2·f(xy)/(f(x)+f(y)) with f(xy) ≥ 3, exact nano-unit
+    // integer scores. text_ngram_freq's raw top-20 is frequency
+    // (dominated by function-word pairs); this is STRENGTH — the two
+    // together are the standard collocation contrast.
+    "text_collocations" -> Q(
+      """WITH w AS (SELECT string_split(text, ' ') AS ws
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |         j -> struct_pack(w1 := ws[j], w2 := ws[j + 1]))) AS b FROM w),
+        |cxy AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |        FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |uni AS (SELECT unnest(ws) AS wd FROM w),
+        |cu AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1)
+        |SELECT w1, w2, c_xy, a.c AS c1, b.c AS c2,
+        |  CAST((2 * c_xy * 1000000000) // (a.c + b.c) AS BIGINT) AS dice_units
+        |FROM cxy JOIN cu a ON cxy.w1 = a.wd JOIN cu b ON cxy.w2 = b.wd
+        |ORDER BY dice_units DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      diceCollocations(T.documents(s, d), minCount = 3L)
+        .orderBy(col("dice_units").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
+    // CHANGEPOINT — CUSUM drift localization per event series (Page
+    // 1954): WHERE did the level shift, not just which points are
+    // outliers (ts_outlier/_mad) — the distribution-drift monitor a
+    // feed pipeline runs per source. Exact integers end-to-end: cents
+    // via DECIMAL(18,2), the mean division factored out of the
+    // statistic, min-index tie resolution.
+    "ts_changepoint" -> Q(
+      """WITH v AS (SELECT event_type,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |      ts, event_id FROM read_parquet('{sfDir}/events.parquet')),
+        |r AS (SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY ts, event_id) AS i,
+        |    SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM v),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(cents) AS BIGINT) AS tot FROM v GROUP BY 1),
+        |c AS (SELECT r.event_type, r.i, ABS(s.n * r.pre - r.i * s.tot) AS ac
+        |      FROM r JOIN s ON r.event_type = s.event_type),
+        |m AS (SELECT event_type, CAST(MAX(ac) AS BIGINT) AS cusum_units
+        |      FROM c GROUP BY 1),
+        |k AS (SELECT c.event_type, CAST(MIN(c.i) AS BIGINT) AS k
+        |      FROM c JOIN m ON c.event_type = m.event_type
+        |                   AND c.ac = m.cusum_units GROUP BY 1)
+        |SELECT s.event_type, s.n, s.tot AS tot_cents, k.k, m.cusum_units
+        |FROM s JOIN m ON s.event_type = m.event_type
+        |       JOIN k ON s.event_type = k.event_type
+        |ORDER BY s.event_type""".stripMargin) { (s, d) =>
+      cusumChangepoint(T.events(s, d).select(col("event_type"),
+        (Q.dec2(col("value")) * 100).cast("bigint").as("cents"),
+        col("ts"), col("event_id")))
+    }
+  )
+}
