@@ -106,7 +106,11 @@ object Plans {
     "sim_hybrid_rrf" -> "hybrid RRF fusion: staged int8 dense top-10 + BM25 lexical side cut by TopKPerGroup BEFORE the rank window, pure-integer fusion",
     "graph_kcore" -> "k-core peel: RDD delta rounds over the pinned adjacency (ExistingRDD result), per-degree integer rollup",
     "graph_lpa" -> "label-propagation communities: synchronous RDD rounds (one combine shuffle each), community-size histogram rollup",
-    "graph_modularity" -> "Newman modularity of the staged LPA labels: integer numerator assembly (no division in the gate), 1-row broadcast combines")
+    "graph_modularity" -> "Newman modularity of the staged LPA labels: integer numerator assembly (no division in the gate), 1-row broadcast combines",
+    "graph_linkpred" -> "RA link prediction: join-free basket fan-out (weight = basket size, no degree join), bounded-heap top-5 per query item",
+    "text_collocations" -> "Dice collocations: two corpus rollups, broadcast vocabulary re-attach, top-20 TakeOrderedAndProject",
+    "ts_changepoint" -> "CUSUM changepoint: one window per series, stats/peak/index frames broadcast, exact integer statistic",
+    "eval_recall_at_k" -> "recall@k: order-free group clamp over the collapsed score domain, no per-row ranking")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-15 session-2 additions: RA link
+  * prediction really equals the textbook edges⋈edges⋈degrees formula
+  * (hand bipartite graph), recall@k really counts the pessimistic
+  * top-k's positives (discriminating tie fixture), Dice collocation
+  * scores match hand arithmetic (and the min-count floor cuts), and
+  * the CUSUM peak/index match a brute sequential scan including the
+  * min-index tie rule.
+  */
+class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("linkPredScores == textbook RA formula on a hand bipartite graph") {
+    import spark.implicits._
+    // Baskets: o1 = {1,2,4}, o2 = {1,2}, o3 = {2,3,4}; query items odd
+    // (queryMod = 2): px ∈ {1, 3}.
+    //   deg(o1) = 3 → w = 333333333; deg(o2) = 2 → w = 500000000;
+    //   deg(o3) = 3 → w = 333333333.
+    // px=1 (baskets o1, o2): (1,2) shared in both → cn 2,
+    //   ra = 333333333 + 500000000 = 833333333; (1,4) only o1 → cn 1.
+    // px=3 (basket o3): (3,2) and (3,4), cn 1, ra 333333333 each.
+    val e0 = Seq((1L, 10L), (2L, 10L), (4L, 10L), (1L, 20L), (2L, 20L),
+      (2L, 30L), (3L, 30L), (4L, 30L)).toDF("p", "o")
+    val got = graft.queries.Extra25.linkPredScores(e0, queryMod = 2)
+      .orderBy("px", "py").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    val want = List(
+      (1L, 2L, 2L, 833333333L), (1L, 4L, 1L, 333333333L),
+      (3L, 2L, 1L, 333333333L), (3L, 4L, 1L, 333333333L))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("linkPredScores never pairs a query item with itself") {
+    import spark.implicits._
+    // A basket containing ONLY the query item must emit nothing; a
+    // 2-item basket emits exactly the one cross pair.
+    val e0 = Seq((1L, 10L), (1L, 20L), (6L, 20L)).toDF("p", "o")
+    val got = graft.queries.Extra25.linkPredScores(e0, queryMod = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List((1L, 6L, 1L, 500000000L)), got.toString)
+  }
+
+  test("recallAtK == brute pessimistic top-k positives, tie-discriminating") {
+    import spark.implicits._
+    // seg 0: scores 9(n), 8(p), 7(p), 6(p); k = 3 → top-3 = {9,8,7} →
+    //   hits 2 of n_pos 3: recall_units = 666666666, precision 2e9/3.
+    // seg 1: THE TIE PIN — 6(n), then 5,5,5 holding 1 positive + 2
+    //   negatives; pessimistic puts the tied negatives at ranks 2,3 so
+    //   the positive lands at 4 > k: hits 0 (an optimistic engine
+    //   would claim 1).
+    // seg 2: zero positives → recall_units 0 (guarded division).
+    // seg 3: more positives than k → hits capped at k.
+    val e = Seq(
+      (0L, 9.0, 0L), (0L, 8.0, 1L), (0L, 7.0, 1L), (0L, 6.0, 1L),
+      (1L, 6.0, 0L), (1L, 5.0, 0L), (1L, 5.0, 0L), (1L, 5.0, 1L),
+      (2L, 3.0, 0L), (2L, 2.0, 0L),
+      (3L, 9.0, 1L), (3L, 8.0, 1L), (3L, 7.0, 1L), (3L, 6.0, 1L)
+    ).toDF("seg", "score", "pos")
+    val got = graft.queries.Extra25.recallAtK(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    val want = List(
+      (0L, 4L, 3L, 2L, 666666666L, 666666666L),
+      (1L, 4L, 1L, 0L, 0L, 0L),
+      (2L, 2L, 0L, 0L, 0L, 0L),
+      (3L, 4L, 4L, 3L, 750000000L, 1000000000L))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("diceCollocations == hand arithmetic; min-count floor cuts") {
+    import spark.implicits._
+    // Docs "a b a b" and "a b c": bigrams (a,b)×3, (b,a)×1, (b,c)×1;
+    // unigrams a=3, b=3, c=1.
+    //   dice(a,b) = 2·3·1e9 div (3+3) = 1000000000
+    //   dice(b,a) = 2·1·1e9 div (3+3) = 333333333
+    //   dice(b,c) = 2·1·1e9 div (3+1) = 500000000
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val got = graft.queries.Extra25.diceCollocations(docs, minCount = 1L)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    val want = List(
+      ("a", "b", 3L, 3L, 3L, 1000000000L),
+      ("b", "a", 1L, 3L, 3L, 333333333L),
+      ("b", "c", 1L, 3L, 1L, 500000000L))
+    assert(got == want, s"got $got\nwant $want")
+    // The floor keeps only pairs at or above minCount.
+    val floored = graft.queries.Extra25.diceCollocations(docs, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(floored == List(("a", "b")), floored.toString)
+    // Single-token docs contribute unigrams but no bigrams (no
+    // descending-sequence trap on size(ws) - 1 = 0).
+    val single = graft.queries.Extra25
+      .diceCollocations(Seq("a b", "z").toDF("text"), minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(single == List(("a", "b")), single.toString)
+  }
+
+  test("cusumChangepoint == brute sequential CUSUM with min-index ties") {
+    import spark.implicits._
+    // Series "x" (level shift 1,1,1 → 10,10): n=5, tot=23,
+    // prefix 1,2,3,13,23 → C_i = 5·pre − i·23 = −18,−36,−54,−27,0 →
+    // peak |−54| at i=3, exactly the pre-shift boundary.
+    // Series "y" (symmetric 2,0,0,2): |C| = 4,0,4,0 → the peak TIES at
+    // i ∈ {1,3}; the min-index rule must pick k=1.
+    // Rows arrive shuffled and "y" carries a same-ts pair so the
+    // (ts, event_id) order is exercised.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val v = Seq(
+      ("x", 100L, ts(4), 14L), ("x", 1000L, ts(10), 20L),
+      ("x", 100L, ts(2), 12L), ("x", 1000L, ts(12), 22L),
+      ("x", 100L, ts(0), 10L),
+      ("y", 200L, ts(0), 30L), ("y", 0L, ts(1), 31L),
+      ("y", 0L, ts(2), 32L), ("y", 200L, ts(2), 33L)
+    ).toDF("event_type", "cents", "ts", "event_id")
+    val got = graft.queries.Extra25.cusumChangepoint(v).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    val want = List(
+      ("x", 5L, 2300L, 3L, 5400L),
+      ("y", 4L, 400L, 1L, 400L))
+    assert(got == want, s"got $got\nwant $want")
+  }
+}

@@ -794,6 +794,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("documents\\.parquet".r.findAllIn(p).size <= 1, p)
   }
 
+  test("graph_linkpred: join-free basket fan-out, bounded-heap cut") {
+    // The RA score path must carry NO join at all: the basket build is
+    // one fact shuffle, the query filter and pair fan-out run inside
+    // each basket row (the RA weight is the basket size — no degree
+    // join), and the top-5 cut is the bounded heap. Any SortMergeJoin/
+    // ShuffledHashJoin here means the score path regressed to the
+    // edges⋈edges⋈degrees form, which shuffles the fact three times.
+    val df = SparkEntry.queries("graph_linkpred")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
+  test("text_collocations: broadcast vocabulary, top-20 is TakeOrdered") {
+    // The unigram vocabulary (frequency-compressed, orders of magnitude
+    // smaller than the corpus) must broadcast onto the bigram table —
+    // a shuffled join would key-shuffle the bigram relation twice —
+    // and the final cut is TakeOrderedAndProject, never a global sort.
+    val p = planOf("text_collocations")
+    val f = p.split("== Initial Plan ==")(0)
+    assert(f.contains("BroadcastHashJoin"), p)
+    assert(!f.contains("SortMergeJoin") && !f.contains("ShuffledHashJoin"), p)
+    assert(f.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ts_changepoint: series stats broadcast, never a key-shuffled join") {
+    // The per-series stats / peak / index frames are |series|-count
+    // sized (5 rows here) — they must re-attach by broadcast; the one
+    // full-data structure is the per-series window (the exact-CUSUM
+    // semantic floor, scale path: two-pass distributed prefix scan).
+    val p = planOf("ts_changepoint")
+    val f = p.split("== Initial Plan ==")(0)
+    assert(f.contains("BroadcastHashJoin"), p)
+    assert(!f.contains("SortMergeJoin") && !f.contains("ShuffledHashJoin"), p)
+    assert(f.contains("Window"), p)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
