@@ -110,7 +110,9 @@ object Plans {
     "graph_linkpred" -> "RA link prediction: join-free basket fan-out (weight = basket size, no degree join), bounded-heap top-5 per query item",
     "text_collocations" -> "Dice collocations: two corpus rollups, broadcast vocabulary re-attach, top-20 TakeOrderedAndProject",
     "ts_changepoint" -> "CUSUM changepoint: one window per series, stats/peak/index frames broadcast, exact integer statistic",
-    "eval_recall_at_k" -> "recall@k: order-free group clamp over the collapsed score domain, no per-row ranking")
+    "eval_recall_at_k" -> "recall@k: order-free group clamp over the collapsed score domain, no per-row ranking",
+    "eval_cohens_kappa" -> "Cohen's kappa: three corpus rollups, 4-row marginal combine broadcast, integer-factored gate",
+    "ts_autocorr" -> "lagged autocorrelation: one window computes all three leads, map-side stack, exact power sums")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -153,6 +153,70 @@ object Extra25 {
       .orderBy("event_type")
   }
 
+  /** Cohen's kappa over paired ratings (r1, r2) with BOTH divisions
+    * factored out of the gate (the modularityOf discipline): with n
+    * rows, so = observed agreements and Σrc = Σ_c rowmarginal_c ·
+    * colmarginal_c, κ = (p_o − p_e)/(1 − p_e) = (n·so − Σrc)/(n² −
+    * Σrc) — numerator and denominator exact BIGINTs (n² ≈ 2.5·10⁹ at
+    * sf0.1; past ~3·10⁹ rows promote to DECIMAL(38)), one trailing
+    * double division rounded identically in both engines. Scale
+    * shape: one corpus-scan rollup per marginal + the 1-row n/so
+    * frames, everything re-attached by broadcast — the corpus is
+    * scanned twice and never key-shuffled.
+    */
+  private[graft] def kappaOf(r: DataFrame): DataFrame = {
+    val n = r.agg(count(lit(1)).as("n"))
+    val so = r.filter(col("r1") === col("r2")).agg(count(lit(1)).as("so"))
+    val rm = r.groupBy(col("r1").as("c")).agg(count(lit(1)).as("rc"))
+    val cm = r.groupBy(col("r2").as("c")).agg(count(lit(1)).as("cc"))
+    val se = rm.join(broadcast(cm), "c")
+      .agg(sum(col("rc") * col("cc")).as("sum_rc"))
+    n.crossJoin(broadcast(so)).crossJoin(broadcast(se))
+      .select(col("n"), col("so"), col("sum_rc"),
+        (col("n") * col("so") - col("sum_rc")).as("kappa_num"),
+        (col("n") * col("n") - col("sum_rc")).as("kappa_den"),
+        Q.dec6(round(
+          (col("n") * col("so") - col("sum_rc")).cast("double")
+            / (col("n") * col("n") - col("sum_rc")).cast("double"), 6))
+          .as("kappa"))
+  }
+
+  /** Lag-1..maxLag autocorrelation per series from exact integer power
+    * sums (the agg_corr discipline, lagged): ONE window per series
+    * computes all maxLag leads in one sort/pass, a map-side stack
+    * turns them into (lag, x, y) pairs, and each (series, lag) group
+    * folds the six power sums as exact BIGINTs in cents — the only
+    * double ops are the trailing Pearson division and sqrt (IEEE
+    * correctly-rounded, identical in both engines; ROUND(,6) last).
+    * n·sxy stays under 2⁶³ to ~10⁶ rows/series at cents scale; past
+    * that the power sums promote to DECIMAL(38) (the agg_corr note).
+    * Scale shape: the per-series window sort is the semantic floor
+    * (same note as cusumChangepoint); everything after the stack is
+    * two-phase aggregation over |series|·maxLag groups.
+    */
+  private[graft] def autocorrOf(v: DataFrame, maxLag: Int): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val leads = v.select(col("event_type") +: col("x") +:
+      (1 to maxLag).map(l => lead("x", l).over(w).as(s"y$l")): _*)
+    val stackArgs = (1 to maxLag).map(l => s"$l, y$l").mkString(", ")
+    val p = leads
+      .selectExpr("event_type", "x", s"stack($maxLag, $stackArgs) as (lag, y)")
+      .filter(col("y").isNotNull)
+    p.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("lag").cast("bigint").as("lag"),
+        col("n_pairs"), col("sxy").as("sxy_cents2"),
+        Q.dec6(round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6)).as("r"))
+      .orderBy("event_type", "lag")
+  }
+
   def defs: Map[String, Q] = Map(
 
     // LINK PREDICTION — the graph family's recommendation member
@@ -243,6 +307,70 @@ object Extra25 {
       diceCollocations(T.documents(s, d), minCount = 3L)
         .orderBy(col("dice_units").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // COHEN'S KAPPA — chance-corrected annotator agreement (Cohen
+    // 1960), the label-QA metric every human-annotation pipeline
+    // gates on. Raters here are the two length-derived quality
+    // buckets a curation pass actually computes (chars-based vs
+    // token-based, 4 levels) — genuinely correlated, genuinely
+    // imperfect, so κ lands strictly inside (0, 1) at every SF.
+    // Both divisions factored out: the gate columns are exact
+    // integers, κ itself one trailing rounded division.
+    "eval_cohens_kappa" -> Q(
+      """WITH r AS (SELECT LEAST(n_chars // 200, 3) AS r1,
+        |                  LEAST(len(string_split(text, ' ')) // 40, 3) AS r2
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        |so AS (SELECT CAST(COUNT(*) AS BIGINT) AS so FROM r WHERE r1 = r2),
+        |rm AS (SELECT r1 AS c, CAST(COUNT(*) AS BIGINT) AS rc FROM r GROUP BY 1),
+        |cm AS (SELECT r2 AS c, CAST(COUNT(*) AS BIGINT) AS cc FROM r GROUP BY 1),
+        |se AS (SELECT CAST(SUM(rm.rc * cm.cc) AS BIGINT) AS sum_rc
+        |       FROM rm JOIN cm ON rm.c = cm.c)
+        |SELECT n.n, so.so, se.sum_rc,
+        |  CAST(n.n * so.so - se.sum_rc AS BIGINT) AS kappa_num,
+        |  CAST(n.n * n.n - se.sum_rc AS BIGINT) AS kappa_den,
+        |  CAST(ROUND(CAST(n.n * so.so - se.sum_rc AS DOUBLE)
+        |       / CAST(n.n * n.n - se.sum_rc AS DOUBLE), 6) AS DECIMAL(18,6))
+        |    AS kappa
+        |FROM n, so, se""".stripMargin) { (s, d) =>
+      kappaOf(T.documents(s, d).select(
+        expr("least(n_chars div 200, 3)").cast("bigint").as("r1"),
+        expr("least(size(split(text, ' ')) div 40, 3)").cast("bigint").as("r2")))
+    },
+
+    // AUTOCORRELATION — lag-1..3 Pearson autocorrelation per event
+    // series: the serial-dependence profile (is this feed i.i.d. or
+    // trending?) that sits beside ts_changepoint's level-shift
+    // localization in a drift monitor. One window computes all three
+    // leads in one pass; exact integer power sums in cents.
+    "ts_autocorr" -> Q(
+      """WITH v AS (SELECT event_type,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |      ts, event_id FROM read_parquet('{sfDir}/events.parquet')),
+        |l AS (SELECT event_type, x,
+        |        LEAD(x, 1) OVER w AS y1, LEAD(x, 2) OVER w AS y2,
+        |        LEAD(x, 3) OVER w AS y3
+        |      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |p AS (SELECT event_type, lag, x, y FROM l
+        |      CROSS JOIN LATERAL (VALUES (1, y1), (2, y2), (3, y3)) AS t(lag, y)
+        |      WHERE y IS NOT NULL),
+        |s AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  sxy AS sxy_cents2,
+        |  CAST(ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS r
+        |FROM s ORDER BY event_type, lag""".stripMargin) { (s, d) =>
+      autocorrOf(T.events(s, d).select(col("event_type"),
+        (Q.dec2(col("value")) * 100).cast("bigint").as("x"),
+        col("ts"), col("event_id")), maxLag = 3)
     },
 
     // CHANGEPOINT — CUSUM drift localization per event series (Page

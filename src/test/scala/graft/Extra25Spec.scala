@@ -112,6 +112,49 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single == List(("a", "b")), single.toString)
   }
 
+  test("kappaOf == Cohen's textbook 2x2 example; degenerate bounds") {
+    import spark.implicits._
+    // The classic worked example: 50 items, agreements 20 (yes/yes) +
+    // 15 (no/no), disagreements 5 + 10 → p_o = 0.7, p_e = 0.5, κ = 0.4.
+    // Integer form: so = 35, Σrc = 25·30 + 25·20 = 1250,
+    // κ = (50·35 − 1250)/(50² − 1250) = 500/1250.
+    def items(nYY: Int, nYN: Int, nNY: Int, nNN: Int) =
+      (Seq.fill(nYY)((1L, 1L)) ++ Seq.fill(nYN)((1L, 0L)) ++
+        Seq.fill(nNY)((0L, 1L)) ++ Seq.fill(nNN)((0L, 0L))).toDF("r1", "r2")
+    val got = graft.queries.Extra25.kappaOf(items(20, 5, 10, 15)).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((50L, 35L, 1250L, 500L, 1250L)), got.toString)
+    assert(got.getDecimal(5) == new java.math.BigDecimal("0.400000"), got.toString)
+    // Perfect agreement → κ = 1; marginal-independent raters → κ = 0.
+    val perfect = graft.queries.Extra25.kappaOf(items(30, 0, 0, 20)).collect()(0)
+    assert(perfect.getDecimal(5) == new java.math.BigDecimal("1.000000"))
+    val indep = graft.queries.Extra25.kappaOf(items(9, 21, 3, 7)).collect()(0)
+    // rows: r1=1 30, r1=0 10; cols: r2=1 12, r2=0 28 → Σrc = 360+280=640,
+    // so = 16, n·so = 640 → κ_num = 0.
+    assert(perfect.getLong(3) == perfect.getLong(4)) // num == den
+    assert(indep.getLong(3) == 0L, indep.toString)
+  }
+
+  test("autocorrOf == hand Pearson on an alternating series") {
+    import spark.implicits._
+    // x = +1,−1,+1,−1,+1,−1 (cents ±100): perfect alternation gives
+    // r(lag1) = −1, r(lag2) = +1, r(lag3) = −1 — signs and magnitudes
+    // pin the pairing, the power sums, and the trailing double ops.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val v = (0 until 6).map(i =>
+      ("x", if (i % 2 == 0) 100L else -100L, ts(i), 10L + i))
+      .toDF("event_type", "x", "ts", "event_id")
+    val got = graft.queries.Extra25.autocorrOf(v, maxLag = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4).toPlainString)).toList
+    val want = List(
+      ("x", 1L, 5L, -50000L, "-1.000000"),
+      ("x", 2L, 4L, 40000L, "1.000000"),
+      ("x", 3L, 3L, -30000L, "-1.000000"))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("cusumChangepoint == brute sequential CUSUM with min-index ties") {
     import spark.implicits._
     // Series "x" (level shift 1,1,1 → 10,10): n=5, tot=23,

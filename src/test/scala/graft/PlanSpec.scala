@@ -834,6 +834,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.contains("Window"), p)
   }
 
+  test("eval_cohens_kappa: marginals and 1-row frames broadcast only") {
+    // The corpus feeds three rollups (n/so, row marginals, column
+    // marginals) whose results are ≤4 rows — every re-attach must be
+    // a broadcast; any SortMergeJoin/ShuffledHashJoin means a
+    // corpus-sized relation is being key-shuffled for a 4-row combine.
+    val p = planOf("eval_cohens_kappa")
+    val f = p.split("== Initial Plan ==")(0)
+    assert(!f.contains("SortMergeJoin") && !f.contains("ShuffledHashJoin"), p)
+    assert(!f.contains("CartesianProduct"), p)
+  }
+
+  test("ts_autocorr: all lags share ONE window (one sort, one pass)") {
+    // The three leads must come out of a single Window operator — a
+    // plan with one window per lag re-sorts every series three times.
+    val df = SparkEntry.queries("ts_autocorr")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert("\\bWindow\\b".r.findAllIn(f).size == 1, f)
+    assert(!f.contains("SortMergeJoin") && !f.contains("ShuffledHashJoin"), f)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
