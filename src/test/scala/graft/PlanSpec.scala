@@ -795,18 +795,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("graph_linkpred: join-free basket fan-out, bounded-heap cut") {
-    // The RA score path must carry NO join at all: the basket build is
-    // one fact shuffle, the query filter and pair fan-out run inside
-    // each basket row (the RA weight is the basket size — no degree
-    // join), and the top-5 cut is the bounded heap. Any SortMergeJoin/
-    // ShuffledHashJoin here means the score path regressed to the
-    // edges⋈edges⋈degrees form, which shuffles the fact three times.
+    // The RA score path's only join is the broadcast SEMI pre-filter
+    // on query-adjacent basket ids (selective by the query contract):
+    // the basket build is one pre-filtered fact shuffle, the query
+    // filter and pair fan-out run inside each basket row (the RA
+    // weight is the basket size — no degree join), and the top-5 cut
+    // is the bounded heap. Any SortMergeJoin/ShuffledHashJoin means
+    // the score path regressed to the edges⋈edges⋈degrees form,
+    // which shuffles the fact three times.
     val df = SparkEntry.queries("graph_linkpred")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString()
       .split("== Initial Plan ==")(0)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
-      && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+      && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TopKPerGroup"), p)
   }
 
