@@ -112,7 +112,8 @@ object Plans {
     "ts_changepoint" -> "CUSUM changepoint: one window per series, stats/peak/index frames broadcast, exact integer statistic",
     "eval_recall_at_k" -> "recall@k: order-free group clamp over the collapsed score domain, no per-row ranking",
     "eval_cohens_kappa" -> "Cohen's kappa: three corpus rollups, 4-row marginal combine broadcast, integer-factored gate",
-    "ts_autocorr" -> "lagged autocorrelation: one window computes all three leads, map-side stack, exact power sums")
+    "ts_autocorr" -> "lagged autocorrelation: one window computes all three leads, map-side stack, exact power sums",
+    "graph_assortativity" -> "degree assortativity: symmetry-folded power sums, one broadcast degree attach, bucket-served edges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -155,6 +155,27 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("assortativityOf == textbook values via the symmetry folding") {
+    import spark.implicits._
+    // P3 (path 1–2–3, symmetric): degrees 1,2,1; degree pairs over the
+    // 4 directed edges are (1,2),(2,1),(2,1),(1,2) → n=4, sx=6, sxy=8,
+    // sxx=10: r_num = 32−36 = −4, den = 40−36 = 4 → r = −1 (the
+    // textbook maximally-disassortative path).
+    val p3 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val got = graft.queries.Extra25.assortativityOf(p3).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((4L, 6L, 8L, -4L)), got.toString)
+    assert(got.getDecimal(4) == new java.math.BigDecimal("-1.000000"), got.toString)
+    // Star S3 (hub 0 to leaves 1,2,3): every edge pairs degree 3 with
+    // degree 1 → also r = −1, but with n=6, sx=12, sxy=18:
+    // r_num = 108 − 144 = −36.
+    val s3 = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (0L, 3L), (3L, 0L))
+      .toDF("u", "v")
+    val gs = graft.queries.Extra25.assortativityOf(s3).collect()(0)
+    assert((gs.getLong(0), gs.getLong(3)) == ((6L, -36L)), gs.toString)
+    assert(gs.getDecimal(4) == new java.math.BigDecimal("-1.000000"), gs.toString)
+  }
+
   test("cusumChangepoint == brute sequential CUSUM with min-index ties") {
     import spark.implicits._
     // Series "x" (level shift 1,1,1 → 10,10): n=5, tot=23,

@@ -859,6 +859,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f.contains("SortMergeJoin") && !f.contains("ShuffledHashJoin"), f)
   }
 
+  test("graph_assortativity: one broadcast attach, bucket-served edges") {
+    // The symmetry-folded form's only join is the broadcast degree
+    // attach onto v; the edge scans ride the staged bucketed layout.
+    // A SortMergeJoin/ShuffledHashJoin means the node-degree relation
+    // is being key-shuffled against the full edge list.
+    val df = SparkEntry.queries("graph_assortativity")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(f.contains("BroadcastHashJoin"), f)
+    assert(!f.contains("SortMergeJoin") && !f.contains("ShuffledHashJoin"), f)
+    assert(f.contains("Bucketed: true"), f)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
