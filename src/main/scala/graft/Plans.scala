@@ -113,7 +113,9 @@ object Plans {
     "eval_recall_at_k" -> "recall@k: order-free group clamp over the collapsed score domain, no per-row ranking",
     "eval_cohens_kappa" -> "Cohen's kappa: three corpus rollups, 4-row marginal combine broadcast, integer-factored gate",
     "ts_autocorr" -> "lagged autocorrelation: one window computes all three leads, map-side stack, exact power sums",
-    "graph_assortativity" -> "degree assortativity: symmetry-folded power sums, one broadcast degree attach, bucket-served edges")
+    "graph_assortativity" -> "degree assortativity: symmetry-folded power sums, one broadcast degree attach, bucket-served edges",
+    "agg_spearman" -> "Spearman rho: join-free collapsed joint domain, RANGE-frame tie ranks, one corpus scan",
+    "agg_gini" -> "Gini coefficient: collapsed value domain, integer-factored tie-corrected gate, one scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

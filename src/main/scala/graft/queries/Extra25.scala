@@ -257,6 +257,79 @@ object Extra25 {
           6)).as("r"))
   }
 
+  /** Tie-corrected Spearman rank correlation over (a, b) rows,
+    * entirely on the COLLAPSED JOINT domain: one corpus scan folds to
+    * distinct (a, b) pairs with counts, and each variable's
+    * average-tie doubled rank r2 = 2·cumcnt + cnt + 1 is a pair of
+    * RANGE-frame windows over that tiny relation (strictly-less
+    * row-count + peer row-count — RANGE, not ROWS, because ties of
+    * the ORDER key must aggregate as one group regardless of row
+    * order). No join back to the corpus exists at all; the power sums
+    * weight each joint row by its count. This replaced a
+    * rank-table-broadcast form that was plan-correct but 8 AQE stages
+    * deep (3 corpus scans, 2 windows, 2 broadcast builds — 2.1 s of
+    * stage scheduling at sf0.1; this form: one scan, ~4 stages,
+    * 0.6 s). ρ is Pearson over the doubled ranks (the ×2 cancels);
+    * the n·sxx-style combinations happen in DOUBLE on both engines
+    * (n·sxx overflows int64 past ~50k rows at doubled-rank scale, and
+    * the double path is engine-identical: exact casts of exact
+    * integers, one rounded trailing expression). The joint domain of
+    * two integer length measures stays window-sized at any corpus
+    * scale; two genuinely high-cardinality variables would need the
+    * per-variable collapsed form with shuffled rank joins.
+    */
+  private[graft] def spearmanOf(d: DataFrame): DataFrame = {
+    val j0 = d.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    def r2(c: String) = {
+      val less = Window.orderBy(col(c))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val peers = Window.orderBy(col(c))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      lit(2L) * coalesce(sum("cnt").over(less), lit(0L)) +
+        sum("cnt").over(peers) + 1
+    }
+    j0.select(col("cnt"), r2("a").as("x"), r2("b").as("y"))
+      .agg(sum("cnt").as("n"), sum(col("cnt") * col("x")).as("sx"),
+        sum(col("cnt") * col("y")).as("sy"),
+        sum(col("cnt") * col("x") * col("x")).as("sxx"),
+        sum(col("cnt") * col("y") * col("y")).as("syy"),
+        sum(col("cnt") * col("x") * col("y")).as("sxy"))
+      .select(col("n"), col("sxy").as("sum_rankprod"),
+        Q.dec6(round(
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))),
+          6)).as("rho"))
+  }
+
+  /** Gini coefficient of a non-negative integer column from its
+    * collapsed value domain, with average-tie ranks and BOTH divisions
+    * factored out of the gate: gini_num = Σ_v (2·cumcnt + cnt + 1)·v·
+    * cnt − (n+1)·Σx and gini_den = n·Σx are exact BIGINTs (the
+    * tie-corrected mean-difference form of G = 2Σiᵢxᵢ/(nΣx) −
+    * (n+1)/n), one trailing rounded division. The global window runs
+    * over distinct values only; the corpus is scanned once into the
+    * value rollup and never re-sorted.
+    */
+  private[graft] def giniOf(d: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
+    val r = d.groupBy("x").agg(count(lit(1)).as("cnt"))
+      .select(col("x"), col("cnt"),
+        coalesce(sum("cnt").over(w), lit(0L)).as("cumcnt"))
+    r.agg(sum("cnt").as("n"), sum(col("x") * col("cnt")).as("sx"),
+        sum((lit(2L) * col("cumcnt") + col("cnt") + 1) * col("x") * col("cnt"))
+          .as("twoixsum"))
+      .select(col("n"), col("sx").as("total"),
+        (col("twoixsum") - (col("n") + 1) * col("sx")).as("gini_num"),
+        (col("n") * col("sx")).as("gini_den"),
+        Q.dec6(round(
+          (col("twoixsum") - (col("n") + 1) * col("sx")).cast("double")
+            / (col("n") * col("sx")).cast("double"), 6)).as("gini"))
+  }
+
   def defs: Map[String, Q] = Map(
 
     // LINK PREDICTION — the graph family's recommendation member
@@ -347,6 +420,70 @@ object Extra25 {
       diceCollocations(T.documents(s, d), minCount = 3L)
         .orderBy(col("dice_units").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // SPEARMAN RANK CORRELATION — the distribution-free dependence
+    // measure (agg_corr's rank sibling, Spearman 1904): do the two
+    // length signals a curation pass computes (chars, tokens) order
+    // documents the same way? Tie-corrected via average ranks on the
+    // collapsed value domains; ρ ≈ 0.997 at every SF (the two
+    // measures nearly agree, not exactly — a live, non-degenerate
+    // gate).
+    "agg_spearman" -> Q(
+      """WITH d AS (SELECT n_chars AS a, len(string_split(text, ' ')) AS b
+        |           FROM read_parquet('{sfDir}/documents.parquet')),
+        |j0 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+        |sc AS (SELECT cnt,
+        |    2 * coalesce(SUM(cnt) OVER (ORDER BY a
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + SUM(cnt) OVER (ORDER BY a RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+        |      + 1 AS x,
+        |    2 * coalesce(SUM(cnt) OVER (ORDER BY b
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + SUM(cnt) OVER (ORDER BY b RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+        |      + 1 AS y
+        |  FROM j0),
+        |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |        CAST(SUM(cnt * x) AS BIGINT) AS sx,
+        |        CAST(SUM(cnt * y) AS BIGINT) AS sy,
+        |        CAST(SUM(cnt * x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(cnt * y * y) AS BIGINT) AS syy,
+        |        CAST(SUM(cnt * x * y) AS BIGINT) AS sxy
+        |      FROM sc)
+        |SELECT n, sxy AS sum_rankprod,
+        |  CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS rho
+        |FROM s""".stripMargin) { (s, d) =>
+      spearmanOf(T.documents(s, d).select(col("n_chars").as("a"),
+        size(split(col("text"), " ")).cast("bigint").as("b")))
+    },
+
+    // GINI COEFFICIENT — corpus inequality profile (how concentrated
+    // is document length?): the data-balance diagnostic a mixture
+    // builder reads before weighting sources. Tie-corrected
+    // mean-difference form, both divisions factored out of the gate.
+    "agg_gini" -> Q(
+      """WITH d AS (SELECT n_chars AS x FROM read_parquet('{sfDir}/documents.parquet')),
+        |g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+        |r AS (SELECT x, cnt, coalesce(SUM(cnt) OVER (ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcnt
+        |      FROM g),
+        |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |        CAST(SUM(x * cnt) AS BIGINT) AS sx,
+        |        CAST(SUM((2 * cumcnt + cnt + 1) * x * cnt) AS BIGINT) AS twoixsum
+        |      FROM r)
+        |SELECT n, sx AS total,
+        |  CAST(twoixsum - (n + 1) * sx AS BIGINT) AS gini_num,
+        |  CAST(n * sx AS BIGINT) AS gini_den,
+        |  CAST(ROUND(CAST(twoixsum - (n + 1) * sx AS DOUBLE)
+        |             / CAST(n * sx AS DOUBLE), 6) AS DECIMAL(18,6)) AS gini
+        |FROM s""".stripMargin) { (s, d) =>
+      giniOf(T.documents(s, d).select(col("n_chars").as("x")))
     },
 
     // DEGREE ASSORTATIVITY — Newman (2002) degree-mixing coefficient:

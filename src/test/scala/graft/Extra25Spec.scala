@@ -155,6 +155,37 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("spearmanOf == hand average-tie ranks on a controlled fixture") {
+    import spark.implicits._
+    // (a, b) = (1,10),(2,20),(2,20),(3,5): average-tie ranks of a are
+    // 1, 2.5, 2.5, 4 and of b are 2, 3.5, 3.5, 1 → ρ = −1.5/4.5 =
+    // −1/3 by hand Pearson over the ranks. Doubled ranks x = 2,5,5,8,
+    // y = 4,7,7,2 → sxy = 94.
+    val d = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 5L)).toDF("a", "b")
+    val got = graft.queries.Extra25.spearmanOf(d).collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == ((4L, 94L)), got.toString)
+    assert(got.getDecimal(2) == new java.math.BigDecimal("-0.333333"), got.toString)
+    // A strictly monotone pairing is ρ = 1 exactly.
+    val mono = Seq((1L, 5L), (2L, 6L), (3L, 9L), (4L, 11L)).toDF("a", "b")
+    val gm = graft.queries.Extra25.spearmanOf(mono).collect()(0)
+    assert(gm.getDecimal(2) == new java.math.BigDecimal("1.000000"), gm.toString)
+  }
+
+  test("giniOf == closed-form bounds with average-tie ranks") {
+    import spark.implicits._
+    // All-equal input → G = 0 (gini_num telescopes to zero).
+    val eq = Seq(7L, 7L, 7L, 7L).toDF("x")
+    val ge = graft.queries.Extra25.giniOf(eq).collect()(0)
+    assert(ge.getLong(2) == 0L, ge.toString)
+    // Total concentration (0,0,0,4) → G = (n−1)/n = 0.75:
+    // twoixsum = 8·4 = 32, num = 32 − 5·4 = 12, den = 16.
+    val conc = Seq(0L, 0L, 0L, 4L).toDF("x")
+    val gc = graft.queries.Extra25.giniOf(conc).collect()(0)
+    assert((gc.getLong(0), gc.getLong(1), gc.getLong(2), gc.getLong(3))
+      == ((4L, 4L, 12L, 16L)), gc.toString)
+    assert(gc.getDecimal(4) == new java.math.BigDecimal("0.750000"), gc.toString)
+  }
+
   test("assortativityOf == textbook values via the symmetry folding") {
     import spark.implicits._
     // P3 (path 1–2–3, symmetric): degrees 1,2,1; degree pairs over the

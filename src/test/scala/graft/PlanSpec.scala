@@ -859,6 +859,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f.contains("SortMergeJoin") && !f.contains("ShuffledHashJoin"), f)
   }
 
+  test("agg_spearman: join-free collapsed joint domain, one corpus scan") {
+    // Both rank computations are RANGE-frame windows over the distinct
+    // (a, b) relation — no join of any kind exists, and the corpus is
+    // scanned exactly once (the 8-stage rank-broadcast form this
+    // replaced scanned it three times).
+    val df = SparkEntry.queries("agg_spearman")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!f.contains("Join"), f)
+    assert("documents\\.parquet".r.findAllIn(f).size <= 1, f)
+  }
+
   test("graph_assortativity: one broadcast attach, bucket-served edges") {
     // The symmetry-folded form's only join is the broadcast degree
     // attach onto v; the edge scans ride the staged bucketed layout.
