@@ -330,6 +330,53 @@ object Extra25 {
             / (col("n") * col("sx")).cast("double"), 6)).as("gini"))
   }
 
+  /** Lag-0..maxLag cross-correlation over a (day, cx, cy) daily-count
+    * relation: pairs (cx(d), cy(d+lag)) via a broadcast self-join of
+    * the COLLAPSED calendar relation (|days| rows — the corpus never
+    * joins anything), exact integer power sums, the trailing Pearson
+    * double ops last (the ts_autocorr discipline across two series).
+    * Days missing on either side drop from that lag's pairs — join
+    * semantics, identical in both engines. Factored so the spec can
+    * pin a hand-shifted series (a copy at lag 1 must read exactly
+    * 1.000000 there).
+    *
+    * Shape: NO self-join. A self-join of the calendar against itself
+    * re-derives the corpus rollup once per pruned column set (Spark
+    * splits the (cx, cy) pivot into two corpus scans — measured
+    * 1.5 s), and persisting the 30-row relation to share it thrashed
+    * the plan cache across repeated constructions (measured 3-8 s).
+    * Instead each day row FANS OUT map-side into both sides of every
+    * lag pairing — the x side lands at key (lag, day + lag), the y
+    * side at (lag, day) — and a max-combine per (lag, pairday)
+    * reassembles the pair (each key holds at most one x and one y
+    * struct). One corpus scan, two tiny keyed exchanges, zero joins.
+    */
+  private[graft] def crossCorrOf(c: DataFrame, maxLag: Int): DataFrame = {
+    val sides = (0 to maxLag).flatMap { l =>
+      Seq(struct(lit(l.toLong).as("lag"), (col("day") + l).as("d"),
+            col("cx").as("x"), lit(null).cast("bigint").as("y")),
+          struct(lit(l.toLong).as("lag"), col("day").as("d"),
+            lit(null).cast("bigint").as("x"), col("cy").as("y")))
+    }
+    c.select(explode(array(sides: _*)).as("s"))
+      .select(col("s.lag").as("lag"), col("s.d").as("d"),
+        col("s.x").as("x"), col("s.y").as("y"))
+      .groupBy("lag", "d")
+      .agg(max("x").as("x"), max("y").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n_pairs"), col("sxy").as("sum_prod"),
+        Q.dec6(round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6)).as("r"))
+      .orderBy("lag")
+  }
+
   def defs: Map[String, Q] = Map(
 
     // LINK PREDICTION — the graph family's recommendation member
@@ -588,6 +635,45 @@ object Extra25 {
       autocorrOf(T.events(s, d).select(col("event_type"),
         (Q.dec2(col("value")) * 100).cast("bigint").as("x"),
         col("ts"), col("event_id")), maxLag = 3)
+    },
+
+    // CROSS-CORRELATION — daily click→purchase lead-lag profile at
+    // lags 0..2: does today's click volume predict purchase volume k
+    // days out? The cross-series sibling of ts_autocorr and the
+    // funnel-level drift signal a feed monitor reads. Day counts
+    // collapse the corpus to a 30-row calendar relation; everything
+    // after the one filtered rollup is broadcast-sized.
+    "ts_cross_corr" -> Q(
+      """WITH b AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |             event_type FROM read_parquet('{sfDir}/events.parquet')
+        |           WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT day,
+        |        CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS cx,
+        |        CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS cy
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT l.lag, a.cx AS x, y2.cy AS y
+        |      FROM c a CROSS JOIN (VALUES (0), (1), (2)) AS l(lag)
+        |      JOIN c y2 ON y2.day = a.day + l.lag),
+        |s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, sxy AS sum_prod,
+        |  CAST(ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS r
+        |FROM s ORDER BY lag""".stripMargin) { (s, d) =>
+      val c = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(expr("unix_timestamp(ts_us) div 86400").as("day"),
+          col("event_type"))
+        .groupBy("day")
+        .agg(count(when(col("event_type") === "click", 1)).as("cx"),
+          count(when(col("event_type") === "purchase", 1)).as("cy"))
+      crossCorrOf(c, maxLag = 2)
     },
 
     // CHANGEPOINT — CUSUM drift localization per event series (Page

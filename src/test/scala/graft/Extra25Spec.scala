@@ -207,6 +207,25 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gs.getDecimal(4) == new java.math.BigDecimal("-1.000000"), gs.toString)
   }
 
+  test("crossCorrOf: a lag-1 shifted copy reads exactly 1 at lag 1") {
+    import spark.implicits._
+    // cy is cx shifted one day forward (cy(d) = cx(d−1)), so the lag-1
+    // pairing re-aligns the copies: r(1) = 1.000000 exactly, with
+    // n_pairs = 3 and sum_prod = Σ cx² = 1+9+4 = 14. Lag 0 and 2 pair
+    // misaligned values (gate-checked against DuckDB in the declared
+    // query; here the integer columns pin the pairing itself):
+    // lag 0 pairs (1,9),(3,1),(2,3),(5,2) → sum_prod 28;
+    // lag 2 pairs (1,3),(3,2) → n_pairs 2.
+    val c = Seq((0L, 1L, 9L), (1L, 3L, 1L), (2L, 2L, 3L), (3L, 5L, 2L))
+      .toDF("day", "cx", "cy")
+    val got = graft.queries.Extra25.crossCorrOf(c, maxLag = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toList
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      List((0L, 4L, 28L), (1L, 3L, 14L), (2L, 2L, 9L)), got.toString)
+    assert(got(1)._4 == "1.000000", got.toString)
+  }
+
   test("cusumChangepoint == brute sequential CUSUM with min-index ties") {
     import spark.implicits._
     // Series "x" (level shift 1,1,1 → 10,10): n=5, tot=23,

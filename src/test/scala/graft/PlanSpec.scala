@@ -872,6 +872,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("documents\\.parquet".r.findAllIn(f).size <= 1, f)
   }
 
+  test("ts_cross_corr: join-free lag fan-out, one corpus scan") {
+    // The lag pairing is a map-side explode + max-combine, never a
+    // calendar self-join (which re-derives the corpus rollup once per
+    // pruned column set), and the events file is scanned exactly once.
+    val df = SparkEntry.queries("ts_cross_corr")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!f.contains("Join"), f)
+    assert("events\\.parquet".r.findAllIn(f).size <= 1, f)
+  }
+
   test("graph_assortativity: one broadcast attach, bucket-served edges") {
     // The symmetry-folded form's only join is the broadcast degree
     // attach onto v; the edge scans ride the staged bucketed layout.
