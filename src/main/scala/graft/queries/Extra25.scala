@@ -352,6 +352,7 @@ object Extra25 {
     * struct). One corpus scan, two tiny keyed exchanges, zero joins.
     */
   private[graft] def crossCorrOf(c: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"crossCorrOf: maxLag $maxLag must be non-negative")
     val sides = (0 to maxLag).flatMap { l =>
       Seq(struct(lit(l.toLong).as("lag"), (col("day") + l).as("d"),
             col("cx").as("x"), lit(null).cast("bigint").as("y")),
