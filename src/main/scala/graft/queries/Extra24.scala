@@ -112,8 +112,15 @@ object Extra24 {
     * engines. Factored so the spec can pin a hand-computed partition.
     */
   private[graft] def modularityOf(e: DataFrame, lab: DataFrame): DataFrame = {
-    val lu = lab.select(col("node").as("u"), col("label").as("lu"))
-    val lv = lab.select(col("node").as("v"), col("label").as("lv"))
+    // The label attaches carry explicit broadcast HINTS (r15 session
+    // 2): the assignment arrives as an ExistingRDD with unknown stats,
+    // so the planner otherwise sizes it at the default and broadcasts
+    // the EDGE table instead — a corpus-sized build side (1.2M rows
+    // BuildLeft at sf0.1, the executed-plan audit's finding). The
+    // label relation is node-count-sized — the correct build side at
+    // any edge scale.
+    val lu = broadcast(lab.select(col("node").as("u"), col("label").as("lu")))
+    val lv = broadcast(lab.select(col("node").as("v"), col("label").as("lv")))
     val m2Row = e.agg(count(lit(1)).as("m2"))
     val intra = e.join(lu, "u").join(lv, "v")
       .agg(sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra"))
