@@ -112,6 +112,72 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single == List(("a", "b")), single.toString)
   }
 
+  test("seeded brute-force parity: recall@k, gini pairwise law, spearman, cusum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+
+    // recallAtK vs the brute pessimistic top-k: sorting by (score DESC,
+    // pos ASC) puts tied negatives first, which IS the pessimistic
+    // convention — take k, count positives. 240 rows, 3 segs, scores
+    // drawn from 12 distinct values so ties are dense.
+    val er = (1 to 240).map(_ =>
+      (rnd.nextInt(3).toLong, (rnd.nextInt(12) * 0.5), rnd.nextInt(2).toLong))
+    val k = 20
+    val bruteHits = er.groupBy(_._1).map { case (seg, rows) =>
+      seg -> rows.sortBy(r => (-r._2, r._3)).take(k).map(_._3).sum
+    }
+    val gotR = graft.queries.Extra25.recallAtK(
+      er.toDF("seg", "score", "pos"), k).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotR == bruteHits, s"got $gotR\nwant $bruteHits")
+
+    // giniOf vs the pairwise mean-difference law: the tie-corrected
+    // rank form's integer numerator equals HALF the sum of all ordered
+    // pairwise absolute differences — an algebraic identity the two
+    // independent formulations must agree on.
+    val xs = (1 to 150).map(_ => rnd.nextInt(30).toLong)
+    val s2 = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+    val gotG = graft.queries.Extra25.giniOf(xs.toDF("x")).collect()(0)
+    assert(gotG.getLong(2) * 2 == s2, s"rank-form num ${gotG.getLong(2)} vs pairwise ${s2 / 2}")
+
+    // spearmanOf vs a brute double-arithmetic Spearman with average
+    // ties (rounded to the emitted 6 decimals).
+    val ab = (1 to 120).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(10).toLong))
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+      sorted.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sum / g.size }
+    }
+    val raM = avgRanks(ab.map(_._1)); val rbM = avgRanks(ab.map(_._2))
+    val pts = ab.map { case (a, b) => (raM(a), rbM(b)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val bruteRho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val gotS = graft.queries.Extra25.spearmanOf(ab.toDF("a", "b")).collect()(0)
+    assert(math.abs(gotS.getDecimal(2).doubleValue - bruteRho) < 2e-6,
+      s"got ${gotS.getDecimal(2)} want $bruteRho")
+
+    // cusumChangepoint vs a brute sequential scan with the min-index
+    // tie rule on a seeded series.
+    val series = (0 until 60).map(i => (100L + rnd.nextInt(40), i))
+    val nL = series.size.toLong
+    val tot = series.map(_._1).sum
+    val cs = series.map(_._1).scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+      case (pre, i0) => (math.abs(nL * pre - (i0 + 1) * tot), i0 + 1L)
+    }
+    val mx = cs.map(_._1).max
+    val bruteK = cs.filter(_._1 == mx).map(_._2).min
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val vdf = series.map { case (c, i) =>
+      ("s", c, new java.sql.Timestamp(t0.getTime + i * 1000L), i.toLong)
+    }.toDF("event_type", "cents", "ts", "event_id")
+    val gotC = graft.queries.Extra25.cusumChangepoint(vdf).collect()(0)
+    assert((gotC.getLong(3), gotC.getLong(4)) == ((bruteK, mx)), gotC.toString)
+  }
+
   test("kappaOf == Cohen's textbook 2x2 example; degenerate bounds") {
     import spark.implicits._
     // The classic worked example: 50 items, agreements 20 (yes/yes) +
