@@ -25,6 +25,34 @@ object Q {
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 
+  /** The shared trailing Pearson assembly over six exact power-sum
+    * columns → ROUND(r, 6) as DECIMAL(18,6): combine in BIGINT, cast
+    * the three combinations to double, one sqrt + division last —
+    * the agg_corr discipline, factored (r15 session 2) so the
+    * correlation family (autocorr, cross-corr, assortativity) shares
+    * ONE definition and a future precision/rounding fix lands once.
+    * Use [[pearson6Double]] when the n·sxx-style combination can
+    * overflow int64 (doubled-rank Spearman past ~50k rows): operands
+    * cast to double FIRST, combinations in double — engine-identical
+    * because the inputs are exact integers below 2⁵³.
+    */
+  def pearson6(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+      sxy: Column): Column = {
+    import org.apache.spark.sql.functions.{round, sqrt}
+    dec6(round((n * sxy - sx * sy).cast("double")
+      / sqrt((n * sxx - sx * sx).cast("double")
+        * (n * syy - sy * sy).cast("double")), 6))
+  }
+
+  def pearson6Double(n: Column, sx: Column, sy: Column, sxx: Column,
+      syy: Column, sxy: Column): Column = {
+    import org.apache.spark.sql.functions.{round, sqrt}
+    def d(c: Column) = c.cast("double")
+    dec6(round((d(n) * d(sxy) - d(sx) * d(sy))
+      / sqrt((d(n) * d(sxx) - d(sx) * d(sx))
+        * (d(n) * d(syy) - d(sy) * d(sy))), 6))
+  }
+
   /** Row count of a parquet file (or flat directory of .parquet files)
     * from FOOTER METADATA only — a driver-side footer read, NOT a Spark
     * job. Used by plan-SHAPE decisions that need the corpus size at plan

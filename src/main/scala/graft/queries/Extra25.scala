@@ -79,11 +79,12 @@ object Extra25 {
     val w = Window.partitionBy("seg").orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val r = g.withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
-    val h = r.groupBy("seg").agg(
-      sum(greatest(lit(0L), least(col("np"),
-        lit(k.toLong) - col("cumcnt") - (col("cnt") - col("np"))))).as("hits"))
-    val t = g.groupBy("seg").agg(sum("cnt").as("n"), sum("np").as("n_pos"))
-    t.join(h, Seq("seg"))
+    // One rollup: r already carries cnt/np/cumcnt per (seg, score)
+    // group, so totals and hits fold together — no t⋈h join.
+    r.groupBy("seg").agg(
+        sum("cnt").as("n"), sum("np").as("n_pos"),
+        sum(greatest(lit(0L), least(col("np"),
+          lit(k.toLong) - col("cumcnt") - (col("cnt") - col("np"))))).as("hits"))
       .select(col("seg").cast("bigint").as("seg"), col("n"), col("n_pos"),
         col("hits"),
         coalesce(expr("(hits * 1000000000) div nullif(n_pos, 0)"), lit(0L))
@@ -211,6 +212,8 @@ object Extra25 {
     * two-phase aggregation over |series|·maxLag groups.
     */
   private[graft] def autocorrOf(v: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"autocorrOf: maxLag $maxLag must be >= 1 " +
+      "(stack() over zero lags is a malformed expression)")
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
     val leads = v.select(col("event_type") +: col("x") +:
       (1 to maxLag).map(l => lead("x", l).over(w).as(s"y$l")): _*)
@@ -225,11 +228,8 @@ object Extra25 {
         sum(col("x") * col("y")).as("sxy"))
       .select(col("event_type"), col("lag").cast("bigint").as("lag"),
         col("n_pairs"), col("sxy").as("sxy_cents2"),
-        Q.dec6(round(
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
-              * (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
-          6)).as("r"))
+        Q.pearson6(col("n_pairs"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy")).as("r"))
       .orderBy("event_type", "lag")
   }
 
@@ -250,11 +250,8 @@ object Extra25 {
       .select(col("n").as("n_edges"), col("sx").as("sum_deg"),
         col("sxy").as("sum_degprod"),
         (col("n") * col("sxy") - col("sx") * col("sx")).as("r_num"),
-        Q.dec6(round(
-          (col("n") * col("sxy") - col("sx") * col("sx")).cast("double")
-            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-              * (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")),
-          6)).as("r"))
+        Q.pearson6(col("n"), col("sx"), col("sx"), col("sxx"),
+          col("sxx"), col("sxy")).as("r"))
   }
 
   /** Tie-corrected Spearman rank correlation over (a, b) rows,
@@ -295,14 +292,8 @@ object Extra25 {
         sum(col("cnt") * col("y") * col("y")).as("syy"),
         sum(col("cnt") * col("x") * col("y")).as("sxy"))
       .select(col("n"), col("sxy").as("sum_rankprod"),
-        Q.dec6(round(
-          (col("n").cast("double") * col("sxy").cast("double")
-            - col("sx").cast("double") * col("sy").cast("double"))
-            / sqrt((col("n").cast("double") * col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx").cast("double"))
-              * (col("n").cast("double") * col("syy").cast("double")
-                - col("sy").cast("double") * col("sy").cast("double"))),
-          6)).as("rho"))
+        Q.pearson6Double(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy")).as("rho"))
   }
 
   /** Gini coefficient of a non-negative integer column from its
@@ -370,11 +361,8 @@ object Extra25 {
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
       .select(col("lag"), col("n_pairs"), col("sxy").as("sum_prod"),
-        Q.dec6(round(
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
-              * (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
-          6)).as("r"))
+        Q.pearson6(col("n_pairs"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy")).as("r"))
       .orderBy("lag")
   }
 
@@ -430,16 +418,16 @@ object Extra25 {
         |    coalesce(sum(cnt) OVER (PARTITION BY seg ORDER BY score DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcnt
         |  FROM g),
-        |h AS (SELECT seg,
-        |    CAST(SUM(GREATEST(0, LEAST(np, 50 - cumcnt - (cnt - np)))) AS BIGINT)
-        |      AS hits FROM r GROUP BY 1),
         |t AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n,
-        |             CAST(SUM(np) AS BIGINT) AS n_pos FROM g GROUP BY 1)
-        |SELECT CAST(t.seg AS BIGINT) AS seg, t.n, t.n_pos, h.hits,
-        |  CAST(COALESCE((h.hits * 1000000000) // NULLIF(t.n_pos, 0), 0)
+        |        CAST(SUM(np) AS BIGINT) AS n_pos,
+        |        CAST(SUM(GREATEST(0, LEAST(np, 50 - cumcnt - (cnt - np))))
+        |             AS BIGINT) AS hits
+        |      FROM r GROUP BY 1)
+        |SELECT CAST(seg AS BIGINT) AS seg, n, n_pos, hits,
+        |  CAST(COALESCE((hits * 1000000000) // NULLIF(n_pos, 0), 0)
         |       AS BIGINT) AS recall_units,
-        |  CAST((h.hits * 1000000000) // 50 AS BIGINT) AS precision_units
-        |FROM t JOIN h ON t.seg = h.seg ORDER BY seg""".stripMargin) { (s, d) =>
+        |  CAST((hits * 1000000000) // 50 AS BIGINT) AS precision_units
+        |FROM t ORDER BY seg""".stripMargin) { (s, d) =>
       recallAtK(T.events(s, d).select((col("user_id") % 4).as("seg"),
         col("value").as("score"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")),

@@ -872,6 +872,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("documents\\.parquet".r.findAllIn(f).size <= 1, f)
   }
 
+  test("eval_recall_at_k: window over the collapsed score domain only") {
+    // The hits clamp runs on the (seg, score) rollup — the one Window
+    // sorts collapsed groups, never corpus rows (a per-row rank here
+    // would be the skewed full-partition sort at 100×), and no join
+    // of any kind exists after the single-rollup rework.
+    val df = SparkEntry.queries("eval_recall_at_k")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert("\\bWindow\\b".r.findAllIn(f).size == 1, f)
+    assert(!f.contains("Join"), f)
+    assert("events\\.parquet".r.findAllIn(f).size <= 1, f)
+  }
+
+  test("agg_gini: collapsed value domain, no corpus re-sort, no join") {
+    // The global window sorts only the distinct-value rollup; the
+    // corpus is scanned once into that rollup and never range-sorted.
+    val df = SparkEntry.queries("agg_gini")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!f.contains("Join"), f)
+    assert("documents\\.parquet".r.findAllIn(f).size <= 1, f)
+    assert("\\bWindow\\b".r.findAllIn(f).size == 1, f)
+  }
+
   test("ts_cross_corr: join-free lag fan-out, one corpus scan") {
     // The lag pairing is a map-side explode + max-combine, never a
     // calendar self-join (which re-derives the corpus rollup once per
