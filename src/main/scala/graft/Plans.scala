@@ -116,7 +116,8 @@ object Plans {
     "graph_assortativity" -> "degree assortativity: symmetry-folded power sums, one broadcast degree attach, bucket-served edges",
     "agg_spearman" -> "Spearman rho: join-free collapsed joint domain, RANGE-frame tie ranks, one corpus scan",
     "agg_gini" -> "Gini coefficient: collapsed value domain, integer-factored tie-corrected gate, one scan",
-    "ts_cross_corr" -> "daily lead-lag cross-correlation: join-free lag fan-out + max-combine pairing, one corpus scan")
+    "ts_cross_corr" -> "daily lead-lag cross-correlation: join-free lag fan-out + max-combine pairing, one corpus scan",
+    "ts_trending" -> "two-snapshot rank movers: one bucketed fact join, checkpointed rollup feeds both rank branches, heap cut")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

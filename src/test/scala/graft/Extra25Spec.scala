@@ -273,6 +273,24 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gs.getDecimal(4) == new java.math.BigDecimal("-1.000000"), gs.toString)
   }
 
+  test("rankClimbOf: hand two-snapshot ranks, null halves drop") {
+    import spark.implicits._
+    // (p, qa, qb): early ranks over non-null qa are p1(10)→1, p4(7)→2,
+    // p2(5)→3; late ranks over non-null qb are p2(20)→1, p4(7)→2,
+    // p3(5)→3, p1(1)→4. p3 (absent early) must drop; climbs are
+    // p1: 1−4 = −3, p2: 3−1 = 2, p4: 2−2 = 0.
+    val halves = Seq(
+      (1L, Some(10L), Some(1L)), (2L, Some(5L), Some(20L)),
+      (3L, None, Some(5L)), (4L, Some(7L), Some(7L))
+    ).toDF("p", "qa", "qb")
+    val got = graft.queries.Extra25.rankClimbOf(halves)
+      .orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    val want = List((1L, 1L, 4L, -3L), (2L, 3L, 1L, 2L), (4L, 2L, 2L, 0L))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("crossCorrOf: a lag-1 shifted copy reads exactly 1 at lag 1") {
     import spark.implicits._
     // cy is cx shifted one day forward (cy(d) = cx(d−1)), so the lag-1

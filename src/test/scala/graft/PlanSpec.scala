@@ -898,6 +898,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("\\bWindow\\b".r.findAllIn(f).size == 1, f)
   }
 
+  test("ts_trending: one bucketed fact join, checkpointed rollup, heap cut") {
+    // The conditional-aggregation rollup reaches both rank branches as
+    // checkpointed state (ExistingRDD) — exactly one lineitem scan and
+    // one exchange-free bucketed join exist in the whole plan — and
+    // the final cut is TakeOrderedAndProject, never a global sort.
+    val df = SparkEntry.queries("ts_trending")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(f.contains("ExistingRDD"), f)
+    assert(f.contains("TakeOrderedAndProject"), f)
+    assert("bkt_lineitem".r.findAllIn(f).size <= 1, f)
+  }
+
   test("ts_cross_corr: join-free lag fan-out, one corpus scan") {
     // The lag pairing is a map-side explode + max-combine, never a
     // calendar self-join (which re-derives the corpus rollup once per
