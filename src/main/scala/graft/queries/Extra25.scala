@@ -387,6 +387,28 @@ object Extra25 {
         (col("r_early") - col("r_late")).as("climb"))
   }
 
+  /** Brier score over (event_type, cu6, pos) rows — confidence in
+    * micro-units (10⁶), outcome 0/1: mean of (p − y)², assembled as
+    * the exact integer sum of squared micro-unit gaps then ONE
+    * integer division per group (brier_units = sq_units div n, in
+    * 10⁻¹² units — micro, not the calibration family's nano, so the
+    * per-row square stays ≤ 10¹² and the group sum inside int64 to
+    * ~10⁶ rows/group; DECIMAL(38) past that). Map-side arithmetic,
+    * one two-phase rollup — the agg_pricing plan shape. Factored so
+    * the spec can pin the closed-form bounds (perfect forecast → 0,
+    * maximally wrong → 1).
+    */
+  private[graft] def brierOf(e: DataFrame): DataFrame =
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("cu6") - col("pos") * lit(1000000L))
+          * (col("cu6") - col("pos") * lit(1000000L))).as("sq_units"))
+      .select(col("event_type"), col("n"), col("sq_units"),
+        expr("sq_units div n").as("brier_units"),
+        Q.dec6(round(expr("sq_units div n").cast("double")
+          / lit(1000000000000.0), 6)).as("brier"))
+      .orderBy("event_type")
+
   def defs: Map[String, Q] = Map(
 
     // LINK PREDICTION — the graph family's recommendation member
@@ -581,6 +603,35 @@ object Extra25 {
         |    AS DECIMAL(18,6)) AS r
         |FROM s""".stripMargin) { (s, d) =>
       assortativityOf(s.table(Extra23.stagedGraphEdges(s, d)).select("u", "v"))
+    },
+
+    // BRIER SCORE — probabilistic-forecast quality (Brier 1950), the
+    // squared-error companion to eval_calibration's ECE on the SAME
+    // confidence fixture (the value fraction as p, purchase as y):
+    // calibration asks "do confidences match frequencies per bin";
+    // Brier asks "how far is each forecast from its outcome" — both
+    // sides of a forecast audit. Per event_type so the gate carries
+    // five live rows; exact micro-unit integer assembly, one integer
+    // division per group.
+    "eval_brier" -> Q(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR((value - FLOOR(value)) * 1000000) AS BIGINT) AS cu6,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM((cu6 - pos * 1000000) * (cu6 - pos * 1000000))
+        |             AS BIGINT) AS sq_units
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n, sq_units,
+        |  CAST(sq_units // n AS BIGINT) AS brier_units,
+        |  CAST(ROUND(CAST(sq_units // n AS DOUBLE) / 1000000000000.0, 6)
+        |       AS DECIMAL(18,6)) AS brier
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      brierOf(T.events(s, d).select(col("event_type"),
+        floor((col("value") - floor(col("value"))) * lit(1000000.0))
+          .cast("bigint").as("cu6"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
     },
 
     // COHEN'S KAPPA — chance-corrected annotator agreement (Cohen

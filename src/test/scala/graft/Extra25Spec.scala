@@ -273,6 +273,25 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gs.getDecimal(4) == new java.math.BigDecimal("-1.000000"), gs.toString)
   }
 
+  test("brierOf: closed-form bounds and a hand mixed forecast") {
+    import spark.implicits._
+    // Perfect forecasts (p = y) → 0; maximally wrong (p = 1 − y) → 1;
+    // a half-confident forecast on any outcome contributes 0.25.
+    val e = Seq(
+      ("perfect", 1000000L, 1L), ("perfect", 0L, 0L),
+      ("wrong", 1000000L, 0L), ("wrong", 0L, 1L),
+      ("half", 500000L, 1L), ("half", 500000L, 0L)
+    ).toDF("event_type", "cu6", "pos")
+    val got = graft.queries.Extra25.brierOf(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getDecimal(4).toPlainString)).toList
+    val want = List(
+      ("half", 2L, 250000000000L, "0.250000"),
+      ("perfect", 2L, 0L, "0.000000"),
+      ("wrong", 2L, 1000000000000L, "1.000000"))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("rankClimbOf: hand two-snapshot ranks, null halves drop") {
     import spark.implicits._
     // (p, qa, qb): early ranks over non-null qa are p1(10)→1, p4(7)→2,
