@@ -73,7 +73,8 @@ object SparkEntry {
     _root_.graft.queries.Extra22.defs,
     _root_.graft.queries.Extra23.defs,
     _root_.graft.queries.Extra24.defs,
-    _root_.graft.queries.Extra25.defs
+    _root_.graft.queries.Extra25.defs,
+    _root_.graft.queries.Extra26.defs
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

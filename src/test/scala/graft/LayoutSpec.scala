@@ -223,4 +223,40 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(liveTop) && Files.exists(liveKid))
     assert(Files.exists(bystander) && Files.exists(noPid))
   }
+
+  test("snapshot table: manifest-resolved time travel, incremental diff, isolation") {
+    // VERDICT r15 #2. The staged store commits v1..v3 of orders, version
+    // v carrying keys ≡ v-1 (mod 3); every property below is checked
+    // against the original fixture through that modulo contract.
+    import graft.ops.SnapshotTable
+    val d = "/root/testdata/sf0.001"
+    val root = SnapshotTable.stage(spark, d)
+    val orders = Tables.orders(spark, d)
+    def modCount(rs: Int*): Long =
+      orders.filter(pmod(col("o_orderkey"), lit(3)).isin(rs.map(Int.box): _*)).count()
+    // Time travel: each snapshot is exactly its cumulative modulo slice.
+    assert(SnapshotTable.readSnapshot(spark, root, 1).count() == modCount(0))
+    assert(SnapshotTable.readSnapshot(spark, root, 2).count() == modCount(0, 1))
+    assert(SnapshotTable.readSnapshot(spark, root, 3).count() == modCount(0, 1, 2))
+    // Incremental = manifest diff: exactly the rows the range ADDED.
+    assert(SnapshotTable.readIncremental(spark, root, 1, 3).count() == modCount(1, 2))
+    assert(SnapshotTable.readIncremental(spark, root, 2, 3).count() == modCount(2))
+    // SNAPSHOT ISOLATION: a data file written into the table directory
+    // but never referenced by a committed manifest — a concurrent
+    // writer's in-flight output — is invisible to EVERY snapshot,
+    // because readers resolve manifests, never directory listings.
+    val v1dir = java.nio.file.Paths.get(root, "data", "v1")
+    val donor = Files.list(v1dir).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val orphan = java.nio.file.Paths.get(root, "data", "v2", "orphan-uncommitted.parquet")
+    Files.copy(donor, orphan)
+    try {
+      assert(SnapshotTable.readSnapshot(spark, root, 2).count() == modCount(0, 1))
+      assert(SnapshotTable.readSnapshot(spark, root, 3).count() == modCount(0, 1, 2))
+      assert(SnapshotTable.readIncremental(spark, root, 1, 2).count() == modCount(1))
+    } finally Files.deleteIfExists(orphan)
+    // Version bounds fail loudly, not with a phantom empty read.
+    intercept[IllegalArgumentException](SnapshotTable.snapshotFiles(root, 4))
+    intercept[IllegalArgumentException](SnapshotTable.readIncremental(spark, root, 2, 2))
+  }
 }
