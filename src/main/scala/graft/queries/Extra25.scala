@@ -372,19 +372,55 @@ object Extra25 {
     * dependence) — inner-join the rank tables (items present in both
     * snapshots only) and emit climb = r_early − r_late. Factored so
     * the spec can pin the ranking/join/drop semantics on a hand
-    * fixture. The windows sort the frequency-compressed item rollup,
-    * never a fact (at larger |items| the two-phase range-partitioned
-    * rank replaces the single-sort window).
+    * fixture. Each rank is the two-phase range-partitioned
+    * [[globalRank]] — no unpartitioned window ever touches the item
+    * rollup, whose |parts| domain grows with the table.
     */
   private[graft] def rankClimbOf(halves: DataFrame): DataFrame = {
     def ranked(qc: String, name: String) =
-      halves.filter(col(qc).isNotNull)
-        .select(col("p"), row_number().over(
-          Window.orderBy(col(qc).desc, col("p"))).cast("bigint").as(name))
+      globalRank(halves.filter(col(qc).isNotNull)
+        .select(col("p"), col(qc).as("q")), name)
     ranked("qa", "r_early")
       .join(ranked("qb", "r_late"), "p")
       .select(col("p"), col("r_early"), col("r_late"),
         (col("r_early") - col("r_late")).as("climb"))
+  }
+
+  /** Global ROW_NUMBER over (q DESC, p) WITHOUT an unpartitioned window
+    * (VERDICT r15 #5) — the two-phase range-partitioned rank: the item
+    * domain here is |parts|, which grows with the table, so the
+    * single-sort `Window.orderBy` form funnels the whole relation
+    * through ONE task at scale. Instead:
+    *
+    *   1. range-shuffle the rows on the rank key into K buckets —
+    *      bucket i's keys all precede bucket i+1's (RangePartitioning's
+    *      contract; AQE may coalesce buckets but only ADJACENTLY, which
+    *      preserves the bucket-id/key-order correspondence);
+    *   2. rank locally inside each bucket (a window PARTITIONED by
+    *      bucket id — parallel, each task sorts ≤ |rows|/K);
+    *   3. add each bucket's global offset = rows in all lower buckets.
+    *      The offsets relation is K rows — bounded by a config
+    *      constant, not by data — so ITS unpartitioned running-sum
+    *      window is the accepted collapsed-domain shape, and it rides
+    *      a broadcast back onto the buckets.
+    *
+    * (p, q) rows are unique in p (a groupBy(p) rollup feeds this), so
+    * the (q DESC, p) order is total and the result is deterministic,
+    * bucket boundaries included.
+    */
+  private[graft] def globalRank(rows: DataFrame, name: String,
+      buckets: Int = 32): DataFrame = {
+    val parts = rows.repartitionByRange(buckets, col("q").desc, col("p"))
+      .select(col("p"), col("q"), spark_partition_id().as("bucket"))
+    val offsets = parts.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .select(col("bucket"),
+        coalesce(sum("c").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    parts.join(broadcast(offsets), "bucket")
+      .select(col("p"),
+        (row_number().over(Window.partitionBy("bucket")
+          .orderBy(col("q").desc, col("p"))) + col("off"))
+          .cast("bigint").as(name))
   }
 
   /** Brier score over (event_type, cu6, pos) rows — confidence in
@@ -704,10 +740,10 @@ object Extra25 {
     // "movers" profile a source monitor reads (the rank sibling of
     // cdc_diff's value diff). Served from the staged bucketed layout
     // (both halves' rollups ride the exchange-free o_orderkey join);
-    // the rank windows run over the |parts| rollup — the
-    // frequency-compressed domain, never the fact (at larger |parts|
-    // the two-phase range-partitioned rank replaces the single-sort
-    // window). Ranks, split day and climb are exact integers; nulls
+    // each half ranks via the two-phase range-partitioned globalRank
+    // (r16): range-shuffle into K buckets, rank locally per bucket,
+    // add broadcast bucket offsets — no unpartitioned window over the
+    // |parts| domain. Ranks, split day and climb are exact integers; nulls
     // never enter a window (each half filters BEFORE ranking — no
     // cross-engine null-ordering dependence); inner join keeps parts
     // present in both halves, identically in both engines; the final
