@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-16 additions: the isotonic reliability
+  * fit really is pool-adjacent-violators (hand fixture with a known
+  * pooling, then a brute exact-BigInt sequential PAVA replayed against
+  * the declared min-max form on the real events fixture), and its
+  * monotonicity/idempotence contracts hold.
+  */
+class Extra26Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Textbook sequential PAVA over (n, np) bins in exact rational
+    * arithmetic: maintain a stack of pooled blocks; a new bin merges
+    * backwards while its rate is below the previous block's
+    * (BigInt cross-multiplied comparison — no doubles anywhere).
+    * Returns fitted nano-units per input bin.
+    */
+  private def brutePava(bins: Seq[(Long, Long)]): Seq[Long] = {
+    final case class Block(n: BigInt, np: BigInt, size: Int)
+    val stack = scala.collection.mutable.Stack.empty[Block]
+    bins.foreach { case (n, np) =>
+      var b = Block(BigInt(n), BigInt(np), 1)
+      // pool while rate(prev) > rate(b):  p.np/p.n > b.np/b.n
+      while (stack.nonEmpty && stack.top.np * b.n > b.np * stack.top.n) {
+        val p = stack.pop()
+        b = Block(p.n + b.n, p.np + b.np, p.size + b.size)
+      }
+      stack.push(b)
+    }
+    stack.toSeq.reverse.flatMap { b =>
+      val units = (b.np * BigInt(1000000000) / b.n).toLong
+      Seq.fill(b.size)(units)
+    }
+  }
+
+  private def fitOf(bins: Seq[(Long, Long, Long)]): Seq[(Long, Long)] = {
+    import spark.implicits._
+    // reliabilityOf consumes raw (cu, pos) rows; synthesize each bin b
+    // as n rows at confidence cu = b·1e8 (+1 to stay inside the bin),
+    // np of them positive.
+    val rows = bins.flatMap { case (bin, n, np) =>
+      (0L until n).map(i => (bin * 100000000L + 1L, if (i < np) 1L else 0L))
+    }
+    graft.queries.Extra26.reliabilityOf(rows.toDF("cu", "pos"))
+      .select("bin", "fitted_units").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("reliabilityOf pools adjacent violators exactly (hand fixture)") {
+    // Observed rates 0/4, 3/4, 2/4 → bins 1,2 violate monotonicity and
+    // pool to 5/8: fitted = [0, 625000000, 625000000].
+    assert(fitOf(Seq((0L, 4L, 0L), (1L, 4L, 3L), (2L, 4L, 2L))) ==
+      Seq((0L, 0L), (1L, 625000000L), (2L, 625000000L)))
+    // Cascading pool: 2/2, 0/2, 1/2 → the whole series pools to 3/6.
+    assert(fitOf(Seq((0L, 2L, 2L), (1L, 2L, 0L), (2L, 2L, 1L))) ==
+      Seq((0L, 500000000L), (1L, 500000000L), (2L, 500000000L)))
+    // Already monotone → idempotent (fit == observed).
+    assert(fitOf(Seq((0L, 4L, 1L), (1L, 4L, 2L), (2L, 4L, 4L))) ==
+      Seq((0L, 250000000L), (1L, 500000000L), (2L, 1000000000L)))
+    // Sparse bins (gaps) pool across the PRESENT-bin sequence.
+    assert(fitOf(Seq((1L, 2L, 2L), (5L, 2L, 0L), (9L, 2L, 2L))) ==
+      Seq((1L, 500000000L), (5L, 500000000L), (9L, 1000000000L)))
+  }
+
+  test("declared min-max form == brute sequential PAVA on the events fixture") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("eval_reliability")(spark, d)
+      .select("bin", "n", "n_pos", "fitted_units").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = brutePava(got.map(r => (r._2, r._3)).toIndexedSeq)
+    assert(got.map(_._4).toSeq == want,
+      s"min-max fit ${got.map(_._4).toSeq} != brute PAVA $want")
+    // The fitted sequence is non-decreasing in bin order by contract.
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted)
+  }
+}
