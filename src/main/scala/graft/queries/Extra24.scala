@@ -111,16 +111,33 @@ object Extra24 {
     * happens on ≤2⁵³ integers — correctly rounded identically in both
     * engines. Factored so the spec can pin a hand-computed partition.
     */
+  /** A label-assignment side renamed for an edge attach, with the
+    * broadcast HINT the planner can't derive itself (r15 session 2):
+    * the assignment arrives as an ExistingRDD with unknown stats, so
+    * the planner otherwise sizes it at the default and broadcasts the
+    * EDGE table instead — a corpus-sized build side (1.2M rows
+    * BuildLeft at sf0.1, the executed-plan audit's finding). The label
+    * relation is node-count-sized — the correct build side at any EDGE
+    * scale, but the ceiling is the NODE count (ADVICE r15): past
+    * driver/broadcast capacity (~a few 10⁸ nodes at 16 B/row against
+    * the 8 GB broadcast hard cap) the hint OOMs rather than degrading.
+    * `spark.graft.graph.broadcastLabels=false` drops the hint for that
+    * regime — the attach becomes a shuffled join keyed on the node id
+    * (slower, never wrong); no footer row-count gate is possible here
+    * because the assignment is computed state, not a parquet table.
+    */
+  private[graft] def labelSide(lab: DataFrame, key: String,
+      labName: String): DataFrame = {
+    val side = lab.select(col("node").as(key), col("label").as(labName))
+    if (lab.sparkSession.conf
+        .get("spark.graft.graph.broadcastLabels", "true").toBoolean)
+      broadcast(side)
+    else side
+  }
+
   private[graft] def modularityOf(e: DataFrame, lab: DataFrame): DataFrame = {
-    // The label attaches carry explicit broadcast HINTS (r15 session
-    // 2): the assignment arrives as an ExistingRDD with unknown stats,
-    // so the planner otherwise sizes it at the default and broadcasts
-    // the EDGE table instead — a corpus-sized build side (1.2M rows
-    // BuildLeft at sf0.1, the executed-plan audit's finding). The
-    // label relation is node-count-sized — the correct build side at
-    // any edge scale.
-    val lu = broadcast(lab.select(col("node").as("u"), col("label").as("lu")))
-    val lv = broadcast(lab.select(col("node").as("v"), col("label").as("lv")))
+    val lu = labelSide(lab, "u", "lu")
+    val lv = labelSide(lab, "v", "lv")
     val m2Row = e.agg(count(lit(1)).as("m2"))
     val intra = e.join(lu, "u").join(lv, "v")
       .agg(sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra"))

@@ -80,6 +80,72 @@ object Extra26 {
       .orderBy("bin")
   }
 
+  /** One synchronous Louvain refinement sweep (Blondel 2008's local
+    * move step, parallel form) over a labeling: each node inspects its
+    * neighbor communities and takes the move with maximal ΔQ if that
+    * maximum is positive; all moves apply together, and the output is
+    * the REMEASURED modularity of the new labeling next to the old —
+    * the honest gate for a synchronous sweep, whose pointwise ΔQ
+    * predictions need not compose additively (two adjacent nodes can
+    * both move; sequential Louvain re-scores after every move).
+    *
+    * ΔQ in exact integers (the modularityOf discipline — division
+    * factored out): with m2 = |directed edges|, k_i = deg(i), k_{i,c}
+    * = i's neighbors in c, D_c = community degree sums,
+    *   ΔQ·m2²/2 = (k_{i,b} − k_{i,a})·m2 − k_i·(D_b − D_a + k_i)
+    * for a move a→b — every operand BIGINT (bounds as modularityOf:
+    * ≤ m2², ~2·10¹³ at sf0.1; DECIMAL(38) past ~10⁹ directed edges).
+    * Ties break (ΔQ DESC, community ASC) — total, engine-identical.
+    *
+    * Scale shape: the per-node candidate relation is Σ_i |neighbor
+    * communities of i| ≤ |E| rows — edge-bounded, shuffled on the node
+    * key; the argmax is the bounded-heap top-1 cut (top_k_per_group),
+    * never a global sort; community-degree relations are
+    * community-count-sized broadcasts; label attaches follow the
+    * modularityOf broadcast discipline and its node-count ceiling
+    * (spark.graft.graph.broadcastLabels=false past driver capacity).
+    */
+  private[graft] def louvain1Of(e: DataFrame, lab: DataFrame): DataFrame = {
+    val lu = Extra24.labelSide(lab, "u", "lu")
+    val lv = Extra24.labelSide(lab, "v", "lv")
+    val m2Row = e.agg(count(lit(1)).as("m2"))
+    val dg = e.groupBy("u").agg(count(lit(1)).as("ki"))
+    val dc = dg.join(lu, "u").groupBy("lu").agg(sum("ki").as("dcv"))
+    val nc = e.join(lv, "v")
+      .groupBy(col("u").as("node"), col("lv").as("nlab"))
+      .agg(count(lit(1)).as("k"))
+    val base = lab.select(col("node"), col("label").as("a"))
+      .join(dg.withColumnRenamed("u", "node"), "node")
+      .join(broadcast(dc.select(col("lu").as("a"), col("dcv").as("da"))), "a")
+      .join(nc.select(col("node"), col("nlab").as("a"), col("k").as("ka")),
+        Seq("node", "a"), "left")
+      .na.fill(0L, Seq("ka"))
+    val cand = base
+      .join(nc.select(col("node"), col("nlab").as("bl"), col("k")), "node")
+      .filter(col("bl") =!= col("a"))
+      .join(broadcast(dc.select(col("lu").as("bl"), col("dcv").as("db"))), "bl")
+      .crossJoin(broadcast(m2Row))
+      .withColumn("delta", (col("k") - col("ka")) * col("m2")
+        - col("ki") * (col("db") - col("da") + col("ki")))
+    val gn = org.apache.spark.sql.graft.native
+    val mv = gn.top_k_per_group(cand, Seq("node"),
+      Seq(col("delta").desc, col("bl").asc), 1)
+    val l4 = base
+      .join(mv.select(col("node"), col("bl"), col("delta")), Seq("node"), "left")
+      .select(col("node"),
+        when(col("delta") > 0, col("bl")).otherwise(col("a")).as("label"))
+    val moves = mv.filter(col("delta") > 0)
+      .agg(count(lit(1)).as("n_moved"),
+        coalesce(sum("delta"), lit(0L)).as("gain_units"))
+    val before = Extra24.modularityOf(e, lab)
+      .select(col("q_num").as("q_num_before"))
+    val after = Extra24.modularityOf(e, l4)
+      .select(col("m2"), col("q_num").as("q_num_after"), col("q").as("q_after"))
+    after.crossJoin(broadcast(moves)).crossJoin(broadcast(before))
+      .select(col("m2"), col("n_moved"), col("gain_units"),
+        col("q_num_before"), col("q_num_after"), col("q_after"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // TIME TRAVEL: read the staged versioned table AS OF version 2 (of
@@ -168,6 +234,81 @@ object Extra26 {
         floor((col("value") - floor(col("value"))) * lit(1000000000.0))
           .cast("bigint").as("cu"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
+    },
+
+    // LOUVAIN REFINEMENT STEP — one synchronous modularity-ascent
+    // sweep over the staged LPA assignment (VERDICT r15 #7): LPA finds
+    // communities by propagation, this step IMPROVES them by the
+    // actual objective (each node takes its best-ΔQ neighbor
+    // community; ΔQ in exact BIGINTs, see louvain1Of). The gate emits
+    // the remeasured modularity numerator of the new labeling next to
+    // the old — the oracle re-unrolls the three LPA rounds, replays
+    // the move arithmetic, and reassembles both integers, so the gate
+    // proves propagation + move selection + remeasurement end-to-end.
+    "graph_louvain1" -> Q(
+      """WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        |            FROM read_parquet('{sfDir}/lineitem.parquet')),
+        |e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM e)),
+        |c1 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l0 p ON e.u = p.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l1 p ON e.u = p.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.v AS node, p.label, COUNT(*) AS cnt
+        |       FROM e JOIN l2 p ON e.u = p.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY cnt DESC, label) AS rn FROM c3) WHERE rn = 1),
+        |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+        |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS ki FROM e GROUP BY 1),
+        |dc AS (SELECT x.label, CAST(SUM(ki) AS BIGINT) AS dc
+        |       FROM dg JOIN l3 x ON dg.u = x.node GROUP BY 1),
+        |nc AS (SELECT e.u AS node, y.label AS nlab, CAST(COUNT(*) AS BIGINT) AS k
+        |       FROM e JOIN l3 y ON e.v = y.node GROUP BY 1, 2),
+        |base AS (SELECT x.node, x.label AS a, dg.ki, dca.dc AS da,
+        |                COALESCE(ka.k, 0) AS ka
+        |         FROM l3 x JOIN dg ON dg.u = x.node
+        |         JOIN dc dca ON dca.label = x.label
+        |         LEFT JOIN nc ka ON ka.node = x.node AND ka.nlab = x.label),
+        |cand AS (SELECT b.node, b.a, nc.nlab AS bl,
+        |           (nc.k - b.ka) * a2.m2 - b.ki * (dcb.dc - b.da + b.ki) AS delta
+        |         FROM base b JOIN nc ON nc.node = b.node AND nc.nlab <> b.a
+        |         JOIN dc dcb ON dcb.label = nc.nlab, a2),
+        |mv AS (SELECT node, bl, delta FROM (
+        |        SELECT node, bl, delta, ROW_NUMBER() OVER (PARTITION BY node
+        |          ORDER BY delta DESC, bl) AS rn FROM cand) WHERE rn = 1),
+        |mvd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_moved,
+        |               CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS gain_units
+        |        FROM mv WHERE delta > 0),
+        |l4 AS (SELECT b.node,
+        |         CASE WHEN mv.delta > 0 THEN mv.bl ELSE b.a END AS label
+        |       FROM base b LEFT JOIN mv ON mv.node = b.node),
+        |ib AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra
+        |       FROM e JOIN l3 x ON e.u = x.node JOIN l3 y ON e.v = y.node
+        |       WHERE x.label = y.label),
+        |sqb AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS s FROM dc),
+        |dc4 AS (SELECT x.label, CAST(SUM(ki) AS BIGINT) AS dc
+        |        FROM dg JOIN l4 x ON dg.u = x.node GROUP BY 1),
+        |ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra
+        |       FROM e JOIN l4 x ON e.u = x.node JOIN l4 y ON e.v = y.node
+        |       WHERE x.label = y.label),
+        |sqa AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS s FROM dc4)
+        |SELECT a2.m2, mvd.n_moved, mvd.gain_units,
+        |  CAST(ib.intra * a2.m2 - sqb.s AS BIGINT) AS q_num_before,
+        |  CAST(ia.intra * a2.m2 - sqa.s AS BIGINT) AS q_num_after,
+        |  CAST(ROUND(CAST(ia.intra * a2.m2 - sqa.s AS DOUBLE)
+        |             / CAST(a2.m2 * a2.m2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS q_after
+        |FROM a2, mvd, ib, sqb, ia, sqa""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lab = Extra24.stagedLpaLabels(s, d).toDF("node", "label")
+      val e = s.table(Extra23.stagedGraphEdges(s, d)).select("u", "v")
+      louvain1Of(e, lab)
     }
   )
 }

@@ -87,4 +87,39 @@ class Extra26Spec extends AnyFunSuite with BeforeAndAfterAll {
     // The fitted sequence is non-decreasing in bin order by contract.
     assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted)
   }
+
+  private def louvainRow(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)])
+      : (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val e = (edges ++ edges.map(_.swap)).toDF("u", "v")
+    val lab = labels.toDF("node", "label")
+    val r = graft.queries.Extra26.louvain1Of(e, lab).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("louvain1Of: the misassigned bridge node takes the strictly-improving move") {
+    // Two triangles {1,2,3} and {4,5,6} plus bridge 3–4; node 4 starts
+    // mislabeled with the LEFT community. Hand integers (m2 = 14):
+    // only node 4 has a positive move — ΔQ·m2²/2 = (2−1)·14 −
+    // 3·(4−10+3) = 23 — and taking it lifts q_num 24 → 70 (= 24+2·23:
+    // a single move composes exactly). Every other node's best
+    // alternative is negative (node 5's is −16), so nothing else moves.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L,
+      5L -> 20L, 6L -> 20L)
+    assert(louvainRow(edges, labels) == ((14L, 1L, 23L, 24L, 70L)))
+  }
+
+  test("louvain1Of: an already-optimal labeling is a fixed point") {
+    // Disconnected triangles, each its own community: every candidate
+    // move is strictly negative, so the sweep is the identity and the
+    // remeasured modularity equals the input's.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L))
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L,
+      5L -> 20L, 6L -> 20L)
+    val (m2, moved, gain, qb, qa) = louvainRow(edges, labels)
+    assert(m2 == 12L && moved == 0L && gain == 0L && qa == qb)
+  }
 }
