@@ -323,9 +323,6 @@ object Extra23 {
         tag = d + "_" + graft.Q.corpusFingerprint(s, s"$d/embeddings.parquet"),
         nq = 8, kCells = 16, rc = 3, qp = 6, shortlist = short, topK = 10,
         refine = 1)
-      val dw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nb_id"))
-      val d10 = dense.withColumn("rank", row_number().over(dw))
-        .select(col("q_id"), col("nb_id").as("doc_id"), col("rank"))
       // Lexical list: BM25 more-like-this — the 8 query docs' distinct
       // words as per-query term tables (8 × ≤|vocab| rows, broadcast);
       // tf serves from the staged bucketed table shared with text_bm25.
@@ -359,21 +356,35 @@ object Extra23 {
       // measured heap ≈ window locally (within jitter), so the
       // scale-safe heap is the default — there is no local price to
       // pay for the form that survives 100× corpus.
-      val lw = Window.partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
-      val l10 = s.conf.get("spark.graft.hybrid.lexCut", "heap") match {
-        case "window" =>
-          lex.withColumn("rank", row_number().over(lw))
-            .filter(col("rank") <= 10)
-            .select(col("q_id"), col("doc_id"), col("rank"))
+      val lexSide = s.conf.get("spark.graft.hybrid.lexCut", "heap") match {
+        case "window" => lex
         case _ =>
           val gn2 = org.apache.spark.sql.graft.native
-          val lcut = gn2.top_k_per_group(lex, Seq("q_id"),
+          gn2.top_k_per_group(lex, Seq("q_id"),
             Seq(col("s").desc, col("doc_id").asc), 10)
-          lcut.withColumn("rank", row_number().over(lw))
-            .select(col("q_id"), col("doc_id"), col("rank"))
       }
+      // ONE fused rank window for BOTH lists (VERDICT r15 #3): tag the
+      // dense (already heap-cut to topK by searchIndex) and lexical
+      // (heap-cut above) candidate lists, union, and assign ranks in a
+      // single window partitioned by (lst, q_id) — the former per-half
+      // window pair paid two separate exchange+sort chains over
+      // rank-row dust, pure fixed stage overhead at every scale.
+      // Scores cross the union as ORDERING-ONLY doubles: the dense
+      // DECIMAL(18,4) sims map order-preservingly (1e-4 granularity »
+      // double ulp at ≤1) and the BIGINT bm25 unit sums stay ≤ ~2⁴⁰ «
+      // 2⁵³ — ties keep the doc_id break, and no gate arithmetic ever
+      // touches the cast values (ranks are the only thing emitted).
+      val both = dense.select(col("q_id"), col("nb_id").as("doc_id"),
+          col("sim").cast("double").as("score"), lit(0).as("lst"))
+        .unionByName(lexSide.select(col("q_id"), col("doc_id"),
+          col("s").cast("double").as("score"), lit(1).as("lst")))
+      val fw = Window.partitionBy("lst", "q_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      val ranked = both.withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= 10)
+        .select("q_id", "doc_id", "rank")
       // Fusion: pure integer RRF over the union of the two rank lists.
-      rrfFuse(d10.unionByName(l10))
+      rrfFuse(ranked)
         .orderBy(col("q_id"), col("rrf_units").desc, col("doc_id"))
     },
 
