@@ -26,22 +26,32 @@ object Q {
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 
   /** The shared trailing Pearson assembly over six exact power-sum
-    * columns → ROUND(r, 6) as DECIMAL(18,6): combine in BIGINT, cast
+    * columns → ROUND(r, 6) as DECIMAL(18,6): combine EXACTLY, cast
     * the three combinations to double, one sqrt + division last —
     * the agg_corr discipline, factored (r15 session 2) so the
     * correlation family (autocorr, cross-corr, assortativity) shares
     * ONE definition and a future precision/rounding fix lands once.
-    * Use [[pearson6Double]] when the n·sxx-style combination can
-    * overflow int64 (doubled-rank Spearman past ~50k rows): operands
-    * cast to double FIRST, combinations in double — engine-identical
-    * because the inputs are exact integers below 2⁵³.
+    *
+    * The combinations run in DECIMAL(38,0), not BIGINT (ADVICE r15):
+    * the DuckDB oracles sum the same inputs through HUGEINT, so a
+    * BIGINT n·sxx here would hit its envelope ~10²⁰ of combined
+    * magnitude earlier than the oracle's — under ANSI that's a loud
+    * SparkArithmeticException, but the gate should not fail where the
+    * oracle still computes. DECIMAL(38,0) matches the oracle's
+    * envelope to ~10³⁸ (decimal overflow past THAT still fails loudly
+    * under ANSI, never wraps), costs nothing on the hot path (this
+    * assembly always runs over collapsed group-count relations), and
+    * the exact integer → double cast is correctly rounded identically
+    * in both engines. Use [[pearson6Double]] only where the factored
+    * double form is the documented contract (doubled-rank Spearman).
     */
   def pearson6(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
       sxy: Column): Column = {
     import org.apache.spark.sql.functions.{round, sqrt}
-    dec6(round((n * sxy - sx * sy).cast("double")
-      / sqrt((n * sxx - sx * sx).cast("double")
-        * (n * syy - sy * sy).cast("double")), 6))
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    dec6(round((d38(n) * d38(sxy) - d38(sx) * d38(sy)).cast("double")
+      / sqrt((d38(n) * d38(sxx) - d38(sx) * d38(sx)).cast("double")
+        * (d38(n) * d38(syy) - d38(sy) * d38(sy)).cast("double")), 6))
   }
 
   def pearson6Double(n: Column, sx: Column, sy: Column, sxx: Column,

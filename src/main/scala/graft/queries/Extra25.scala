@@ -181,6 +181,15 @@ object Extra25 {
     * frames, everything re-attached by broadcast — the corpus is
     * scanned twice and never key-shuffled.
     */
+  /** Cohen's κ assembly over (r1, r2) rating pairs — both divisions
+    * factored out so the gate columns are exact integers. Degenerate
+    * contract (ADVICE r15): kappa_den = n² − Σ rc·cc is ZERO exactly
+    * when both raters put all mass in one cell (p_e = 1 — chance
+    * agreement is total and chance correction is undefined); κ is then
+    * emitted as an explicit NULL via nullif in BOTH engines, never as
+    * a 0/0 NaN whose decimal cast diverges cross-engine (Spark NaN →
+    * DECIMAL is null, DuckDB keeps NaN). Pinned in Extra25Spec.
+    */
   private[graft] def kappaOf(r: DataFrame): DataFrame = {
     val n = r.agg(count(lit(1)).as("n"))
     val so = r.filter(col("r1") === col("r2")).agg(count(lit(1)).as("so"))
@@ -194,7 +203,8 @@ object Extra25 {
         (col("n") * col("n") - col("sum_rc")).as("kappa_den"),
         Q.dec6(round(
           (col("n") * col("so") - col("sum_rc")).cast("double")
-            / (col("n") * col("n") - col("sum_rc")).cast("double"), 6))
+            / nullif((col("n") * col("n") - col("sum_rc")).cast("double"),
+                lit(0.0)), 6))
           .as("kappa"))
   }
 
@@ -205,8 +215,9 @@ object Extra25 {
     * folds the six power sums as exact BIGINTs in cents — the only
     * double ops are the trailing Pearson division and sqrt (IEEE
     * correctly-rounded, identical in both engines; ROUND(,6) last).
-    * n·sxy stays under 2⁶³ to ~10⁶ rows/series at cents scale; past
-    * that the power sums promote to DECIMAL(38) (the agg_corr note).
+    * The trailing combinations run in DECIMAL(38,0) inside pearson6
+    * (r16 — matches the oracle's HUGEINT envelope to ~10³⁸; loud
+    * decimal overflow under ANSI past that, never a silent wrap).
     * Scale shape: the per-series window sort is the semantic floor
     * (same note as cusumChangepoint); everything after the stack is
     * two-phase aggregation over |series|·maxLag groups.
@@ -354,7 +365,25 @@ object Extra25 {
       .select(col("s.lag").as("lag"), col("s.d").as("d"),
         col("s.x").as("x"), col("s.y").as("y"))
       .groupBy("lag", "d")
-      .agg(max("x").as("x"), max("y").as("y"))
+      // One-row-per-day caller contract, ENFORCED (ADVICE r15): the
+      // max-combine pairing is correct only because each (lag, d) key
+      // holds at most one x and one y struct; a calendar that ever
+      // carried duplicate days would silently max-merge them. The
+      // per-key non-null counts are already paid for by the rollup —
+      // the guard rides the x VALUE itself (the eval_confusion
+      // raise_error discipline, so pruning can't drop it) and names
+      // the offending key.
+      .agg(max("x").as("x0"), max("y").as("y0"),
+        count("x").as("nx"), count("y").as("ny"))
+      .select(col("lag"), col("d"),
+        when(col("nx") > 1 || col("ny") > 1,
+          raise_error(concat(lit("crossCorrOf: duplicate calendar day "),
+            col("d").cast("string"), lit(" at lag "),
+            col("lag").cast("string"),
+            lit(" — the caller contract is one row per day")))
+            .cast("bigint"))
+          .otherwise(col("x0")).as("x"),
+        col("y0").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("lag")
       .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
@@ -692,7 +721,8 @@ object Extra25 {
         |  CAST(n.n * so.so - se.sum_rc AS BIGINT) AS kappa_num,
         |  CAST(n.n * n.n - se.sum_rc AS BIGINT) AS kappa_den,
         |  CAST(ROUND(CAST(n.n * so.so - se.sum_rc AS DOUBLE)
-        |       / CAST(n.n * n.n - se.sum_rc AS DOUBLE), 6) AS DECIMAL(18,6))
+        |       / NULLIF(CAST(n.n * n.n - se.sum_rc AS DOUBLE), 0.0), 6)
+        |       AS DECIMAL(18,6))
         |    AS kappa
         |FROM n, so, se""".stripMargin) { (s, d) =>
       kappaOf(T.documents(s, d).select(

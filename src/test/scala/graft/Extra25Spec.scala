@@ -199,6 +199,12 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     // so = 16, n·so = 640 → κ_num = 0.
     assert(perfect.getLong(3) == perfect.getLong(4)) // num == den
     assert(indep.getLong(3) == 0L, indep.toString)
+    // Degenerate contract (ADVICE r15): all mass in ONE cell → p_e = 1,
+    // kappa_den = 0, and κ is an explicit NULL (nullif in both
+    // engines), never a 0/0 NaN whose decimal cast diverges.
+    val onecell = graft.queries.Extra25.kappaOf(items(40, 0, 0, 0)).collect()(0)
+    assert(onecell.getLong(4) == 0L, onecell.toString)
+    assert(onecell.isNullAt(5), onecell.toString)
   }
 
   test("autocorrOf == hand Pearson on an alternating series") {
@@ -327,6 +333,18 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(t => (t._1, t._2, t._3)) ==
       List((0L, 4L, 28L), (1L, 3L, 14L), (2L, 2L, 9L)), got.toString)
     assert(got(1)._4 == "1.000000", got.toString)
+    // Caller contract enforced (ADVICE r15): a duplicate calendar day
+    // must fail loudly (named raise_error), never silently max-merge.
+    val dup = Seq((0L, 1L, 9L), (1L, 3L, 1L), (1L, 4L, 2L))
+      .toDF("day", "cx", "cy")
+    val ex = intercept[Exception] {
+      graft.queries.Extra25.crossCorrOf(dup, maxLag = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate calendar day")),
+      ex.toString)
   }
 
   test("cusumChangepoint == brute sequential CUSUM with min-index ties") {
