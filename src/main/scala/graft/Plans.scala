@@ -117,7 +117,11 @@ object Plans {
     "agg_spearman" -> "Spearman rho: join-free collapsed joint domain, RANGE-frame tie ranks, one corpus scan",
     "agg_gini" -> "Gini coefficient: collapsed value domain, integer-factored tie-corrected gate, one scan",
     "ts_cross_corr" -> "daily lead-lag cross-correlation: join-free lag fan-out + max-combine pairing, one corpus scan",
-    "ts_trending" -> "two-snapshot rank movers: one bucketed fact join, checkpointed rollup feeds both rank branches, heap cut")
+    "ts_trending" -> "two-snapshot rank movers: one bucketed fact join, checkpointed rollup feeds both rank branches, two-phase range-partitioned ranks",
+    "table_snapshot" -> "manifest-resolved time travel: the scan reads exactly snapshot v2's file list, v3's files invisible",
+    "table_incremental" -> "manifest-diff incremental read: scan touches only the files versions 2-3 added",
+    "eval_reliability" -> "isotonic reliability: one corpus quantize+rollup, min-max PAVA over the checkpointed 10-bin domain",
+    "graph_louvain1" -> "Louvain local-move sweep: edge-bounded candidate join, broadcast community degrees, bounded-heap argmax")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -47,8 +47,15 @@ object Extra26 {
     * Extra26Spec against an exact-BigInt PAVA reference.
     */
   private[graft] def reliabilityOf(e: DataFrame): DataFrame = {
+    // The ≤10-row bin rollup feeds THREE consumers (the prefix sums,
+    // the i-domain, the final attach) — without a lineage cut each
+    // branch re-derives the corpus rollup (3 events scans in the
+    // executed plan, measured). The lazy localCheckpoint is the
+    // ts_trending recipe: one corpus scan, every branch reads the cut
+    // 10-row state (ExistingRDD; pinned in PlanSpec).
     val b = e.groupBy(least(expr("cu div 100000000"), lit(9L)).as("bin"))
       .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+      .localCheckpoint(false)
     // Prefix sums over the ≤10 present bins (collapsed bounded domain —
     // the single-partition exchange here moves ≤10 rows).
     val w = Window.orderBy("bin")

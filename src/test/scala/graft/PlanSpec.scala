@@ -951,6 +951,76 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.contains("Bucketed: true"), f)
   }
 
+  /** Every parquet file any FileSourceScanExec in the (possibly
+    * adaptive) executed plan would read — descends into AQE stages,
+    * which collectLeaves treats as leaves.
+    */
+  private def scannedFiles(p: org.apache.spark.sql.execution.SparkPlan): Set[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Seq[String] = n match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case f: FileSourceScanExec => f.relation.location.inputFiles.toSeq
+      case other =>
+        other.children.flatMap(walk) ++
+          other.subqueries.flatMap(walk)
+    }
+    walk(p).map(_.replaceFirst("^file:/*", "/")).toSet
+  }
+
+  test("table_snapshot scan reads exactly the v2 manifest's files (time travel)") {
+    // The scan's file set must BE the resolved manifest — v3's files
+    // live in the same data directory and stay invisible (snapshot
+    // isolation at the plan level, not just the row level).
+    val root = graft.ops.SnapshotTable.stage(spark, sf)
+    val df = SparkEntry.queries("table_snapshot")(spark, sf)
+    df.collect()
+    val scanned = scannedFiles(df.queryExecution.executedPlan)
+    val want = graft.ops.SnapshotTable.snapshotFiles(root, 2).toSet
+    assert(scanned == want,
+      s"scan != manifest v2: extra=${scanned -- want}, missing=${want -- scanned}")
+  }
+
+  test("table_incremental scan touches only the files v2..v3 added") {
+    val root = graft.ops.SnapshotTable.stage(spark, sf)
+    val df = SparkEntry.queries("table_incremental")(spark, sf)
+    df.collect()
+    val scanned = scannedFiles(df.queryExecution.executedPlan)
+    val v1 = graft.ops.SnapshotTable.snapshotFiles(root, 1).toSet
+    val want = graft.ops.SnapshotTable.snapshotFiles(root, 3).toSet -- v1
+    assert(scanned == want,
+      s"scan != manifest diff: extra=${scanned -- want}, missing=${want -- scanned}")
+  }
+
+  test("eval_reliability: one corpus pass, min-max PAVA over checkpointed bins") {
+    // The ≤10-row bin rollup is cut with localCheckpoint: every PAVA
+    // branch reads the cut state (ExistingRDD) and the events corpus
+    // never appears in the executed plan's scans (it was consumed once,
+    // materializing the checkpoint); both argmin/argmax windows carry a
+    // WindowGroupLimit (rank-1 pushdown), and no window partitions by
+    // anything data-sized (bins ≤ 10 by construction).
+    val df = SparkEntry.queries("eval_reliability")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(f.contains("ExistingRDD"), f)
+    assert(!f.contains("events.parquet"), f)
+    assert("WindowGroupLimit".r.findAllIn(f).size >= 2, f)
+  }
+
+  test("graph_louvain1: broadcast label/degree attaches, bounded-heap argmax, no cartesian") {
+    val df = SparkEntry.queries("graph_louvain1")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // The only nested-loop joins allowed are the 1-row summary
+    // combines (modularity/moves scalars crossJoined at the end).
+    assert(f.contains("BroadcastHashJoin"), f)
+    assert(f.contains("TopKPerGroup"), f)
+    assert(!f.contains("CartesianProduct"), f)
+  }
+
   test("every pinned query is in the PLANS.md dump set (dump ⊇ pins)") {
     // Self-maintaining: scan THIS spec's source for the queries its tests
     // pin (quoted names passed to planOf / queries) and require each to
