@@ -120,6 +120,7 @@ object Plans {
     "ts_trending" -> "two-snapshot rank movers: one bucketed fact join, checkpointed rollup feeds both rank branches, two-phase range-partitioned ranks",
     "table_snapshot" -> "manifest-resolved time travel: the scan reads exactly snapshot v2's file list, v3's files invisible",
     "table_incremental" -> "manifest-diff incremental read: scan touches only the files versions 2-3 added",
+    "table_compaction" -> "post-OPTIMIZE read: the scan is exactly the one compacted file the v4 rewrite committed",
     "eval_reliability" -> "isotonic reliability: one corpus quantize+rollup, min-max PAVA over the checkpointed 10-bin domain",
     "graph_louvain1" -> "Louvain local-move sweep: edge-bounded candidate join, broadcast community degrees, bounded-heap argmax")
 

@@ -39,11 +39,16 @@ import scala.jdk.CollectionConverters._
   * same modulo filter replays any snapshot or diff exactly.
   */
 object SnapshotTable {
-  /** Highest committed version the fixture store stages. */
+  /** Ingest commits the fixture store stages (v1..v3 add rows). */
   val Versions = 3
 
-  /** Build (once per JVM × corpus) the 3-commit versioned store; returns
-    * its root. Keyed like every staged layout: pid@host (no cross-process
+  /** The compaction commit: v4 rewrites v3's content into one file and
+    * swaps the manifest — same rows, fewer files (see [[compact]]).
+    */
+  val CompactedVersion = 4
+
+  /** Build (once per JVM × corpus) the versioned store; returns its
+    * root. Keyed like every staged layout: pid@host (no cross-process
     * races) × corpus fingerprint (a driver fixture refresh re-stages
     * rather than serving a stale snapshot — the ADVICE r9 lesson), and
     * memoized per session so concurrent query constructions stage once.
@@ -52,25 +57,89 @@ object SnapshotTable {
     val tag = graft.Q.corpusTag(s, d, "orders").replaceAll("[^A-Za-z0-9]", "_")
     graft.Q.sessionMemo(s, "snaptable|" + tag) {
       val root = graft.Q.jvmStageRoot("graft_snap") + s"/$tag"
-      // v3's manifest is the LAST artifact committed (atomic rename), so
-      // its existence proves a complete staging pass — safe to reuse
-      // within this pid-keyed root.
-      if (!Files.exists(manifestPath(root, Versions))) {
-        import org.apache.spark.sql.functions.{col, pmod, lit}
-        val orders = graft.Tables.orders(s, d)
-        var visible = Vector.empty[String]
-        (1 to Versions).foreach { v =>
-          val dataDir = s"$root/data/v$v"
-          orders.filter(pmod(col("o_orderkey"), lit(3)) === lit(v - 1))
-            .write.mode("overwrite").parquet(dataDir)
-          // The ingest's ADDED files = the part files this write produced.
-          val added = listParquet(dataDir)
-          visible = visible ++ added
-          commitManifest(root, v, visible)
-        }
-      }
+      stageInto(s, d, root)
       root
     }
+  }
+
+  /** The staging body against an explicit root — separated so specs can
+    * build a PRIVATE store (vacuum is destructive; it must never run
+    * against the shared staged root the declared queries read).
+    */
+  private[graft] def stageInto(s: SparkSession, d: String, root: String): Unit = {
+    // The compaction manifest is the LAST artifact committed (atomic
+    // rename), so its existence proves a complete staging pass — safe
+    // to reuse within this pid-keyed root.
+    if (!Files.exists(manifestPath(root, CompactedVersion))) {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val orders = graft.Tables.orders(s, d)
+      var visible = Vector.empty[String]
+      (1 to Versions).foreach { v =>
+        val dataDir = s"$root/data/v$v"
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === lit(v - 1))
+          .write.mode("overwrite").parquet(dataDir)
+        // The ingest's ADDED files = the part files this write produced.
+        val added = listParquet(dataDir)
+        visible = visible ++ added
+        commitManifest(root, v, visible)
+      }
+      compact(s, root, Versions)
+    }
+  }
+
+  /** COMPACTION (the OPTIMIZE/rewrite half of the table-format
+    * lifecycle): rewrite version v's content into a minimal file set
+    * and commit it as the next manifest. The rewrite is LOGICALLY
+    * IDENTICAL — the gate query proves it against the original table —
+    * and NON-DESTRUCTIVE: the old data files stay on disk, still
+    * referenced by the old manifests, so time travel to v1..v3 keeps
+    * working until [[vacuum]] reclaims them (exactly Delta OPTIMIZE /
+    * Iceberg rewrite_data_files semantics: compaction swaps metadata,
+    * retention deletes). Small-file compaction is what keeps a 100 TB
+    * table scannable after months of incremental ingests — thousands
+    * of tiny commit files re-binpacked into scan-sized ones; at real
+    * scale the rewrite is per-partition/file-group binpacking running
+    * as many tasks, the fixture-scale shape here is one sorted file
+    * (sort before write so the output is byte-deterministic and the
+    * file carries tight min/max stats for pruning).
+    */
+  private[graft] def compact(s: SparkSession, root: String, v: Int): Unit = {
+    val dataDir = s"$root/data/compact_v${v + 1}"
+    readSnapshot(s, root, v).orderBy("o_orderkey")
+      .coalesce(1).write.mode("overwrite").parquet(dataDir)
+    commitManifest(root, v + 1, listParquet(dataDir))
+    // Rewrite marker: this commit changed the FILE layout, not the
+    // table's rows (Delta's dataChange=false) — incremental readers
+    // must skip it or they would re-emit the whole table as "new".
+    Files.write(manifestPath(root, v + 1)
+      .resolveSibling(s"v${v + 1}.rewrite"), Array.emptyByteArray)
+  }
+
+  /** True when version v was committed by a rewrite (compaction), i.e.
+    * it added files without adding rows.
+    */
+  private[graft] def isRewrite(root: String, v: Int): Boolean =
+    Files.exists(manifestPath(root, v).resolveSibling(s"v$v.rewrite"))
+
+  /** VACUUM (the retention half): delete every data file under the
+    * store that no manifest in `keepVersions` references, and drop the
+    * other manifests. Destructive BY CONTRACT — time travel to a
+    * dropped version is gone; that trade (bounded storage vs unbounded
+    * history) is the same one Delta's VACUUM retention window sells.
+    * Returns the number of data files deleted. Driver-side file ops
+    * only — at scale this is a listing + delete batch against the
+    * object store, cost ∝ files, no Spark job.
+    */
+  private[graft] def vacuum(root: String, keepVersions: Set[Int]): Int = {
+    val keep = keepVersions.flatMap(v => snapshotFiles(root, v))
+    val dataRoot = Paths.get(root, "data")
+    val all = Files.walk(dataRoot).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toVector
+    val doomed = all.filterNot(p => keep.contains(p.toString))
+    doomed.foreach(Files.deleteIfExists(_))
+    (1 to CompactedVersion).filterNot(keepVersions)
+      .foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    doomed.size
   }
 
   private def manifestPath(root: String, v: Int): Path =
@@ -103,8 +172,8 @@ object SnapshotTable {
     * O(manifest) instead of O(object-store listing) at scale).
     */
   def snapshotFiles(root: String, v: Int): Vector[String] = {
-    require(v >= 1 && v <= Versions,
-      s"snapshot version $v outside committed range [1, $Versions]")
+    require(v >= 1 && v <= CompactedVersion,
+      s"snapshot version $v outside committed range [1, $CompactedVersion]")
     Files.readAllLines(manifestPath(root, v)).asScala.toVector
       .filter(_.nonEmpty)
   }
@@ -114,18 +183,25 @@ object SnapshotTable {
     s.read.parquet(snapshotFiles(root, v): _*)
 
   /** Read exactly the rows ADDED between versions vFrom (exclusive) and
-    * vTo (inclusive) — the manifest set-diff. Because data files are
-    * immutable and ingests only add, the diff IS the added rows; no
-    * row-level anti-join against the old snapshot is ever needed (at
-    * 100 TB that anti-join would be a full-table shuffle; the manifest
-    * diff is a driver-side set subtraction plus a scan of only the new
-    * files).
+    * vTo (inclusive) — the per-commit manifest set-diff. Because data
+    * files are immutable and ingests only add, each non-rewrite
+    * commit's file diff IS its added rows; no row-level anti-join
+    * against the old snapshot is ever needed (at 100 TB that anti-join
+    * would be a full-table shuffle; the manifest diff is a driver-side
+    * set subtraction plus a scan of only the new files). REWRITE
+    * commits (compaction) are skipped — they re-layout existing rows
+    * (dataChange=false), and a naive endpoint diff across one would
+    * re-emit the whole table as "new" (pinned in LayoutSpec).
     */
   def readIncremental(s: SparkSession, root: String,
       vFrom: Int, vTo: Int): DataFrame = {
     require(vFrom < vTo, s"incremental range [$vFrom, $vTo) is empty")
-    val before = snapshotFiles(root, vFrom).toSet
-    val added = snapshotFiles(root, vTo).filterNot(before)
-    s.read.parquet(added: _*)
+    val added = (vFrom + 1 to vTo).filterNot(isRewrite(root, _)).flatMap { v =>
+      val before =
+        if (v == 1) Set.empty[String] else snapshotFiles(root, v - 1).toSet
+      snapshotFiles(root, v).filterNot(before)
+    }
+    if (added.isEmpty) s.read.parquet(snapshotFiles(root, vTo): _*).limit(0)
+    else s.read.parquet(added: _*)
   }
 }

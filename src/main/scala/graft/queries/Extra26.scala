@@ -197,6 +197,31 @@ object Extra26 {
         .orderBy("o_orderpriority")
     },
 
+    // COMPACTION GATE: version 4 is the OPTIMIZE/rewrite commit — v3's
+    // three-commit file layout rewritten into one sorted file and
+    // swapped in by manifest commit (ops/SnapshotTable.compact). The
+    // query aggregates the POST-compaction snapshot; the oracle is the
+    // ORIGINAL table unfiltered — the gate proves the rewrite changed
+    // the layout and nothing else (no lost/duplicated/mutated row).
+    // LayoutSpec pins the rest of the lifecycle: old versions stay
+    // readable until vacuum, the rewrite is dataChange=false to
+    // incremental readers, vacuum reclaims exactly the unreferenced
+    // files.
+    "table_compaction" -> Q(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM read_parquet('{sfDir}/orders.parquet')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val root = graft.ops.SnapshotTable.stage(s, d)
+      graft.ops.SnapshotTable.readSnapshot(s, root,
+          graft.ops.SnapshotTable.CompactedVersion)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          Q.dec2(sum(Q.dec2(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // RELIABILITY DIAGRAM WITH ISOTONIC FIT — the calibration-curve
     // member of the eval family (ECE gives one number, Brier a proper
     // score; the reliability curve is what you LOOK at, and its

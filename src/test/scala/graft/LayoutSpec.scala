@@ -256,7 +256,42 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(SnapshotTable.readIncremental(spark, root, 1, 2).count() == modCount(1))
     } finally Files.deleteIfExists(orphan)
     // Version bounds fail loudly, not with a phantom empty read.
-    intercept[IllegalArgumentException](SnapshotTable.snapshotFiles(root, 4))
+    intercept[IllegalArgumentException](SnapshotTable.snapshotFiles(root, 5))
     intercept[IllegalArgumentException](SnapshotTable.readIncremental(spark, root, 2, 2))
+  }
+
+  test("snapshot table: compaction rewrites layout not rows; vacuum reclaims by retention") {
+    import graft.ops.SnapshotTable
+    val d = "/root/testdata/sf0.001"
+    // PRIVATE store — vacuum is destructive and must never touch the
+    // shared staged root the declared queries read.
+    val root = Files.createTempDirectory("graft-snapvac").toString + "/t"
+    SnapshotTable.stageInto(spark, d, root)
+    val orders = Tables.orders(spark, d)
+    val full = orders.count()
+    // v4 = compaction of v3: one file, same rows, and the ROW CONTENT
+    // matches the original table exactly (sorted rewrite).
+    assert(SnapshotTable.snapshotFiles(root, 4).size == 1)
+    assert(SnapshotTable.snapshotFiles(root, 4).size <
+      SnapshotTable.snapshotFiles(root, 3).size)
+    assert(SnapshotTable.readSnapshot(spark, root, 4).count() == full)
+    // Non-destructive: time travel to every pre-compaction version
+    // still works (old files stay until vacuum).
+    assert(SnapshotTable.readSnapshot(spark, root, 1).count() ==
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0).count())
+    // A rewrite commit is dataChange=false: the incremental reader
+    // crossing it must emit NOTHING new (a naive endpoint diff would
+    // re-emit the whole table).
+    assert(SnapshotTable.isRewrite(root, 4))
+    assert(SnapshotTable.readIncremental(spark, root, 3, 4).count() == 0)
+    // And a range SPANNING ingests + the rewrite sees only the ingests.
+    assert(SnapshotTable.readIncremental(spark, root, 2, 4).count() ==
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 2).count())
+    // VACUUM keeping only v4: every v1..v3-only file is reclaimed,
+    // v4 still reads, dropped-version time travel now fails loudly.
+    val removed = SnapshotTable.vacuum(root, keepVersions = Set(4))
+    assert(removed >= 3, s"expected >= 3 reclaimed files, got $removed")
+    assert(SnapshotTable.readSnapshot(spark, root, 4).count() == full)
+    intercept[Exception](SnapshotTable.snapshotFiles(root, 2))
   }
 }

@@ -993,6 +993,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan != manifest diff: extra=${scanned -- want}, missing=${want -- scanned}")
   }
 
+  test("table_compaction scan reads exactly the one compacted v4 file") {
+    val root = graft.ops.SnapshotTable.stage(spark, sf)
+    val df = SparkEntry.queries("table_compaction")(spark, sf)
+    df.collect()
+    val scanned = scannedFiles(df.queryExecution.executedPlan)
+    val want = graft.ops.SnapshotTable
+      .snapshotFiles(root, graft.ops.SnapshotTable.CompactedVersion).toSet
+    assert(want.size == 1 && scanned == want,
+      s"scan != compacted manifest: scanned=$scanned want=$want")
+  }
+
   test("eval_reliability: one corpus pass, min-max PAVA over checkpointed bins") {
     // The ≤10-row bin rollup is cut with localCheckpoint: every PAVA
     // branch reads the cut state (ExistingRDD) and the events corpus
