@@ -153,6 +153,55 @@ object Extra26 {
         col("q_num_before"), col("q_num_after"), col("q_after"))
   }
 
+  /** Cumulative NDCG@10 rank weights in nano-units: cumW(r) =
+    * Σ_{i=1..r} ⌊10⁹ / log₂(i+1)⌋, cumW(0) = 0 — FIXED integer
+    * constants (the RRF-constant discipline: the only transcendental,
+    * log₂, is baked into ten literals shared verbatim by both engines,
+    * so the gate arithmetic is pure integers; Järvelin–Kekäläinen
+    * discounted gain at binary relevance).
+    */
+  private[graft] val ndcgCumW: Array[Long] = Array(0L, 1000000000L,
+    1630929753L, 2130929753L, 2561606311L, 2948459118L, 3304666305L,
+    3637999638L, 3953464514L, 4254494509L, 4543559335L)
+
+  /** The same constants as a DuckDB list literal — ONE Scala source for
+    * both engines' weights, so they cannot drift.
+    */
+  private[graft] val ndcgCumWSql: String =
+    ndcgCumW.mkString("[", ", ", "]")
+
+  /** NDCG@10 over (seg, score, pos) rows with pessimistic ties, order-
+    * free: on the collapsed (seg, score) domain (the agg_auc/recall@k
+    * discipline — no per-row ranking ever), a tied group occupying
+    * ranks [cumcnt+1, cumcnt+cnt] holds its np positives LAST, so its
+    * DCG contribution telescopes to cumW(min(hi,10)) − cumW(min(lo−1,
+    * 10)) — groups entirely below rank 10 contribute exactly 0. IDCG =
+    * cumW(min(n_pos, 10)); the gate ratio is one trailing integer
+    * division in nano-units (dcg ≤ cumW(10) ≈ 4.5·10⁹, ×10⁹ inside
+    * int64).
+    */
+  private[graft] def ndcgOf(e: DataFrame): DataFrame = {
+    val g = e.groupBy("seg", "score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+    val w = Window.partitionBy("seg").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
+    val cw = typedLit(ndcgCumW.toSeq)
+    def cumW(x: org.apache.spark.sql.Column) =
+      element_at(cw, least(x, lit(10L)).cast("int") + 1)
+    val contrib = cumW(col("cumcnt") + col("cnt")) -
+      cumW(col("cumcnt") + col("cnt") - col("np"))
+    r.groupBy("seg")
+      .agg(sum("cnt").as("n"), sum("np").as("n_pos"),
+        sum(contrib).as("dcg_units"))
+      .withColumn("idcg_units", cumW(col("n_pos")))
+      .select(col("seg").cast("bigint").as("seg"), col("n"), col("n_pos"),
+        col("dcg_units"), col("idcg_units"),
+        coalesce(expr("(dcg_units * 1000000000) div nullif(idcg_units, 0)"),
+          lit(0L)).as("ndcg_units"))
+      .orderBy("seg")
+  }
+
   val defs: Map[String, Q] = Map(
 
     // TIME TRAVEL: read the staged versioned table AS OF version 2 (of
@@ -265,6 +314,42 @@ object Extra26 {
       reliabilityOf(T.events(s, d).select(
         floor((col("value") - floor(col("value"))) * lit(1000000000.0))
           .cast("bigint").as("cu"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
+    },
+
+    // NDCG@10 — the graded-order member that completes the ranking-
+    // eval family (MRR grades the first hit, recall@k the coverage,
+    // AP the precision profile; NDCG grades the whole order with
+    // log-discounted gain). Shares the (seg, score, pos) fixture and
+    // the pessimistic-tie collapsed-domain discipline; the log₂
+    // discounts are ten fixed integer literals (ndcgCumW) identical
+    // in both engines, so the gate is pure integer arithmetic
+    // end-to-end. DuckDB lists are 1-indexed; Spark element_at is
+    // 1-indexed on arrays — both index cumW[x+1] for prefix x.
+    "eval_ndcg" -> Q(
+      s"""WITH e AS (SELECT user_id % 4 AS seg, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM read_parquet('{sfDir}/events.parquet')),
+        |g AS (SELECT seg, score, count(*) AS cnt, sum(pos) AS np
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT seg, cnt, np,
+        |    coalesce(sum(cnt) OVER (PARTITION BY seg ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcnt
+        |  FROM g),
+        |d AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n,
+        |        CAST(SUM(np) AS BIGINT) AS n_pos,
+        |        CAST(SUM(${ndcgCumWSql}[CAST(LEAST(cumcnt + cnt, 10) + 1 AS BIGINT)]
+        |          - ${ndcgCumWSql}[CAST(LEAST(cumcnt + cnt - np, 10) + 1 AS BIGINT)])
+        |          AS BIGINT) AS dcg_units
+        |      FROM r GROUP BY 1)
+        |SELECT CAST(seg AS BIGINT) AS seg, n, n_pos, dcg_units,
+        |  CAST(${ndcgCumWSql}[CAST(LEAST(n_pos, 10) + 1 AS BIGINT)] AS BIGINT) AS idcg_units,
+        |  CAST(COALESCE((dcg_units * 1000000000)
+        |    // NULLIF(${ndcgCumWSql}[CAST(LEAST(n_pos, 10) + 1 AS BIGINT)], 0), 0) AS BIGINT)
+        |    AS ndcg_units
+        |FROM d ORDER BY seg""".stripMargin) { (s, d) =>
+      ndcgOf(T.events(s, d).select(
+        (col("user_id") % 4).as("seg"), col("value").as("score"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
     },
 

@@ -88,6 +88,52 @@ class Extra26Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted)
   }
 
+  test("ndcgOf: hand ranks, pessimistic ties, brute parity on the events fixture") {
+    import spark.implicits._
+    // seg 0 — distinct scores, positives at ranks 1 and 3:
+    //   dcg = w1 + w3 = 1.5e9, idcg = cumW(2) = 1630929753,
+    //   ndcg_units = 1.5e18 div 1630929753 = 919720789.
+    // seg 1 — a TIED top pair carrying one positive: pessimistic
+    //   placement puts it at rank 2, so dcg = cumW(2) − cumW(1) =
+    //   630929753 and idcg = cumW(1) → ndcg_units = 630929753.
+    // seg 2 — no positives: every unit field 0 (nullif guard).
+    val e = Seq(
+      (0L, 9.0, 1L), (0L, 8.0, 0L), (0L, 7.0, 1L),
+      (1L, 5.0, 1L), (1L, 5.0, 0L), (1L, 1.0, 0L),
+      (2L, 3.0, 0L), (2L, 2.0, 0L)
+    ).toDF("seg", "score", "pos")
+    val got = graft.queries.Extra26.ndcgOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toList
+    assert(got == List(
+      (0L, 1500000000L, 1630929753L, 919720789L),
+      (1L, 630929753L, 1000000000L, 630929753L),
+      (2L, 0L, 0L, 0L)), got.toString)
+    // Brute parity on real data: per segment, sort rows by
+    // (score DESC, pos ASC) — the pessimistic tie order — and fold the
+    // BigInt weights sequentially; must equal the declared query.
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, d)
+      .select((col("user_id") % 4).as("seg"), col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val w10 = graft.queries.Extra26.ndcgCumW
+    def dcgOf(rs: Seq[(Long, Double, Long)]): Long =
+      rs.sortBy(t => (-t._2, t._3)).take(10).zipWithIndex
+        .collect { case ((_, _, 1L), i) => w10(i + 1) - w10(i) }.sum
+    val brute = rows.groupBy(_._1).map { case (seg, rs) =>
+      val dcg = dcgOf(rs.toSeq)
+      val np = rs.count(_._3 == 1L)
+      val idcg = w10(math.min(np, 10))
+      (seg, dcg, idcg,
+        if (idcg == 0) 0L else (BigInt(dcg) * 1000000000L / idcg).toLong)
+    }.toList.sortBy(_._1)
+    val declared = SparkEntry.queries("eval_ndcg")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toList
+    assert(declared == brute, s"declared $declared != brute $brute")
+  }
+
   private def louvainRow(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)])
       : (Long, Long, Long, Long, Long) = {
     import spark.implicits._

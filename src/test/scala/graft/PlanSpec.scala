@@ -1020,6 +1020,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("WindowGroupLimit".r.findAllIn(f).size >= 2, f)
   }
 
+  test("eval_ndcg: collapsed score domain, one corpus scan, no per-row ranking") {
+    // The NDCG assembly runs entirely on the (seg, score) rollup — one
+    // events scan, exactly one window (the per-seg cumulative count
+    // over the collapsed domain), never a row-level rank.
+    val df = SparkEntry.queries("eval_ndcg")(spark, sf)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert("events\\.parquet".r.findAllIn(f).size <= 1, f)
+    assert("\\bWindow\\b".r.findAllIn(f).size == 1, f)
+    assert(!f.contains("row_number"), f)
+  }
+
   test("graph_louvain1: broadcast label/degree attaches, bounded-heap argmax, no cartesian") {
     val df = SparkEntry.queries("graph_louvain1")(spark, sf)
     df.collect()
