@@ -122,7 +122,7 @@ object Plans {
     "table_incremental" -> "manifest-diff incremental read: scan touches only the files versions 2-3 added",
     "table_compaction" -> "post-OPTIMIZE read: the scan is exactly the one compacted file the v4 rewrite committed",
     "eval_reliability" -> "isotonic reliability: one corpus quantize+rollup, min-max PAVA over the checkpointed 10-bin domain",
-    "eval_ndcg" -> "NDCG@10: collapsed score domain, fixed integer log-weights, one window, no per-row ranking",
+    "eval_ndcg_exact" -> "NDCG@10: collapsed score domain, fixed integer log-weights, one window, no per-row ranking",
     "graph_louvain1" -> "Louvain local-move sweep: edge-bounded candidate join, broadcast community degrees, bounded-heap argmax")
 
   def main(args: Array[String]): Unit = {

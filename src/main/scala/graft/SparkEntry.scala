@@ -77,7 +77,18 @@ object SparkEntry {
     _root_.graft.queries.Extra26.defs
   )
 
-  private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)
+  private lazy val all: Map[String, Q] = {
+    // Duplicate-key guard (r16): `Map ++` silently lets a later module
+    // SHADOW an earlier module's query — r16 nearly shipped a second
+    // `eval_ndcg` that overrode Extra21's and broke its spec while
+    // every declared gate stayed green. Fail loudly at first use
+    // instead.
+    val dups = modules.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query keys across modules: ${dups.toSeq.sorted.mkString(", ")}")
+    modules.reduce(_ ++ _)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

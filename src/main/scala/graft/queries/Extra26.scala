@@ -326,7 +326,7 @@ object Extra26 {
     // in both engines, so the gate is pure integer arithmetic
     // end-to-end. DuckDB lists are 1-indexed; Spark element_at is
     // 1-indexed on arrays — both index cumW[x+1] for prefix x.
-    "eval_ndcg" -> Q(
+    "eval_ndcg_exact" -> Q(
       s"""WITH e AS (SELECT user_id % 4 AS seg, value AS score,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
         |  FROM read_parquet('{sfDir}/events.parquet')),

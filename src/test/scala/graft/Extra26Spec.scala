@@ -128,7 +128,7 @@ class Extra26Spec extends AnyFunSuite with BeforeAndAfterAll {
       (seg, dcg, idcg,
         if (idcg == 0) 0L else (BigInt(dcg) * 1000000000L / idcg).toLong)
     }.toList.sortBy(_._1)
-    val declared = SparkEntry.queries("eval_ndcg")(spark, d).collect()
+    val declared = SparkEntry.queries("eval_ndcg_exact")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
       .toList
     assert(declared == brute, s"declared $declared != brute $brute")

@@ -1024,7 +1024,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The NDCG assembly runs entirely on the (seg, score) rollup — one
     // events scan, exactly one window (the per-seg cumulative count
     // over the collapsed domain), never a row-level rank.
-    val df = SparkEntry.queries("eval_ndcg")(spark, sf)
+    val df = SparkEntry.queries("eval_ndcg_exact")(spark, sf)
     df.collect()
     val f = df.queryExecution.executedPlan.toString()
       .split("== Initial Plan ==")(0)
