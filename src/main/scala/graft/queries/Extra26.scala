@@ -5,13 +5,20 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-16 additions (VERDICT r15 task list):
+/** Round-16 additions (VERDICT r15 task list + family completions):
   *
-  *   - `table_snapshot` / `table_incremental`: the native snapshot /
-  *     time-travel table family over `ops/SnapshotTable` — the one
-  *     operating model the board did not yet declare (VERDICT r15 #2).
+  *   - `table_snapshot` / `table_incremental` / `table_compaction`: the
+  *     native snapshot / time-travel / OPTIMIZE table family over
+  *     `ops/SnapshotTable` — the one operating model the board did not
+  *     yet declare (VERDICT r15 #2); vacuum completes the lifecycle
+  *     (LayoutSpec-pinned, destructive so never a declared query).
   *   - `eval_reliability`: the isotonic (PAVA) reliability curve that
   *     completes the calibration story next to ECE/Brier (r15 #6).
+  *   - `eval_ndcg_exact`: integer-exact classifier-score NDCG@10 on the
+  *     collapsed score domain (the retrieval-ranking `eval_ndcg` in
+  *     Extra21 is its per-probe window sibling).
+  *   - `graph_louvain1`: one synchronous Louvain local-move sweep over
+  *     the staged LPA assignment (r15 #7).
   *
   * Determinism contracts as established: integer/decimal arithmetic,
   * total output orders, no rand(), no UDFs. The snapshot store derives
@@ -113,44 +120,83 @@ object Extra26 {
     * (spark.graft.graph.broadcastLabels=false past driver capacity).
     */
   private[graft] def louvain1Of(e: DataFrame, lab: DataFrame): DataFrame = {
-    val lu = Extra24.labelSide(lab, "u", "lu")
-    val lv = Extra24.labelSide(lab, "v", "lv")
-    val m2Row = e.agg(count(lit(1)).as("m2"))
-    val dg = e.groupBy("u").agg(count(lit(1)).as("ki"))
-    val dc = dg.join(lu, "u").groupBy("lu").agg(sum("ki").as("dcv"))
-    val nc = e.join(lv, "v")
-      .groupBy(col("u").as("node"), col("lv").as("nlab"))
+    // Dataflow shaped for ONE edge scan and ONE edge-sized shuffle
+    // (r16 bench iteration): the first form called modularityOf twice
+    // and derived degrees/candidates separately — ~10 sequential jobs,
+    // three of them 2m-row shuffles, 4.8 s warm at sf0.1; per-step
+    // checkpoints alone did not help because every job still paid a
+    // scan or a wide shuffle (LouvainProbe holds the step timings).
+    // Now: attach both endpoint labels once and cut that (elab); the
+    // ONLY edge-sized shuffle is the (node, neighbor-label) rollup nc;
+    // everything node-sized rides BROADCASTS (degrees+ka fold into one
+    // nc rollup, candidates attach base map-side, the after-side
+    // labeling derives from base+mv without touching edges again).
+    // Node-sized broadcasts share labelSide's documented node-count
+    // ceiling and its conf gate.
+    val bcast: DataFrame => DataFrame =
+      df => if (df.sparkSession.conf
+          .get("spark.graft.graph.broadcastLabels", "true").toBoolean)
+        broadcast(df) else df
+    val elab = e.join(Extra24.labelSide(lab, "u", "lu"), "u")
+      .join(Extra24.labelSide(lab, "v", "lv"), "v")
+      .localCheckpoint(false)
+    // m2 + before-intra in one pass over the cut state.
+    val m2i = elab.agg(count(lit(1)).as("m2"),
+      sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra_b"))
+    // THE edge-sized shuffle: per-(node, neighbor-community) counts.
+    val nc = elab.groupBy(col("u").as("node"), col("lv").as("nlab"))
       .agg(count(lit(1)).as("k"))
-    val base = lab.select(col("node"), col("label").as("a"))
-      .join(dg.withColumnRenamed("u", "node"), "node")
-      .join(broadcast(dc.select(col("lu").as("a"), col("dcv").as("da"))), "a")
-      .join(nc.select(col("node"), col("nlab").as("a"), col("k").as("ka")),
-        Seq("node", "a"), "left")
-      .na.fill(0L, Seq("ka"))
-    val cand = base
-      .join(nc.select(col("node"), col("nlab").as("bl"), col("k")), "node")
-      .filter(col("bl") =!= col("a"))
-      .join(broadcast(dc.select(col("lu").as("bl"), col("dcv").as("db"))), "bl")
-      .crossJoin(broadcast(m2Row))
+      .localCheckpoint(false)
+    // Node frame straight from elab: own label (constant per node),
+    // degree, and own-community edge count ka = Σ[lu = lv] — one
+    // node-keyed rollup, no label re-attach needed.
+    val degl = elab.groupBy(col("u").as("node"))
+      .agg(first(col("lu")).as("a"), count(lit(1)).as("ki"),
+        sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("ka"))
+    val dc = degl.groupBy("a").agg(sum("ki").as("dcv")).localCheckpoint(false)
+    val sqB = dc.agg(sum(col("dcv") * col("dcv")).as("sq_b"))
+    val base = degl
+      .join(bcast(dc.select(col("a"), col("dcv").as("da"))), "a")
+      .localCheckpoint(false)
+    // Candidates: nc with the node frame attached MAP-SIDE (broadcast,
+    // node-sized) — the edge-sized relation is never key-shuffled for
+    // the join; the only exchange left is the heap cut's clustering.
+    val cand = nc.join(bcast(base), "node")
+      .filter(col("nlab") =!= col("a"))
+      .join(bcast(dc.select(col("a").as("nlab"), col("dcv").as("db"))), "nlab")
+      .crossJoin(broadcast(m2i.select("m2")))
       .withColumn("delta", (col("k") - col("ka")) * col("m2")
         - col("ki") * (col("db") - col("da") + col("ki")))
     val gn = org.apache.spark.sql.graft.native
     val mv = gn.top_k_per_group(cand, Seq("node"),
-      Seq(col("delta").desc, col("bl").asc), 1)
-    val l4 = base
-      .join(mv.select(col("node"), col("bl"), col("delta")), Seq("node"), "left")
-      .select(col("node"),
-        when(col("delta") > 0, col("bl")).otherwise(col("a")).as("label"))
+        Seq(col("delta").desc, col("nlab").asc), 1)
+      .select(col("node"), col("nlab").as("bl"), col("delta"))
+      .localCheckpoint(false)
     val moves = mv.filter(col("delta") > 0)
       .agg(count(lit(1)).as("n_moved"),
         coalesce(sum("delta"), lit(0L)).as("gain_units"))
-    val before = Extra24.modularityOf(e, lab)
-      .select(col("q_num").as("q_num_before"))
-    val after = Extra24.modularityOf(e, l4)
-      .select(col("m2"), col("q_num").as("q_num_after"), col("q").as("q_after"))
-    after.crossJoin(broadcast(moves)).crossJoin(broadcast(before))
+    // New labeling from base + mv alone (node-sized, no edge touch).
+    val l4 = base.join(bcast(mv), Seq("node"), "left")
+      .select(col("node"), col("ki"),
+        when(col("delta") > 0, col("bl")).otherwise(col("a")).as("label"))
+      .localCheckpoint(false)
+    // After-side remeasurement: intra over the cut elab with the new
+    // labels re-attached (broadcast); community degrees from l4's own
+    // (label, ki) — edges never rescanned.
+    val intraA = elab
+      .join(bcast(l4.select(col("node").as("u"), col("label").as("l4u"))), "u")
+      .join(bcast(l4.select(col("node").as("v"), col("label").as("l4v"))), "v")
+      .agg(sum(when(col("l4u") === col("l4v"), 1L).otherwise(0L)).as("intra_a"))
+    val sqA = l4.groupBy("label").agg(sum("ki").as("dcv"))
+      .agg(sum(col("dcv") * col("dcv")).as("sq_a"))
+    m2i.crossJoin(broadcast(moves)).crossJoin(broadcast(sqB))
+      .crossJoin(broadcast(intraA)).crossJoin(broadcast(sqA))
       .select(col("m2"), col("n_moved"), col("gain_units"),
-        col("q_num_before"), col("q_num_after"), col("q_after"))
+        (col("intra_b") * col("m2") - col("sq_b")).as("q_num_before"),
+        (col("intra_a") * col("m2") - col("sq_a")).as("q_num_after"),
+        Q.dec6(round(
+          (col("intra_a") * col("m2") - col("sq_a")).cast("double")
+            / (col("m2") * col("m2")).cast("double"), 6)).as("q_after"))
   }
 
   /** Cumulative NDCG@10 rank weights in nano-units: cumW(r) =
