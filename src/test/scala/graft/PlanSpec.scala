@@ -1033,7 +1033,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f.contains("row_number"), f)
   }
 
-  test("graph_louvain1: broadcast label/degree attaches, bounded-heap argmax, no cartesian") {
+  test("graph_louvain1: broadcast label/degree attaches, cut argmax state, no cartesian") {
     val df = SparkEntry.queries("graph_louvain1")(spark, sf)
     df.collect()
     val f = df.queryExecution.executedPlan.toString()
@@ -1041,7 +1041,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The only nested-loop joins allowed are the 1-row summary
     // combines (modularity/moves scalars crossJoined at the end).
     assert(f.contains("BroadcastHashJoin"), f)
-    assert(f.contains("TopKPerGroup"), f)
+    // The r16 dataflow rework cut the argmax behind a localCheckpoint
+    // (mv feeds both the moves rollup and the l4 relabeling — without
+    // the cut each consumer re-pays the candidate join + heap), so the
+    // bounded-heap TopKPerGroup executes inside the checkpointed stage
+    // and the FINAL plan reads its output as ExistingRDD (the
+    // text_bpe_encode precedent). The heap form itself stays pinned by
+    // the topk_group_exec operator test; this pin asserts the cut state
+    // arrives as an RDD scan and no consumer regressed to a cartesian.
+    assert(f.contains("ExistingRDD"), f)
     assert(!f.contains("CartesianProduct"), f)
   }
 
