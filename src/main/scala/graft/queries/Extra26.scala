@@ -120,49 +120,64 @@ object Extra26 {
     * (spark.graft.graph.broadcastLabels=false past driver capacity).
     */
   private[graft] def louvain1Of(e: DataFrame, lab: DataFrame): DataFrame = {
-    // Dataflow shaped for ONE edge scan and ONE edge-sized shuffle
-    // (r16 bench iteration): the first form called modularityOf twice
-    // and derived degrees/candidates separately — ~10 sequential jobs,
-    // three of them 2m-row shuffles, 4.8 s warm at sf0.1; per-step
-    // checkpoints alone did not help because every job still paid a
-    // scan or a wide shuffle (LouvainProbe holds the step timings).
-    // Now: attach both endpoint labels once and cut that (elab); the
-    // ONLY edge-sized shuffle is the (node, neighbor-label) rollup nc;
-    // everything node-sized rides BROADCASTS (degrees+ka fold into one
-    // nc rollup, candidates attach base map-side, the after-side
-    // labeling derives from base+mv without touching edges again).
-    // Node-sized broadcasts share labelSide's documented node-count
-    // ceiling and its conf gate.
+    // Dataflow shaped for ONE edge-sized shuffle and a MINIMAL barrier
+    // count (r16 optimization round; guide §1.2/§2.4). History: the
+    // first form called modularityOf twice (~10 sequential jobs, three
+    // 2m-row shuffles, 4.8 s warm at sf0.1); the mid-build rework cut
+    // that to one edge shuffle but still carried SIX sequential
+    // checkpoint barriers (elab, nc, dc, base, mv, l4) plus the final
+    // assembly — and on this graph (1.2M directed edges) each barrier
+    // is ~0.3-0.9 s of fixed stage/scheduling cost, not data
+    // (LouvainProbe step timings: warm sum 5.4 s, bench 5.3-6.6 s).
+    // The fix is structural: fold the per-node frame INTO the one
+    // edge-sized rollup. Grouping by (node, own-label, neighbor-label)
+    // — own-label is constant per node, so the key widens nothing —
+    // makes nc2 the single corpus-grain relation from which degrees,
+    // ka (own-community count), m2, intra_b, community degrees and the
+    // candidate relation ALL derive as collapsed rollups: the second/
+    // third edge passes (m2i, degl) and their barriers disappear.
+    // Barriers kept: nc2 (read ≥6 times), degl (3 consumers), mv (2
+    // consumers); base/dc/l4 re-derive from those cut states inside
+    // their consumers' plans — node-sized rollup/broadcast work that
+    // the final execution runs concurrently instead of sequentially.
+    // Measured (same box, SPARK_GRAFT_ONLY A/B): 5.26 s → see
+    // OPTIMIZATION_r16.md. Node-sized broadcasts share labelSide's
+    // documented node-count ceiling and its conf gate.
     val bcast: DataFrame => DataFrame =
       df => if (df.sparkSession.conf
           .get("spark.graft.graph.broadcastLabels", "true").toBoolean)
         broadcast(df) else df
-    val elab = e.join(Extra24.labelSide(lab, "u", "lu"), "u")
+    // THE edge-sized shuffle: per-(node, own-community, neighbor-
+    // community) counts, labels attached map-side (broadcast).
+    val nc2 = e.join(Extra24.labelSide(lab, "u", "lu"), "u")
       .join(Extra24.labelSide(lab, "v", "lv"), "v")
-      .localCheckpoint(false)
-    // m2 + before-intra in one pass over the cut state.
-    val m2i = elab.agg(count(lit(1)).as("m2"),
-      sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra_b"))
-    // THE edge-sized shuffle: per-(node, neighbor-community) counts.
-    val nc = elab.groupBy(col("u").as("node"), col("lv").as("nlab"))
+      .groupBy(col("u").as("node"), col("lu").as("a"), col("lv").as("nlab"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint(false)
-    // Node frame straight from elab: own label (constant per node),
-    // degree, and own-community edge count ka = Σ[lu = lv] — one
-    // node-keyed rollup, no label re-attach needed.
-    val degl = elab.groupBy(col("u").as("node"))
-      .agg(first(col("lu")).as("a"), count(lit(1)).as("ki"),
-        sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("ka"))
-    val dc = degl.groupBy("a").agg(sum("ki").as("dcv")).localCheckpoint(false)
-    val sqB = dc.agg(sum(col("dcv") * col("dcv")).as("sq_b"))
-    val base = degl
-      .join(bcast(dc.select(col("a"), col("dcv").as("da"))), "a")
+    // m2 + before-intra: a 1-row rollup of nc2 (no edge rescan).
+    val m2i = nc2.agg(sum("k").as("m2"),
+      sum(when(col("a") === col("nlab"), col("k")).otherwise(0L)).as("intra_b"))
+    // Node frame from nc2: own label (constant per node), degree
+    // ki = Σk, own-community count ka = Σk[a = nlab]. max(a) ≡ the
+    // constant own label — deterministic, order-free.
+    val degl = nc2.groupBy("node")
+      .agg(max(col("a")).as("a"), sum("k").as("ki"),
+        sum(when(col("a") === col("nlab"), col("k")).otherwise(0L)).as("ka"))
       .localCheckpoint(false)
-    // Candidates: nc with the node frame attached MAP-SIDE (broadcast,
-    // node-sized) — the edge-sized relation is never key-shuffled for
-    // the join; the only exchange left is the heap cut's clustering.
-    val cand = nc.join(bcast(base), "node")
-      .filter(col("nlab") =!= col("a"))
+    // Community degrees / their square sum: label-count-sized rollups
+    // of the cut degl — re-derived per consumer (tiny), never a barrier.
+    def dc = degl.groupBy("a").agg(sum("ki").as("dcv"))
+    val sqB = dc.agg(sum(col("dcv") * col("dcv")).as("sq_b"))
+    def base = degl
+      .join(bcast(dc.select(col("a"), col("dcv").as("da"))), "a")
+    // Candidates: nc2 rows are already (node, a, nlab, k) — the own-
+    // community filter needs no attach; ki/ka/da/db/m2 arrive as
+    // node-/community-/1-row-sized broadcasts, so the edge-sized
+    // relation is never key-shuffled for a join; the only exchange
+    // left is the heap cut's clustering.
+    val cand = nc2.filter(col("nlab") =!= col("a"))
+      .join(bcast(base.select(col("node"), col("ki"), col("ka"), col("da"))),
+        "node")
       .join(bcast(dc.select(col("a").as("nlab"), col("dcv").as("db"))), "nlab")
       .crossJoin(broadcast(m2i.select("m2")))
       .withColumn("delta", (col("k") - col("ka")) * col("m2")
@@ -175,18 +190,24 @@ object Extra26 {
     val moves = mv.filter(col("delta") > 0)
       .agg(count(lit(1)).as("n_moved"),
         coalesce(sum("delta"), lit(0L)).as("gain_units"))
-    // New labeling from base + mv alone (node-sized, no edge touch).
-    val l4 = base.join(bcast(mv), Seq("node"), "left")
+    // New labeling from the cut states alone (node-sized, no edge
+    // touch); re-derived per consumer — broadcast-build work inside
+    // the final plan, not a barrier.
+    def l4 = degl.join(bcast(mv), Seq("node"), "left")
       .select(col("node"), col("ki"),
         when(col("delta") > 0, col("bl")).otherwise(col("a")).as("label"))
-      .localCheckpoint(false)
-    // After-side remeasurement: intra over the cut elab with the new
-    // labels re-attached (broadcast); community degrees from l4's own
-    // (label, ki) — edges never rescanned.
-    val intraA = elab
-      .join(bcast(l4.select(col("node").as("u"), col("label").as("l4u"))), "u")
-      .join(bcast(l4.select(col("node").as("v"), col("label").as("l4v"))), "v")
-      .agg(sum(when(col("l4u") === col("l4v"), 1L).otherwise(0L)).as("intra_a"))
+    // After-side remeasurement: intra_a needs EDGE grain with both
+    // endpoints' NEW labels — nc2 collapsed the neighbor's identity
+    // away (only its old community survives), so this is the one place
+    // the raw edge relation is scanned a second time: two broadcast
+    // relabel attaches + a 1-row rollup, map-side all the way, no
+    // barrier (it runs inside the final assembly's plan).
+    val relab = l4.select(col("node"), col("label"))
+    val intraA = e
+      .join(bcast(relab.select(col("node").as("u"), col("label").as("l4u"))), "u")
+      .join(bcast(relab.select(col("node").as("v"), col("label").as("l4v"))), "v")
+      .agg(sum(when(col("l4u") === col("l4v"), 1L).otherwise(0L))
+        .as("intra_a"))
     val sqA = l4.groupBy("label").agg(sum("ki").as("dcv"))
       .agg(sum(col("dcv") * col("dcv")).as("sq_a"))
     m2i.crossJoin(broadcast(moves)).crossJoin(broadcast(sqB))
