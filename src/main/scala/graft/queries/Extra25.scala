@@ -405,20 +405,40 @@ object Extra25 {
     * [[globalRank]] — no unpartitioned window ever touches the item
     * rollup, whose |parts| domain grows with the table.
     */
-  private[graft] def rankClimbOf(halves: DataFrame): DataFrame = {
-    // BOTH halves rank in ONE two-phase pass (r16 bench iteration: the
+  private[graft] def rankClimbOf(halves: DataFrame,
+      domainBound: Long = Long.MaxValue): DataFrame = {
+    // BOTH halves rank in ONE shared pass (r16 bench iteration: the
     // per-half globalRank pair paid two range exchanges, two bucket
     // windows and two offset joins — 1.9 s vs the 0.94 s single-window
     // r15 form; tagging the sides and ranking them through one shared
-    // range partition recovers the stage count while keeping the
-    // no-unpartitioned-window scale contract). The side tag LEADS the
-    // range key, so each side's buckets stay contiguous and
-    // side-ordered; offsets accumulate per side. The half join is
-    // replaced by a conditional pivot on p — one exchange.
+    // pass recovers the stage count while keeping the
+    // no-unpartitioned-window scale contract). The FORM of that pass
+    // is scale-ADAPTIVE (r16 optimization round, the sign-LSH
+    // footer-stats pattern): `domainBound` is a caller-supplied upper
+    // bound on the item domain (ts_trending passes the part table's
+    // footer row count — l_partkey is a part FK, so |items| ≤ |part|).
+    // Below `spark.graft.rank.twoPhaseMinRows` (default 2²¹ ≈ 2M: a
+    // 2M-row skinny in-task sort is ~0.5 s — the point where the
+    // two-phase pass's fixed costs, one range-sampling job + one range
+    // exchange + the offset rollup, stop being overhead and start
+    // being the win) both sides rank through ONE side-partitioned
+    // window — 2 single-side sort tasks, zero extra exchanges,
+    // measured 0.29 s vs the two-phase 0.76 s warm at sf0.1's 20k-part
+    // domain. At or above the bound, [[globalRank2]]'s range-
+    // partitioned two-phase rank takes over — no single task ever
+    // sorts the unbounded domain. The conf keeps the crossover a
+    // deployment decision, not a code constant.
     val sides = halves.select(col("p"),
         expr("stack(2, 0L, qa, 1L, qb) as (side, q)"))
       .filter(col("q").isNotNull)
-    globalRank2(sides)
+    val twoPhaseMin = halves.sparkSession.conf
+      .get("spark.graft.rank.twoPhaseMinRows", "2097152").toLong
+    val ranked =
+      if (domainBound >= twoPhaseMin) globalRank2(sides)
+      else sides.select(col("side"), col("p"),
+        row_number().over(Window.partitionBy("side")
+          .orderBy(col("q").desc, col("p"))).cast("bigint").as("rank"))
+    ranked
       .groupBy("p")
       .agg(max(when(col("side") === 0, col("rank"))).as("r_early"),
         max(when(col("side") === 1, col("rank"))).as("r_late"))
@@ -452,9 +472,15 @@ object Extra25 {
     * is deterministic, bucket boundaries included.
     */
   private[graft] def globalRank2(rows: DataFrame,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 0): DataFrame = {
+    // Bucket count follows the session's shuffle parallelism unless the
+    // caller overrides — scale-adaptive (guide §2): a constant tuned
+    // for one box would under-split on a cluster and over-split at
+    // lower driver core counts.
+    val k = if (buckets > 0) buckets
+      else rows.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = rows
-      .repartitionByRange(buckets, col("side"), col("q").desc, col("p"))
+      .repartitionByRange(k, col("side"), col("q").desc, col("p"))
       .select(col("side"), col("p"), col("q"),
         spark_partition_id().as("bucket"))
     val offsets = parts.groupBy("side", "bucket")
@@ -848,7 +874,12 @@ object Extra25 {
         .agg(sum(when(col("day") < col("m"), col("qty"))).as("qa"),
           sum(when(col("day") >= col("m"), col("qty"))).as("qb"))
         .localCheckpoint(false)
-      rankClimbOf(halves)
+      // domainBound: l_partkey is a part-table FK, so the rank domain
+      // is ≤ |part| — read from footer metadata (no job), making the
+      // single-window/two-phase rank choice track the DATA, not the
+      // deployment (see rankClimbOf).
+      rankClimbOf(halves,
+        domainBound = graft.Q.parquetRowCount(s, s"$d/part.parquet"))
         .orderBy(col("climb").desc, col("p"))
         .limit(10)
     },

@@ -910,19 +910,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.contains("ExistingRDD"), f)
     assert(f.contains("TakeOrderedAndProject"), f)
     assert("bkt_lineitem".r.findAllIn(f).size <= 1, f)
-    // r16: BOTH halves rank through one shared two-phase
-    // range-partitioned pass — every row_number window is PARTITIONED
-    // by (side, range bucket) (parallel local sorts), never a global
-    // single-sort window over the |parts| rollup, and no exchange in
-    // the plan is single-partition (the ≤2K-row offset running sum
-    // partitions by side).
-    val rowNumSpecs =
-      "row_number\\(\\) windowspecdefinition\\(side#\\d+L?, bucket"
+    // r16 (optimization round): the rank pass is scale-ADAPTIVE on the
+    // footer-derived item-domain bound. At this spec's tiny SF the
+    // single shared side-partitioned window is chosen (one window, no
+    // range exchange, no range-sampling job) — every row_number window
+    // must be side-partitioned, never fully unpartitioned.
+    val sideRowNum =
+      "row_number\\(\\) windowspecdefinition\\(side#\\d+L?"
         .r.findAllIn(f).size
     val bareRowNum = "row_number\\(\\) windowspecdefinition\\("
       .r.findAllIn(f).size
-    assert(rowNumSpecs == bareRowNum && rowNumSpecs >= 1, f)
-    assert(!f.contains("Exchange SinglePartition"), f)
+    assert(sideRowNum == bareRowNum && sideRowNum >= 1, f)
+    assert(!f.contains("RangePartitioning"), f)
+  }
+
+  test("ts_trending above the domain bound: two-phase range rank, no single-partition exchange") {
+    // Force the large-domain branch (twoPhaseMinRows=0) and pin the
+    // scale form: every row_number window is PARTITIONED by
+    // (side, range bucket) (parallel local sorts), never a global
+    // single-sort window over the |parts| rollup, and no exchange in
+    // the plan is single-partition (the ≤2K-row offset running sum
+    // partitions by side).
+    spark.conf.set("spark.graft.rank.twoPhaseMinRows", "0")
+    try {
+      val df = SparkEntry.queries("ts_trending")(spark, sf)
+      df.collect()
+      val f = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==")(0)
+      val rowNumSpecs =
+        "row_number\\(\\) windowspecdefinition\\(side#\\d+L?, bucket"
+          .r.findAllIn(f).size
+      val bareRowNum = "row_number\\(\\) windowspecdefinition\\("
+        .r.findAllIn(f).size
+      assert(rowNumSpecs == bareRowNum && rowNumSpecs >= 1, f)
+      assert(!f.contains("Exchange SinglePartition"), f)
+    } finally spark.conf.unset("spark.graft.rank.twoPhaseMinRows")
   }
 
   test("ts_cross_corr: join-free lag fan-out, one corpus scan") {
