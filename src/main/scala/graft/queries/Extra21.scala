@@ -81,8 +81,15 @@ object Extra21 {
             lit(" != centroid dim "), size(col("cvec")).cast("string"),
             lit(" at vec_id="), col("vec_id").cast("string"))).cast("bigint"))
           .otherwise(
-            expr("aggregate(zip_with(xvec, cvec, (x, c) -> (x - c) * (x - c)), " +
-              "0L, (a, v) -> a + v)")).as("d2"),
+            // r16: native codegen'd kernel replaces the interpreted
+            // aggregate(zip_with(...)) lambda pair — HOFs are
+            // CodegenFallback, and the per-element dispatch plus the
+            // zipped-array allocation dominated this 20k-row × 64-dim
+            // pass (guide §4; the CosineSimilarity precedent). Same
+            // exact integer sum; the size guard above still owns the
+            // ragged-input contract.
+            org.apache.spark.sql.graft.native
+              .sq_dist_long(col("xvec"), col("cvec"))).as("d2"),
         col("clabel")).as("cand"))
       .groupBy("vec_id", "label")
       .agg(min(col("cand")).as("best"))

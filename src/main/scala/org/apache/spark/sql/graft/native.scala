@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{CosineSimilarity, FirstCommonSorted, HilbertIndex, IntersectSizeSorted, MinHashSignature, SignLshBuckets, SimHash64, UnicodeNormalize}
+import graft.functions.{CosineSimilarity, FirstCommonSorted, HilbertIndex, IntersectSizeSorted, MinHashSignature, SignLshBuckets, SimHash64, SquaredDistanceLong, UnicodeNormalize}
 import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
 
 /** Bridge into Spark's `private[sql]` Expression↔Column surface for the
@@ -21,6 +21,14 @@ object native {
   def cosine_similarity(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Σ (a_i − b_i)² over two bigint arrays (common prefix; exact integer)
+    * — the codegen'd form of `aggregate(zip_with(a, b, ...))` for the
+    * eval family's quantized distance passes.
+    */
+  def sq_dist_long(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SquaredDistanceLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** First common element of two SORTED bigint arrays (null if none) —
     * the allocation-free form of `array_min(array_intersect(a, b))` for

@@ -137,6 +137,19 @@ object GraftProperties extends Properties("graft") {
       fcsEval(a, b) == expect
     }
 
+  // sq_dist_long == Σ(a_i − b_i)² over the common prefix — the exact
+  // integer contract behind eval_confusion's r16 kernel swap (the
+  // aggregate(zip_with) lambda form it replaces is the reference).
+  property("sq_dist_long = exact integer squared distance (common prefix)") =
+    forAll(Gen.listOf(Gen.chooseNum(-2000000L, 2000000L)),
+        Gen.listOf(Gen.chooseNum(-2000000L, 2000000L))) { (a, b) =>
+      val expect = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      graft.functions.SquaredDistanceLong(
+        Literal(new GenericArrayData(a.toArray), ArrayType(LongType)),
+        Literal(new GenericArrayData(b.toArray), ArrayType(LongType)))
+        .eval(null) == expect
+    }
+
   // intersect_size_sorted == |A ∩ B| on sorted duplicate-free inputs —
   // the contract behind the dedup verify-stage swap.
   property("intersect_size_sorted = exact intersection size") =
