@@ -179,6 +179,13 @@ object Int8Index {
       .select(col("q_id"), col("vec_id"),
         gn.cosine_similarity(col("code").cast("array<float>"), col("qc"))
           .as("a"))
+      // Key the replica-dedup exchange on q_id ALONE (r16, guide §2.4):
+      // HashPartitioning(q_id) satisfies the (q_id, vec_id) grouping by
+      // the subset rule AND the shortlist heap's ClusteredDistribution
+      // (q_id) — one exchange instead of two (the bare groupBy hashed
+      // on both keys, and the heap cut then re-exchanged by q_id). No
+      // explicit partition count, so AQE still coalesces it.
+      .repartition(col("q_id"))
       .groupBy("q_id", "vec_id").agg(max(col("a")).as("approx"))
     val short = gn.top_k_per_group(cand, Seq("q_id"),
       Seq(col("approx").desc, col("vec_id").asc), shortlist)

@@ -219,6 +219,13 @@ object IvfPq {
     // min over exact decimals, deterministic.
     val adc = codes.join(broadcast(lut), Seq("cid", "j", "code"))
       .filter(col("vec_id") =!= col("q_id"))
+      // Key BOTH rollup exchanges on q_id alone (r16, guide §2.4):
+      // HashPartitioning(q_id) satisfies the (q_id, vec_id, cid) and
+      // (q_id, vec_id) groupings by the subset rule and the shortlist
+      // heap's ClusteredDistribution(q_id) — one exchange where the
+      // bare groupBys paid two and the heap cut a third. No explicit
+      // partition count, so AQE still coalesces it.
+      .repartition(col("q_id"))
       .groupBy("q_id", "vec_id", "cid").agg(sum("contrib").as("d2cell"))
       .groupBy("q_id", "vec_id").agg(min("d2cell").as("approx_d2"))
     val short = gn.top_k_per_group(adc, Seq("q_id"),

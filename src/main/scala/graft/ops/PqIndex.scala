@@ -161,6 +161,11 @@ object PqIndex {
     // ADC: m lookups + an exact-decimal sum per (query, candidate)
     val adc = codes.join(broadcast(lut), Seq("j", "code"))
       .filter(col("vec_id") =!= col("q_id"))
+      // Key the ADC rollup exchange on q_id alone (r16, guide §2.4):
+      // satisfies the (q_id, vec_id) grouping by the subset rule AND
+      // the shortlist heap's clustering — one exchange instead of two.
+      // No explicit partition count, so AQE still coalesces it.
+      .repartition(col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum("contrib").as("approx_d2"))
     val short = gn.top_k_per_group(adc, Seq("q_id"),

@@ -56,6 +56,18 @@ final case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  /** The heap cut never moves rows, so the child's partitioning holds
+    * verbatim (r16 optimization round; guide §2.4). Without this
+    * override the default UnknownPartitioning forced a fresh hash
+    * exchange after EVERY heap cut whenever a downstream operator
+    * needed clustering the child already had — the ANN pipelines
+    * (shortlist → rerank → final top-k) paid one extra exchange per
+    * search this way.
+    */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   /** Per-task byte budget for the heap map. The hash path retains
     * O(groups-per-task × k) row copies; above this budget the task
     * degrades to the spill-capable sort path below instead of OOMing on
