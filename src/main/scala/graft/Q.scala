@@ -354,6 +354,22 @@ object Q {
     try reapStaleStaging() catch { case _: Exception => () }
   }
 
+  /** Right-size STAGED-STATE output files before a parquet write (r17,
+    * guide §6 "small files hurt twice"): the staged index/segment frames
+    * were written straight from their build pipelines' shuffle
+    * parallelism — 32 near-empty files at fixture scale — and every
+    * later SEARCH scan paid one task per tiny file (measured: the int8
+    * candidate stage ran 32 tasks × ~280 ms of fixed per-task cost for
+    * ~560 rows each; StageProbe, OPTIMIZATION_r17.md). AQE's REBALANCE
+    * coalesces the write to advisory-partition-sized files — one file at
+    * fixture scale, ~64 MB files at cluster scale — exactly the guide's
+    * "coalesce on write" form; the extra staging-time exchange is
+    * one-time ingest cost by the staging contract. Reads need no change:
+    * with sensible file sizes the scan's split packing recovers
+    * parallelism from maxPartitionBytes alone.
+    */
+  def fileSized(df: DataFrame): DataFrame = df.hint("rebalance")
+
   /** Hash-spread an input across the session's full shuffle parallelism,
     * keyed (not round-robin) so downstream keyed ops can reuse the
     * partitioning. The testdata parquet files are single-row-group, so

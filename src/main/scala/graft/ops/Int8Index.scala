@@ -119,8 +119,8 @@ object Int8Index {
       s"${safe}_k${kCells}_rc${rc}_r$refine$metaTag"
     staged.computeIfAbsent(dir, { _ =>
       val (cents, codes) = buildIndex(embs, kCells, rc, refine, meta)
-      cents.write.mode("overwrite").parquet(s"$dir/cents")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      graft.Q.fileSized(cents).write.mode("overwrite").parquet(s"$dir/cents")
+      graft.Q.fileSized(codes).write.mode("overwrite").parquet(s"$dir/codes")
       cents.unpersist(false)
       java.lang.Boolean.TRUE
     })

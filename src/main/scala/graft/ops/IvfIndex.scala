@@ -126,6 +126,12 @@ object IvfIndex {
     val dir = graft.Q.jvmStageRoot("graft_ivf") + s"/" +
       s"${safe}_k${k}_p${nProbe}_r$refine"
     staged.computeIfAbsent(dir, { _ =>
+      // Deliberately NOT fileSized (r17 negative result, the lshbase
+      // twin): the cell-membership scan feeds pairsFromCells' self-join
+      // — scan parallelism IS the candidate stage's parallelism, and a
+      // single-file staging serialized it (sim_ann_ivf 0.48 -> 2.36 s
+      // measured). The build's aggregate leaves shuffle-parallelism
+      // partitioning in the file layout on purpose.
       assign(embs, k, nProbe, refine)
         .groupBy("vec_id").agg(sort_array(collect_list(col("cid"))).as("cells"))
         .write.mode("overwrite").parquet(dir)
@@ -155,7 +161,8 @@ object IvfIndex {
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
     val dir = graft.Q.jvmStageRoot("graft_ivf") + s"/cents_${safe}_k${k}_r$refine"
     staged.computeIfAbsent(dir, { _ =>
-      centroids(embs, k, refine).write.mode("overwrite").parquet(dir)
+      graft.Q.fileSized(centroids(embs, k, refine))
+        .write.mode("overwrite").parquet(dir)
       java.lang.Boolean.TRUE
     })
     graft.Q.readStagedParquet(spark, dir)

@@ -147,9 +147,9 @@ object IvfPq {
       Integer.valueOf(PqIndex.embeddingDim(embs, m))).intValue()
     staged.computeIfAbsent(dir, { _ =>
       val f = buildFrames(embs, d, kCells, rc, m, k, refine)
-      f.cents.write.mode("overwrite").parquet(s"$dir/cents")
-      f.cb.write.mode("overwrite").parquet(s"$dir/cb")
-      f.codes.write.mode("overwrite").parquet(s"$dir/codes")
+      graft.Q.fileSized(f.cents).write.mode("overwrite").parquet(s"$dir/cents")
+      graft.Q.fileSized(f.cb).write.mode("overwrite").parquet(s"$dir/cb")
+      graft.Q.fileSized(f.codes).write.mode("overwrite").parquet(s"$dir/codes")
       // The index is on disk — the build-side caches would otherwise sit
       // in executor memory for the JVM lifetime with no further reader.
       f.cents.unpersist(false)

@@ -128,9 +128,9 @@ object PqIndex {
       Integer.valueOf(embeddingDim(embs, m))).intValue()
     staged.computeIfAbsent(dir, { _ =>
       val cb = trainCodebooksD(embs, m, k, rounds, d)
-      cb.write.mode("overwrite").parquet(s"$dir/cb")
-      encodeD(graft.Q.spreadBy(embs, "vec_id"),
-        spark.read.parquet(s"$dir/cb"), m, d)
+      graft.Q.fileSized(cb).write.mode("overwrite").parquet(s"$dir/cb")
+      graft.Q.fileSized(encodeD(graft.Q.spreadBy(embs, "vec_id"),
+          spark.read.parquet(s"$dir/cb"), m, d))
         .write.mode("overwrite").parquet(s"$dir/codes")
       java.lang.Boolean.TRUE
     })

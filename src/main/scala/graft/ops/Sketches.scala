@@ -218,7 +218,8 @@ object Sketches {
     val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
     val dir = graft.Q.jvmStageRoot("graft_shingles") + s"/${safe}_n$shingleN"
     stagedShingles.computeIfAbsent(dir, { _ =>
-      hashedShingles(docs, shingleN).write.mode("overwrite").parquet(dir)
+      graft.Q.fileSized(hashedShingles(docs, shingleN))
+        .write.mode("overwrite").parquet(dir)
       java.lang.Boolean.TRUE
     })
     graft.Q.readStagedParquet(spark, dir)
@@ -462,6 +463,14 @@ object Sketches {
         val dir = graft.Q.jvmStageRoot("graft_lshbase") + s"/" +
           s"${safe}_b${nbits}_t${tables}_p$probe"
       stagedLshBase.computeIfAbsent(dir, { _ =>
+          // Deliberately NOT fileSized (r17 negative result): this
+          // relation feeds a CPU-heavy self-JOIN (pair explosion +
+          // cosine) whose parallelism comes from the SCAN — the build's
+          // spreadBy partitioning carries into the file layout, and a
+          // single-file staging serialized the whole candidate stage
+          // (dedup_semantic 0.86 -> 4.08 s measured). File count tracks
+          // the build session's shuffle parallelism: cluster-sized on a
+          // cluster, 32 locally.
           buildBase.write.mode("overwrite").parquet(dir)
           java.lang.Boolean.TRUE
         })

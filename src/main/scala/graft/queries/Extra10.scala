@@ -55,6 +55,12 @@ object Extra10 {
       T.orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_custkey",
           "o_totalprice") // + r14: sql_q18's pass-through output column
+        // One file per bucket (r17, guide §6): repartition by the bucket
+        // column with the bucket count — HashPartitioning(8) is the same
+        // murmur3 pmod the bucketed write uses, so each task holds
+        // exactly one bucket and writes exactly one file (the unaligned
+        // write emitted one file per task × bucket).
+        .repartition(8, col("o_orderkey"))
         .write.format("parquet").bucketBy(8, "o_orderkey")
         .mode("overwrite").option("path", s"$base/orders").saveAsTable(to)
     }
@@ -62,6 +68,7 @@ object Extra10 {
       T.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_suppkey", "l_shipdate",
           "l_partkey", "l_discount", "l_quantity")
+        .repartition(8, col("l_orderkey")) // one file per bucket (r17)
         .write.format("parquet").bucketBy(8, "l_orderkey")
         .mode("overwrite").option("path", s"$base/lineitem").saveAsTable(tl)
     }

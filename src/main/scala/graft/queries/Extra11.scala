@@ -30,7 +30,8 @@ object Extra11 {
       "corpus_" + Q.corpusFingerprint(s, s"$d/documents.parquet"))
     stagedMedia.computeIfAbsent(dir, { _ =>
       val n = Q.parquetRowCount(s, s"$d/documents.parquet").toInt
-      Multimodal.synthesize(s, n).write.mode("overwrite").parquet(dir)
+      graft.Q.fileSized(Multimodal.synthesize(s, n))
+        .write.mode("overwrite").parquet(dir)
       java.lang.Boolean.TRUE
     })
     dir

@@ -125,6 +125,12 @@ object Extra23 {
     val tbl = s"graft_tf_$tag"
     if (!s.catalog.tableExists(tbl)) {
       tfOf(graft.Q.spreadBy(T.documents(s, d).select("doc_id", "text"), "doc_id"))
+        // One file per bucket (r17, guide §6): the 32-partition tf build
+        // otherwise writes up to 32 files whose every bucketed scan pays
+        // near-empty task overhead; repartition(8, doc_id) aligns task
+        // hash with bucket hash — exactly 8 files, and each in-bucket
+        // sortBy run covers the whole bucket.
+        .repartition(8, col("doc_id"))
         .write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
         .mode("overwrite")
         .option("path", graft.Q.jvmStageRoot("graft_tf") + s"/$tag")
@@ -676,6 +682,7 @@ object Extra23 {
         .agg(min(col("l_quantity")).cast("bigint").as("w"))
       e0.select(col("a").as("u"), col("b").as("v"), col("w"))
         .union(e0.select(col("b").as("u"), col("a").as("v"), col("w")))
+        .repartition(8, col("u")) // one file per bucket (r17, guide §6)
         .write.format("parquet").bucketBy(8, "u").sortBy("u")
         .mode("overwrite")
         .option("path", graft.Q.jvmStageRoot("graft_graph") + s"/$tag")

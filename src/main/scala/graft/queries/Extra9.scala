@@ -117,6 +117,11 @@ object Extra9 {
         val dir = graft.Q.jvmStageRoot("graft_docgrams") + s"/" +
           s"${safe}_pf$prefilterDf"
         stagedDocGrams.computeIfAbsent(dir, { _ =>
+          // Deliberately NOT fileSized (r17, the lshbase/ivf-cells
+          // negative-result class): the probe/index self-join explodes
+          // this relation map-side — scan parallelism is the candidate
+          // stage's parallelism, and the build aggregate's partitioning
+          // in the file layout is what provides it.
           docGramsFresh.write.mode("overwrite").parquet(dir)
           java.lang.Boolean.TRUE
         })
