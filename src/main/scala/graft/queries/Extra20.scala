@@ -49,10 +49,21 @@ object Extra20 {
   /** The pair co-occurrence declared shape, factored for the scale
     * probe: per-key sorted basket sets in one fact shuffle, ordered
     * pairs by posexplode + strict-suffix slice, two-phase count.
+    *
+    * The basket exchange is spreadBy, not a bare groupBy (r17, VERDICT
+    * r16 #3 — the query's negative 8-vs-32-core scaling): AQE sizes the
+    * post-shuffle stage by BYTES (≈5 MB of set partials → 4 tasks at
+    * sf0.1), but the stage's cost is the basket-squared pair GENERATE
+    * downstream of it (StageProbe: 1984 ms of CPU serialized over those
+    * 4 tasks — the whole board's worst compute-vs-bytes mismatch). The
+    * explicit session-parallelism count keeps the fan-out stage wide;
+    * the grouping keys ⊇ the spread key, so no second basket exchange
+    * appears (subset rule), and at cluster scale the spread count is the
+    * configured shuffle parallelism, not a local constant.
     */
   def cooccurOf(fact: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    fact
+    graft.Q.spreadBy(fact, "l_orderkey")
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
