@@ -51,25 +51,26 @@ object Extra10 {
     // columns + sql_q8/q9's part/discount/quantity/custkey columns,
     // r13) — the point of a staged layout is ONE write serving many
     // downstream joins, each pruning to its own columns at scan time.
+    // Bucket count = session shuffle parallelism (r17): the constant 8
+    // pinned every co-partitioned consumer join (sql_q8/q9/q18/q21,
+    // layout_bucketed) to 8 tasks. Both tables stage in one session so
+    // the counts always match; the repartition by the bucket column with
+    // the bucket count writes exactly one file per bucket (guide §6).
+    val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
     if (!s.catalog.tableExists(to)) {
       T.orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_custkey",
           "o_totalprice") // + r14: sql_q18's pass-through output column
-        // One file per bucket (r17, guide §6): repartition by the bucket
-        // column with the bucket count — HashPartitioning(8) is the same
-        // murmur3 pmod the bucketed write uses, so each task holds
-        // exactly one bucket and writes exactly one file (the unaligned
-        // write emitted one file per task × bucket).
-        .repartition(8, col("o_orderkey"))
-        .write.format("parquet").bucketBy(8, "o_orderkey")
+        .repartition(nb, col("o_orderkey"))
+        .write.format("parquet").bucketBy(nb, "o_orderkey")
         .mode("overwrite").option("path", s"$base/orders").saveAsTable(to)
     }
     if (!s.catalog.tableExists(tl)) {
       T.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_suppkey", "l_shipdate",
           "l_partkey", "l_discount", "l_quantity")
-        .repartition(8, col("l_orderkey")) // one file per bucket (r17)
-        .write.format("parquet").bucketBy(8, "l_orderkey")
+        .repartition(nb, col("l_orderkey")) // one file per bucket (r17)
+        .write.format("parquet").bucketBy(nb, "l_orderkey")
         .mode("overwrite").option("path", s"$base/lineitem").saveAsTable(tl)
     }
     (to, tl)

@@ -124,14 +124,17 @@ object Extra23 {
     val tag = graft.Q.corpusTag(s, d, "documents").replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"graft_tf_$tag"
     if (!s.catalog.tableExists(tbl)) {
+      // Bucket count = session shuffle parallelism (r17): the constant 8
+      // pinned every tf-segment rollup (dl, dfq — text_bm25, text_phrase,
+      // sim_hybrid_rrf) to 8 tasks; the session count keeps them as wide
+      // as the cluster. repartition by the bucket column with the bucket
+      // count aligns task hash with bucket hash — exactly one file per
+      // bucket (guide §6), and each in-bucket sortBy run covers the
+      // whole bucket.
+      val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
       tfOf(graft.Q.spreadBy(T.documents(s, d).select("doc_id", "text"), "doc_id"))
-        // One file per bucket (r17, guide §6): the 32-partition tf build
-        // otherwise writes up to 32 files whose every bucketed scan pays
-        // near-empty task overhead; repartition(8, doc_id) aligns task
-        // hash with bucket hash — exactly 8 files, and each in-bucket
-        // sortBy run covers the whole bucket.
-        .repartition(8, col("doc_id"))
-        .write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+        .repartition(nb, col("doc_id"))
+        .write.format("parquet").bucketBy(nb, "doc_id").sortBy("doc_id")
         .mode("overwrite")
         .option("path", graft.Q.jvmStageRoot("graft_tf") + s"/$tag")
         .saveAsTable(tbl)
@@ -675,6 +678,13 @@ object Extra23 {
     val tag = graft.Q.corpusTag(s, d, "lineitem").replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"graph_edges_$tag"
     if (!s.catalog.tableExists(tbl)) {
+      // Bucket count = session shuffle parallelism (r17): the old
+      // constant 8 pinned every bucketed-scan consumer (louvain's nc2
+      // rollup, modularity's degree rollup) to 8 tasks — StageProbe
+      // measured nc2's scan+attach+rollup stage as 8 tasks x ~430 ms,
+      // the single widest slice of graph_louvain1. The subset rule is
+      // count-independent, so consumers keep their exchange-free shape.
+      val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e0 = T.lineitem(s, d)
         .select((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"),
           col("l_quantity"))
@@ -682,8 +692,8 @@ object Extra23 {
         .agg(min(col("l_quantity")).cast("bigint").as("w"))
       e0.select(col("a").as("u"), col("b").as("v"), col("w"))
         .union(e0.select(col("b").as("u"), col("a").as("v"), col("w")))
-        .repartition(8, col("u")) // one file per bucket (r17, guide §6)
-        .write.format("parquet").bucketBy(8, "u").sortBy("u")
+        .repartition(nb, col("u")) // one file per bucket (r17, guide §6)
+        .write.format("parquet").bucketBy(nb, "u").sortBy("u")
         .mode("overwrite")
         .option("path", graft.Q.jvmStageRoot("graft_graph") + s"/$tag")
         .saveAsTable(tbl)

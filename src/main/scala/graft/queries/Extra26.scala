@@ -136,12 +136,20 @@ object Extra26 {
     // ka (own-community count), m2, intra_b, community degrees and the
     // candidate relation ALL derive as collapsed rollups: the second/
     // third edge passes (m2i, degl) and their barriers disappear.
-    // Barriers kept: nc2 (read ≥6 times), degl (3 consumers), mv (2
-    // consumers); base/dc/l4 re-derive from those cut states inside
-    // their consumers' plans — node-sized rollup/broadcast work that
-    // the final execution runs concurrently instead of sequentially.
-    // Measured (same box, SPARK_GRAFT_ONLY A/B): 5.26 s → see
-    // OPTIMIZATION_r16.md. Node-sized broadcasts share labelSide's
+    // Barriers kept (r17, VERDICT r16 #1 — down from r16's three):
+    // nc2 (read ≥6 times) and mv (4 consumers), both EAGER — the lazy
+    // form let concurrent broadcast jobs race to materialize the cut
+    // and compute the edge-grain map twice (StageProbe: two 2.1 MB map
+    // stages). degl/dc/base/l4 re-derive from the cut states inside
+    // their consumers' plans — node-sized rollup/broadcast work the
+    // final execution runs concurrently instead of sequentially; dc
+    // derives DIRECTLY from nc2 (Σk grouped by the constant own label
+    // ≡ the degl→dc chain) so the degl and dc broadcasts build in the
+    // same wave. Dropping the mv barrier too was A/B-measured WORSE
+    // (1.97 vs 1.79 warm min — four concurrent re-derivations of the
+    // heap cut's node exchange; recorded negative result). Measured
+    // r16→r17 same box: 3.06 → 1.79 s warm steady (QuickTime), bench
+    // baseline 2.68 s. Node-sized broadcasts share labelSide's
     // documented node-count ceiling and its conf gate.
     val bcast: DataFrame => DataFrame =
       df => if (df.sparkSession.conf
@@ -153,31 +161,38 @@ object Extra26 {
       .join(Extra24.labelSide(lab, "v", "lv"), "v")
       .groupBy(col("u").as("node"), col("lu").as("a"), col("lv").as("nlab"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // m2 + before-intra: a 1-row rollup of nc2 (no edge rescan).
     val m2i = nc2.agg(sum("k").as("m2"),
       sum(when(col("a") === col("nlab"), col("k")).otherwise(0L)).as("intra_b"))
     // Node frame from nc2: own label (constant per node), degree
     // ki = Σk, own-community count ka = Σk[a = nlab]. max(a) ≡ the
-    // constant own label — deterministic, order-free.
-    val degl = nc2.groupBy("node")
+    // constant own label — deterministic, order-free. NOT a barrier
+    // (r17, VERDICT r16 #1): each consumer re-derives this node-sized
+    // rollup from the CUT nc2 state inside its own plan — those
+    // re-rollups run concurrently in the mv/final jobs, where the old
+    // sequential localCheckpoint paid one full job of fixed stage cost
+    // to save them (barrier count 3 → 2).
+    def degl = nc2.groupBy("node")
       .agg(max(col("a")).as("a"), sum("k").as("ki"),
         sum(when(col("a") === col("nlab"), col("k")).otherwise(0L)).as("ka"))
-      .localCheckpoint(false)
-    // Community degrees / their square sum: label-count-sized rollups
-    // of the cut degl — re-derived per consumer (tiny), never a barrier.
-    def dc = degl.groupBy("a").agg(sum("ki").as("dcv"))
+    // Community degrees DIRECTLY from nc2 (r17): dc = Σ_node ki over a
+    // ≡ Σ of ALL nc2 k rows grouped by the constant own label — one
+    // rollup of the cut state instead of the degl→dc chain, so the dc
+    // and degl broadcasts build CONCURRENTLY (one sequential wave
+    // fewer; StageProbe timeline, OPTIMIZATION_r17.md).
+    def dc = nc2.groupBy("a").agg(sum("k").as("dcv"))
     val sqB = dc.agg(sum(col("dcv") * col("dcv")).as("sq_b"))
-    def base = degl
-      .join(bcast(dc.select(col("a"), col("dcv").as("da"))), "a")
     // Candidates: nc2 rows are already (node, a, nlab, k) — the own-
     // community filter needs no attach; ki/ka/da/db/m2 arrive as
     // node-/community-/1-row-sized broadcasts, so the edge-sized
     // relation is never key-shuffled for a join; the only exchange
-    // left is the heap cut's clustering.
+    // left is the heap cut's clustering. da attaches by its own
+    // broadcast join on the carried `a` column (r17 — the former
+    // degl⋈dc `base` hop serialized the two rollups).
     val cand = nc2.filter(col("nlab") =!= col("a"))
-      .join(bcast(base.select(col("node"), col("ki"), col("ka"), col("da"))),
-        "node")
+      .join(bcast(degl.select(col("node"), col("ki"), col("ka"))), "node")
+      .join(bcast(dc.select(col("a"), col("dcv").as("da"))), "a")
       .join(bcast(dc.select(col("a").as("nlab"), col("dcv").as("db"))), "nlab")
       .crossJoin(broadcast(m2i.select("m2")))
       .withColumn("delta", (col("k") - col("ka")) * col("m2")
@@ -186,7 +201,7 @@ object Extra26 {
     val mv = gn.top_k_per_group(cand, Seq("node"),
         Seq(col("delta").desc, col("nlab").asc), 1)
       .select(col("node"), col("nlab").as("bl"), col("delta"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val moves = mv.filter(col("delta") > 0)
       .agg(count(lit(1)).as("n_moved"),
         coalesce(sum("delta"), lit(0L)).as("gain_units"))
@@ -210,8 +225,14 @@ object Extra26 {
         .as("intra_a"))
     val sqA = l4.groupBy("label").agg(sum("ki").as("dcv"))
       .agg(sum(col("dcv") * col("dcv")).as("sq_a"))
-    m2i.crossJoin(broadcast(moves)).crossJoin(broadcast(sqB))
-      .crossJoin(broadcast(intraA)).crossJoin(broadcast(sqA))
+    // intraA is the assembly SPINE, not a broadcast (r17): it is the
+    // longest dependency chain (mv → relab broadcast → edge rescan), so
+    // broadcasting it added one more materialization hop after the
+    // slowest branch; as the spine its 1-row aggregate flows straight
+    // into the result stage while the cheap scalars broadcast in
+    // parallel.
+    intraA.crossJoin(broadcast(m2i)).crossJoin(broadcast(moves))
+      .crossJoin(broadcast(sqB)).crossJoin(broadcast(sqA))
       .select(col("m2"), col("n_moved"), col("gain_units"),
         (col("intra_b") * col("m2") - col("sq_b")).as("q_num_before"),
         (col("intra_a") * col("m2") - col("sq_a")).as("q_num_after"),

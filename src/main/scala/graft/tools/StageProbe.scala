@@ -37,7 +37,7 @@ object StageProbe {
       scope0.release(); spark.sharedState.cacheManager.clearCache()
 
       final case class St(id: Int, name: String, tasks: Int, runMs: Long,
-          maxMs: Long, shRead: Long, shWrite: Long, gcMs: Long, submitted: Long)
+          wallMs: Long, shRead: Long, shWrite: Long, gcMs: Long, submitted: Long)
       val stages = mutable.ArrayBuffer.empty[St]
       var jobs = 0
       val listener = new SparkListener {
@@ -47,11 +47,12 @@ object StageProbe {
           synchronized {
             val si = sc.stageInfo
             val tm = si.taskMetrics
+            val sub = si.submissionTime.getOrElse(0L)
             stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(60),
               si.numTasks, tm.executorRunTime,
-              0L, tm.shuffleReadMetrics.totalBytesRead,
-              tm.shuffleWriteMetrics.bytesWritten, tm.jvmGCTime,
-              si.submissionTime.getOrElse(0L))
+              si.completionTime.getOrElse(sub) - sub,
+              tm.shuffleReadMetrics.totalBytesRead,
+              tm.shuffleWriteMetrics.bytesWritten, tm.jvmGCTime, sub)
           }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -63,8 +64,9 @@ object StageProbe {
       spark.sparkContext.removeSparkListener(listener)
       Thread.sleep(200) // let the listener bus drain
       println(f"[stageprobe] $name  warm=$dt%.2f s  jobs=$jobs  stages=${stages.size}")
+      val t0s = if (stages.isEmpty) 0L else stages.map(_.submitted).min
       stages.sortBy(_.submitted).foreach { s =>
-        println(f"  stage ${s.id}%4d tasks=${s.tasks}%4d run=${s.runMs}%6d ms gc=${s.gcMs}%4d shR=${s.shRead / 1024}%7d K shW=${s.shWrite / 1024}%7d K  ${s.name}")
+        println(f"  stage ${s.id}%4d @${s.submitted - t0s}%5d wall=${s.wallMs}%5d tasks=${s.tasks}%4d run=${s.runMs}%6d ms gc=${s.gcMs}%4d shR=${s.shRead / 1024}%7d K shW=${s.shWrite / 1024}%7d K  ${s.name}")
       }
     }
     spark.stop()
