@@ -343,13 +343,34 @@ object Extra23 {
       val termSet = qterms.select("term").distinct()
       val dfq = tf.join(broadcast(termSet), col("word") === col("term"), "left_semi")
         .groupBy("word").agg(count(lit(1)).as("df"))
+      // r17 restructure of the lex scoring stage (StageProbe: 29.6 s of
+      // CPU, the query's worst stage). Two fixes, same rows out:
+      //  * FILTER FIRST: the old form ran the corpus-grain tf⋈dl
+      //    sort-merge before any term filter (no CBO join reordering —
+      //    code order is execution order); the grouped term table now
+      //    broadcast-joins 1:1 against tf up front, so dl attaches to
+      //    query-term rows only. dl itself is a WINDOW over the
+      //    bucketed, doc_id-sorted scan — exchange-free AND sort-free
+      //    (the bucket sort order satisfies the window), one tf pass
+      //    instead of scan+rollup+join.
+      //  * UNITS ONCE PER (doc, word): bm25Units does not depend on
+      //    q_id, but the old per-(q_id, term) join fanned each tf row
+      //    ×8 BEFORE the math; grouping the term table per word and
+      //    exploding the q_id list AFTER the projection computes the
+      //    units once and fans out integers.
+      val qtermsG = qterms.groupBy("term")
+        .agg(sort_array(collect_list(col("q_id"))).as("qids"))
+      // dl windows over the UNFILTERED tf — document length counts every
+      // word, so the window must run before the term join cuts rows.
+      val wdl = Window.partitionBy("doc_id")
       val lex = tf
-        .join(dl, "doc_id")
+        .withColumn("dl", sum("tf").over(wdl))
+        .join(broadcast(qtermsG), col("word") === col("term"))
         .join(broadcast(dfq), "word")
-        .join(broadcast(qterms), col("word") === col("term"))
-        .filter(col("doc_id") =!= col("q_id"))
         .crossJoin(broadcast(nt))
-        .select(col("q_id"), col("doc_id"), bm25Units.as("units"))
+        .select(col("doc_id"), bm25Units.as("units"), col("qids"))
+        .select(col("doc_id"), col("units"), explode(col("qids")).as("q_id"))
+        .filter(col("doc_id") =!= col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(sum("units").as("s"))
       // Bounded-heap cut FIRST, rank second (r15, VERDICT r14 #6): the
@@ -383,10 +404,17 @@ object Extra23 {
       // double ulp at ≤1) and the BIGINT bm25 unit sums stay ≤ ~2⁴⁰ «
       // 2⁵³ — ties keep the doc_id break, and no gate arithmetic ever
       // touches the cast values (ranks are the only thing emitted).
+      // ONE exchange for the whole fusion tail (r17, the ANN q_id-subset
+      // trick): HashPartitioning(q_id) satisfies the rank window's
+      // (lst, q_id) clustering, rrfFuse's (q_id, doc_id) grouping AND
+      // its heap cut's q_id clustering by the subset rule — the bare
+      // chain paid three exchanges over rank-row dust, each a
+      // sequential stage wave.
       val both = dense.select(col("q_id"), col("nb_id").as("doc_id"),
           col("sim").cast("double").as("score"), lit(0).as("lst"))
         .unionByName(lexSide.select(col("q_id"), col("doc_id"),
           col("s").cast("double").as("score"), lit(1).as("lst")))
+        .repartition(col("q_id"))
       val fw = Window.partitionBy("lst", "q_id")
         .orderBy(col("score").desc, col("doc_id"))
       val ranked = both.withColumn("rank", row_number().over(fw))
