@@ -667,6 +667,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN shortlist path carries exactly ONE hash exchange, keyed on q_id") {
+    // r16 exchange elimination, pinned r17 (VERDICT r16 #2): the
+    // candidate relation repartitions on q_id ALONE, which satisfies the
+    // (q_id, vec_id) replica-dedup grouping, the bounded-heap shortlist's
+    // ClusteredDistribution(q_id) (TopKPerGroupExec preserves its child's
+    // partitioning — the heap cut never moves rows) AND the final top-k's
+    // clustering, all by the subset rule — so between the code-table scan
+    // and the final cut there is exactly one shuffle. A second hash
+    // exchange reappearing here (the rollup re-keying on both columns, or
+    // TopKPerGroupExec losing its outputPartitioning override) would
+    // re-shuffle every scored candidate at corpus scale.
+    for (q <- Seq("sim_ann_int8", "sim_ann_pq", "sim_ann_ivfpq")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString()
+      val cut = full.indexOf("== Initial Plan ==")
+      val exec = if (cut >= 0) full.substring(0, cut) else full
+      assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+        s"$q: expected exactly one hash exchange\n$full")
+      assert("Exchange hashpartitioning\\(q_id".r.findAllIn(exec).size == 1,
+        s"$q: the one hash exchange must be keyed on q_id alone\n$full")
+      // the only other allowed exchange is the final presentation sort
+      assert("Exchange rangepartitioning".r.findAllIn(exec).size <= 1,
+        s"$q: $full")
+    }
+  }
+
   test("graph_bfs/graph_sssp results read checkpointed rounds, never the corpus") {
     // The traversal contract (r14, RDD rounds since r15): rounds
     // materialize as persisted/checkpointed round state, so the RESULT
