@@ -370,6 +370,32 @@ object Q {
     */
   def fileSized(df: DataFrame): DataFrame = df.hint("rebalance")
 
+  /** THE lineage-cut recipe (r17, VERDICT r16 #5/#7): every multi-round
+    * / multi-consumer pipeline (louvain barriers, pagerank/BPE round
+    * cuts, reliability's bin rollup, ts_trending) cuts through here.
+    *
+    * Default = `localCheckpoint`: blocks are NON-REPLICATED executor
+    * state — fast, but an executor loss mid-query kills the job with no
+    * lineage to recompute from. That is the right trade on local[*] and
+    * for re-runnable batch queries. Deployments that need executor-loss
+    * survival at 100 TB set `spark.graft.checkpoint.dir` to a reliable
+    * location (HDFS/object store): every cut then routes through
+    * RELIABLE `Dataset.checkpoint` into that directory. Checkpoint-file
+    * lifecycle belongs to the deployment (set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or reap the
+    * dir) — CacheScope arenas only manage block-manager state, which
+    * reliable checkpoints do not pin. Both modes are spec-pinned equal
+    * on one query path (OpsSpec).
+    */
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
+    }
+
   /** Hash-spread an input across the session's full shuffle parallelism,
     * keyed (not round-robin) so downstream keyed ops can reuse the
     * partitioning. The testdata parquet files are single-row-group, so

@@ -129,7 +129,7 @@ object Bfs {
           .join(e, "u")
           .select(col("v").as("node")).distinct()
           .select(col("node"), lit(hop.toLong).as("dist"))
-          .localCheckpoint(eager = false))
+          .transform(graft.Q.cut(_, eager = false)))
         val n = dbg(s"round $hop")(next.count()) // materializes; terminates; guards
         require(n <= maxFrontier,
           s"multiSourceBfs: hop-$hop frontier has $n nodes, exceeding the " +
@@ -191,7 +191,7 @@ object Bfs {
           .select(col("v").as("node"), (col("d") + col("w")).as("d"))
         dist = dist.union(relaxed)
           .groupBy("node").agg(min("d").as("d"))
-          .localCheckpoint(eager = false)
+          .transform(graft.Q.cut(_, eager = false))
         val n = dist.count() // materializes; guards
         require(n <= maxNodes,
           s"multiSourceRelax: round-${i + 1} distance table has $n nodes, " +

@@ -88,7 +88,7 @@ object BpeTrainer {
       .select(expr(
         "array_join(transform(sequence(1, length(word)), " +
           "i -> substring(word, i, 1)), chr(31))").as("ws"), col("f"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Q.cut(_, eager = false))
     val out = (1 to rounds).map { r =>
       val pairs = wf
         .select(col("f"), split(col("ws"), sep).as("t"))
@@ -103,7 +103,7 @@ object BpeTrainer {
         .select(expr(
           "replace(ws, concat(a, chr(31), b), concat(a, b))").as("ws"),
           col("f"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Q.cut(_, eager = false))
       val tot = wf.agg(
         sum(col("f") * size(split(col("ws"), sep))).as("tot_tokens"))
       best.select(lit(r).as("round"), col("a").as("p1"), col("b").as("p2"),

@@ -168,7 +168,7 @@ object Components {
     var labels = nodes.select(col("id")).join(firstNbr, Seq("id"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("nmin"), col("id"))).as("rep"))
-      .localCheckpoint() // eager; truncates lineage (see scaladoc)
+      .transform(graft.Q.cut(_)) // eager; truncates lineage (see scaladoc)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -197,7 +197,7 @@ object Components {
           col("rep") === col("rid"), "left")
         .select(col("id"), col("prev"),
           least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
-        .localCheckpoint(eager = false) // truncates the doubled self-join lineage
+        .transform(graft.Q.cut(_, eager = false)) // truncates the doubled self-join lineage
       // Min-propagation is monotone: converged when no label shrank.
       val changed = next.filter(col("rep") < col("prev")).count()
       prop.unpersist()

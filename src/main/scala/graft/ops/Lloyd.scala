@@ -94,7 +94,7 @@ object Lloyd {
     var cb = seed
     (0 until rounds).foreach { rnd =>
       cb = step(points, cb, score, if (fallbackToSeed) seed else cb, subspaced)
-      if (rnd < rounds - 1) cb = cb.localCheckpoint()
+      if (rnd < rounds - 1) cb = graft.Q.cut(cb)
     }
     cb
   }

@@ -66,7 +66,7 @@ object PageRank {
       // action). Never after the final round: the consumer's one action
       // materializes that lineage anyway.
       if (i % checkpointEvery == 0 && i < iterations)
-        r = r.localCheckpoint(eager = false)
+        r = graft.Q.cut(r, eager = false)
     }
     r
   }

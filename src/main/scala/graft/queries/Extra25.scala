@@ -873,7 +873,7 @@ object Extra25 {
         .groupBy("p")
         .agg(sum(when(col("day") < col("m"), col("qty"))).as("qa"),
           sum(when(col("day") >= col("m"), col("qty"))).as("qb"))
-        .localCheckpoint(false)
+        .transform(graft.Q.cut(_, eager = false))
       // domainBound: l_partkey is a part-table FK, so the rank domain
       // is ≤ |part| — read from footer metadata (no job), making the
       // single-window/two-phase rank choice track the DATA, not the

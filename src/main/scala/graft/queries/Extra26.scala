@@ -62,7 +62,7 @@ object Extra26 {
     // 10-row state (ExistingRDD; pinned in PlanSpec).
     val b = e.groupBy(least(expr("cu div 100000000"), lit(9L)).as("bin"))
       .agg(count(lit(1)).as("n"), sum("pos").as("np"))
-      .localCheckpoint(false)
+      .transform(graft.Q.cut(_, eager = false))
     // Prefix sums over the ≤10 present bins (collapsed bounded domain —
     // the single-partition exchange here moves ≤10 rows).
     val w = Window.orderBy("bin")
@@ -161,7 +161,7 @@ object Extra26 {
       .join(Extra24.labelSide(lab, "v", "lv"), "v")
       .groupBy(col("u").as("node"), col("lu").as("a"), col("lv").as("nlab"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint(true)
+      .transform(graft.Q.cut(_))
     // m2 + before-intra: a 1-row rollup of nc2 (no edge rescan).
     val m2i = nc2.agg(sum("k").as("m2"),
       sum(when(col("a") === col("nlab"), col("k")).otherwise(0L)).as("intra_b"))
@@ -201,7 +201,7 @@ object Extra26 {
     val mv = gn.top_k_per_group(cand, Seq("node"),
         Seq(col("delta").desc, col("nlab").asc), 1)
       .select(col("node"), col("nlab").as("bl"), col("delta"))
-      .localCheckpoint(true)
+      .transform(graft.Q.cut(_))
     val moves = mv.filter(col("delta") > 0)
       .agg(count(lit(1)).as("n_moved"),
         coalesce(sum("delta"), lit(0L)).as("gain_units"))

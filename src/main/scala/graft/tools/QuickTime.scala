@@ -17,6 +17,7 @@ object QuickTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // r17, see Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries("agg_pricing")(spark, sfDir).count() // warm session

@@ -26,6 +26,7 @@ object StageProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // r17, see Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries("agg_pricing")(spark, sfDir).count() // warm session
