@@ -119,7 +119,8 @@ object Extra26 {
     * modularityOf broadcast discipline and its node-count ceiling
     * (spark.graft.graph.broadcastLabels=false past driver capacity).
     */
-  private[graft] def louvain1Of(e: DataFrame, lab: DataFrame): DataFrame = {
+  private[graft] def louvain1Of(e: DataFrame, lab: DataFrame,
+      nodeBound: Option[Long] = None): DataFrame = {
     // Dataflow shaped for ONE edge-sized shuffle and a MINIMAL barrier
     // count (r16 optimization round; guide §1.2/§2.4). History: the
     // first form called modularityOf twice (~10 sequential jobs, three
@@ -152,13 +153,12 @@ object Extra26 {
     // baseline 2.68 s. Node-sized broadcasts share labelSide's
     // documented node-count ceiling and its conf gate.
     val bcast: DataFrame => DataFrame =
-      df => if (df.sparkSession.conf
-          .get("spark.graft.graph.broadcastLabels", "true").toBoolean)
+      df => if (Extra24.broadcastLabels(df.sparkSession, nodeBound))
         broadcast(df) else df
     // THE edge-sized shuffle: per-(node, own-community, neighbor-
     // community) counts, labels attached map-side (broadcast).
-    val nc2 = e.join(Extra24.labelSide(lab, "u", "lu"), "u")
-      .join(Extra24.labelSide(lab, "v", "lv"), "v")
+    val nc2 = e.join(Extra24.labelSide(lab, "u", "lu", nodeBound), "u")
+      .join(Extra24.labelSide(lab, "v", "lv", nodeBound), "v")
       .groupBy(col("u").as("node"), col("lu").as("a"), col("lv").as("nlab"))
       .agg(count(lit(1)).as("k"))
       .transform(graft.Q.cut(_))
@@ -513,7 +513,7 @@ object Extra26 {
       import s.implicits._
       val lab = Extra24.stagedLpaLabels(s, d).toDF("node", "label")
       val e = s.table(Extra23.stagedGraphEdges(s, d)).select("u", "v")
-      louvain1Of(e, lab)
+      louvain1Of(e, lab, Some(Extra24.stagedNodeCount(s, d)))
     }
   )
 }

@@ -694,6 +694,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph label broadcast gate is data-derived, both branches planned") {
+    // r17 (VERDICT r16 #6): node-sized label broadcasts default ON only
+    // while the measured |V| bound fits
+    // spark.graft.graph.broadcastLabels.maxNodes — past it (a 10⁹-node
+    // graph would OOM the driver) the attach degrades to a shuffled
+    // join. Pin both branches on graph_modularity; the explicit
+    // broadcastLabels conf still overrides (louvain/LPA share the gate).
+    def planWith(maxNodes: String): String = {
+      spark.conf.set("spark.graft.graph.broadcastLabels.maxNodes", maxNodes)
+      try planOf("graph_modularity")
+      finally spark.conf.unset("spark.graft.graph.broadcastLabels.maxNodes")
+    }
+    // default bound (fixture |V| far below it): label attach broadcasts
+    assert(planWith("100000000").contains("BroadcastHashJoin"))
+    // bound forced below the fixture |V|: the gate plans NO label
+    // broadcast — the attach is a shuffled join in the initial plan
+    // (slower, never driver-fatal). AQE may still locally convert the
+    // tiny fixture join back to broadcast at runtime, which is fine —
+    // the gate's job is to stop PLANNING a driver-fatal broadcast, so
+    // the pin reads the pre-runtime plan.
+    val tight = planWith("1")
+    val cut = tight.indexOf("== Initial Plan ==")
+    assert(cut >= 0, tight)
+    val initial = tight.substring(cut)
+    assert(initial.contains("SortMergeJoin") ||
+      initial.contains("ShuffledHashJoin"), initial)
+  }
+
   test("graph_bfs/graph_sssp results read checkpointed rounds, never the corpus") {
     // The traversal contract (r14, RDD rounds since r15): rounds
     // materialize as persisted/checkpointed round state, so the RESULT
