@@ -18,16 +18,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * overflow envelope (micro-unit embeddings: |a_i − b_i| ≤ 2·10⁶, so
   * the 64-dim sum ≤ 2.6·10¹⁴ ≪ 2⁶³).
   *
-  * Length contract: sums over the common prefix (min length) — callers
-  * that must fail on ragged inputs keep their explicit size guard
-  * (eval_confusion's raise_error), which this expression does not
-  * duplicate.
+  * Length contract (r17, ADVICE r16): ragged inputs FAIL loudly — the
+  * r16 form silently summed the common prefix, which was safe only
+  * behind eval_confusion's raise_error size guard; as a general native
+  * function a future caller without that guard would have gotten a
+  * silently truncated distance. The guard stays in eval_confusion as
+  * the friendly-message layer (it fires first).
+  *
+  * Null contract (r17, ADVICE r16): a NULL ELEMENT makes the result
+  * NULL — matching the replaced zip_with/aggregate form, where getLong
+  * on a null slot used to return garbage 0 silently. The element check
+  * is only compiled in when the input array type says elements can be
+  * null, so the hot integer loop is unchanged for the
+  * containsNull=false embeddings the eval family feeds it.
   */
 case class SquaredDistanceLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sq_dist_long"
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -40,13 +56,21 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  private def raggedError(nx: Int, ny: Int): Throwable =
+    new IllegalArgumentException(
+      s"sq_dist_long: array length mismatch ($nx vs $ny) — distances over " +
+        "ragged vectors are undefined; fix the embedding dimension upstream")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw raggedError(n, y.numElements())
+    val checkNulls = elemNullable
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
       i += 1
@@ -60,10 +84,21 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val di = ctx.freshName("di")
+      val nullCheck =
+        if (elemNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "sq_dist_long: array length mismatch (" + $n + " vs " +
+         |    $y.numElements() + ") - distances over ragged vectors are " +
+         |    "undefined; fix the embedding dimension upstream");
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  long $di = $x.getLong($i) - $y.getLong($i);
          |  $acc += $di * $di;
          |}

@@ -185,6 +185,12 @@ object Int8Index {
       // (q_id) — one exchange instead of two (the bare groupBy hashed
       // on both keys, and the heap cut then re-exchanged by q_id). No
       // explicit partition count, so AQE still coalesces it.
+      // ADVICE r16 tradeoff, noted: keying the exchange above the
+      // rollup moves PRE-aggregate rows (per-cell/per-replica
+      // multiplied) through the shuffle instead of combined partials —
+      // measured a win at fixture scale, but at a much higher
+      // nprobe/replica fan-out shuffle volume could dominate; if it
+      // does, revert to the bare two-exchange groupBy per pipeline.
       .repartition(col("q_id"))
       .groupBy("q_id", "vec_id").agg(max(col("a")).as("approx"))
     val short = gn.top_k_per_group(cand, Seq("q_id"),

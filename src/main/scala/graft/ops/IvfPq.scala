@@ -225,6 +225,12 @@ object IvfPq {
       // heap's ClusteredDistribution(q_id) — one exchange where the
       // bare groupBys paid two and the heap cut a third. No explicit
       // partition count, so AQE still coalesces it.
+      // ADVICE r16 tradeoff, noted: keying the exchange above the
+      // rollup moves PRE-aggregate rows (per-cell/per-replica
+      // multiplied) through the shuffle instead of combined partials —
+      // measured a win at fixture scale, but at a much higher
+      // nprobe/replica fan-out shuffle volume could dominate; if it
+      // does, revert to the bare two-exchange groupBy per pipeline.
       .repartition(col("q_id"))
       .groupBy("q_id", "vec_id", "cid").agg(sum("contrib").as("d2cell"))
       .groupBy("q_id", "vec_id").agg(min("d2cell").as("approx_d2"))

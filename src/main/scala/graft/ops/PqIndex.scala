@@ -165,6 +165,12 @@ object PqIndex {
       // satisfies the (q_id, vec_id) grouping by the subset rule AND
       // the shortlist heap's clustering — one exchange instead of two.
       // No explicit partition count, so AQE still coalesces it.
+      // ADVICE r16 tradeoff, noted: keying the exchange above the
+      // rollup moves PRE-aggregate rows (per-cell/per-replica
+      // multiplied) through the shuffle instead of combined partials —
+      // measured a win at fixture scale, but at a much higher
+      // nprobe/replica fan-out shuffle volume could dominate; if it
+      // does, revert to the bare two-exchange groupBy per pipeline.
       .repartition(col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum("contrib").as("approx_d2"))

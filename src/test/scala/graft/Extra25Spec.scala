@@ -314,6 +314,15 @@ class Extra25Spec extends AnyFunSuite with BeforeAndAfterAll {
       .toList
     val want = List((1L, 1L, 4L, -3L), (2L, 3L, 1L, 2L), (4L, 2L, 2L, 0L))
     assert(got == want, s"got $got\nwant $want")
+    // ADVICE r16: the default domainBound (Long.MaxValue) exercises the
+    // two-phase branch only — force the SINGLE-WINDOW branch
+    // (domainBound = 0 < twoPhaseMinRows) and pin that both branches
+    // return identical ranks on the same fixture.
+    val gotSingle = graft.queries.Extra25.rankClimbOf(halves, domainBound = 0L)
+      .orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(gotSingle == want, s"single-window branch: got $gotSingle\nwant $want")
   }
 
   test("crossCorrOf: a lag-1 shifted copy reads exactly 1 at lag 1") {

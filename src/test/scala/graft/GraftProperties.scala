@@ -137,17 +137,46 @@ object GraftProperties extends Properties("graft") {
       fcsEval(a, b) == expect
     }
 
-  // sq_dist_long == Σ(a_i − b_i)² over the common prefix — the exact
+  // sq_dist_long == Σ(a_i − b_i)² on equal-length inputs — the exact
   // integer contract behind eval_confusion's r16 kernel swap (the
   // aggregate(zip_with) lambda form it replaces is the reference).
-  property("sq_dist_long = exact integer squared distance (common prefix)") =
-    forAll(Gen.listOf(Gen.chooseNum(-2000000L, 2000000L)),
-        Gen.listOf(Gen.chooseNum(-2000000L, 2000000L))) { (a, b) =>
+  // r17 (ADVICE r16): ragged inputs now FAIL loudly instead of summing
+  // the common prefix, and a null element yields NULL instead of the
+  // garbage 0 getLong reads from a null slot — both pinned here.
+  property("sq_dist_long = exact integer squared distance (equal lengths)") =
+    forAll(Gen.listOf(Gen.chooseNum(-2000000L, 2000000L))) { a =>
+      val b = a.map(x => -x) // same length by construction
       val expect = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
       graft.functions.SquaredDistanceLong(
         Literal(new GenericArrayData(a.toArray), ArrayType(LongType)),
         Literal(new GenericArrayData(b.toArray), ArrayType(LongType)))
         .eval(null) == expect
+    }
+
+  property("sq_dist_long fails loudly on ragged inputs") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L))) { a =>
+      val b = a ++ List(1L) // strictly longer
+      try {
+        graft.functions.SquaredDistanceLong(
+          Literal(new GenericArrayData(a.toArray), ArrayType(LongType)),
+          Literal(new GenericArrayData(b.toArray), ArrayType(LongType)))
+          .eval(null)
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("length mismatch")
+      }
+    }
+
+  property("sq_dist_long yields NULL on a null element") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L))) { a =>
+      val withNull: Array[Any] = a.toArray.map(x => x: Any)
+      withNull(0) = null
+      graft.functions.SquaredDistanceLong(
+        Literal(new GenericArrayData(withNull),
+          ArrayType(LongType, containsNull = true)),
+        Literal(new GenericArrayData(a.toArray),
+          ArrayType(LongType, containsNull = true)))
+        .eval(null) == null
     }
 
   // intersect_size_sorted == |A ∩ B| on sorted duplicate-free inputs —
