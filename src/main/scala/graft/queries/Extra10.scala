@@ -394,6 +394,12 @@ object Extra10 {
       .select(col("source"),
         explode(graft.ops.Sketches.shingles("text", 3)).as("g0"))
       .select(col("source"), xxhash64(col("g0")).as("g"))
+      // NOT spreadBy'd (r17 negative result): unlike agg_cooccur's
+      // basket stage, the per-gram pair fan-out is bounded by the
+      // SOURCE count (≤210 partial rows per task), so AQE's byte-based
+      // coalesce of this exchange costs nothing — the explicit spread
+      // A/B'd equal-or-worse (1.42-1.54 bare vs 1.47-1.78 spread,
+      // back-to-back QuickTime min-of-3).
       .groupBy("g").agg(collect_set(col("source")).as("srcs"))
       .select(explode(concat(
         expr("transform(srcs, x -> struct(x as s1, cast(null as string) as s2))"),
