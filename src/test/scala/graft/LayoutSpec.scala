@@ -152,9 +152,10 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("bucketed scan prunes to one bucket on an equality key filter") {
     // The second dividend of the bucketed layout (beyond exchange-free
     // joins): an equality predicate on the bucket key prunes the scan to
-    // the single bucket that can hold it — 1/8 of the files read, before
+    // the single bucket that can hold it — 1/N of the files read, before
     // any I/O, the same class of win as partition pruning but on a
-    // high-cardinality key no directory layout could carry.
+    // high-cardinality key no directory layout could carry. (r17: the
+    // bucket count is session-derived, so the pin is count-agnostic.)
     val (to, _) = graft.queries.Extra10.bucketedTables(spark, "/root/testdata/sf0.001")
     val key = spark.table(to).orderBy("o_orderkey").select("o_orderkey")
       .head().getLong(0)
@@ -169,7 +170,8 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       val df = spark.table(to).filter(col("o_orderkey") === key)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString()
-      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert("SelectedBucketsCount: 1 out of \\d+".r
+        .findFirstIn(plan).isDefined, plan)
       assert(df.count() >= 1)
     } finally spark.conf.set(conf, prev)
   }
